@@ -1,0 +1,84 @@
+"""Compile-time-style configuration constants.
+
+TPU-native re-design of the reference configuration module
+(reference: src/config.rs:1-23).  The reference bakes these in as Rust
+consts; here they are a frozen dataclass so alternative configurations can
+be constructed for tests, while the module-level constants mirror the
+reference defaults exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+# reference: src/config.rs:12-18
+MEM_SIZE = 1
+MIN_KMERS = 1
+STRANDED = True
+REPORT_ALL_KMER = False
+READ_COVERAGE_THRESHOLD = 32
+LEFT_EXTEND_FRACTION = 0.2
+DEFAULT_ALLOWED_MISMATCHES = 2
+
+# reference: src/config.rs:20
+U32_MAX = 0xFFFFFFFF
+
+# reference: src/config.rs:23
+MAPPABILITY_COUNTS_LEN = 11
+
+# Supported k sizes (reference: src/bin/pseudoaligner.rs:86-96 supports 20/64
+# via monomorphized Kmer20/Kmer64).  Here k is a runtime parameter; 20 and 64
+# are the validated configurations.
+SUPPORTED_K = (20, 64)
+
+# MSP p-mer length (reference: src/build_index.rs:93 `PmerType = Kmer6`).
+PMER_K = 6
+
+# Minimum number of super-kmer runs per build shard
+# (reference: src/build_index.rs:25 MIN_SHARD_SEQUENCES).
+MIN_SHARD_SEQUENCES = 2000
+
+
+class FastaFormat(enum.Enum):
+    """Transcriptome FASTA header formats (reference: src/config.rs:4-9)."""
+
+    UNKNOWN = "unknown"
+    GENCODE = "gencode"
+    ENSEMBL = "ensembl"
+    GFFREAD = "gffread"
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignerConfig:
+    """Runtime configuration for the mapping engine.
+
+    Defaults reproduce the reference behavior bit-for-bit.  The extra
+    fields configure the TPU execution shape (batch size, padding) which
+    has no observable effect on per-read results.
+    """
+
+    k: int = 20
+    allowed_mismatches: int = DEFAULT_ALLOWED_MISMATCHES
+    left_extend_fraction: float = LEFT_EXTEND_FRACTION
+    read_coverage_threshold: int = READ_COVERAGE_THRESHOLD
+
+    # --- TPU execution shape (no semantic effect) ---
+    batch_size: int = 8192
+    # Maximum read length the compiled kernel supports; longer reads are
+    # handled by the long-read segmentation path (SURVEY.md section 5.7).
+    max_read_len: int = 160
+    # Per-read bound on the node-visit buffer.  A read of length L visits at
+    # most L nodes forward plus L nodes during left extension; 2*max_read_len
+    # is a hard upper bound.
+    max_nodes: int = 64
+    # Use the on-device EC-bitset intersection when the transcriptome has at
+    # most this many transcripts; otherwise fall back to host CSR merge.
+    bitset_tx_threshold: int = 16384
+
+    def __post_init__(self):
+        if self.k < 4 or self.k > 64:
+            raise ValueError(f"k={self.k} out of supported range [4, 64]")
+
+
+DEFAULT_CONFIG = AlignerConfig()

@@ -1,0 +1,125 @@
+"""Transcriptome FASTA reading.
+
+Host input stage; equivalent of `utils::read_transcripts` +
+`detect_fasta_format` + `extract_tx_gene_id`
+(reference: src/utils.rs:61-150).
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+from typing import IO
+
+import numpy as np
+
+from ..config import FastaFormat
+from ..dna import from_acgt_bytes_hashn
+
+log = logging.getLogger(__name__)
+
+
+class FastaRecord:
+    __slots__ = ("id", "desc", "seq")
+
+    def __init__(self, id: str, desc: str | None, seq: bytes):
+        self.id = id
+        self.desc = desc
+        self.seq = seq
+
+
+def _open(path: str) -> IO[bytes]:
+    # gz support: reference has a (dead) _open_with_gz at src/utils.rs:46-57;
+    # here it is live.
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def iter_fasta(path: str):
+    """Yield FastaRecord from a (possibly gzipped) FASTA file.
+
+    Header parsing matches rust-bio's `fasta::Record`: `id` is the first
+    whitespace-delimited token after '>', `desc` is the remainder (None if
+    absent).
+    """
+    rec_id, rec_desc, chunks = None, None, []
+    with _open(path) as f:
+        for raw in f:
+            line = raw.rstrip(b"\r\n")
+            if line.startswith(b">"):
+                if rec_id is not None:
+                    yield FastaRecord(rec_id, rec_desc, b"".join(chunks))
+                header = line[1:].decode()
+                parts = header.split(None, 1)
+                rec_id = parts[0] if parts else ""
+                rec_desc = parts[1] if len(parts) > 1 else None
+                chunks = []
+            elif line:
+                chunks.append(line)
+        if rec_id is not None:
+            yield FastaRecord(rec_id, rec_desc, b"".join(chunks))
+
+
+def detect_fasta_format(record: FastaRecord) -> FastaFormat:
+    """Header-format autodetect (reference: src/utils.rs:99-117)."""
+    if len(record.id.split("|")) == 9:
+        return FastaFormat.GENCODE
+
+    desc = record.desc
+    if desc is not None:
+        desc_tokens = desc.split(" ")
+        if desc_tokens:
+            gene_tokens = desc_tokens[0].split("=")
+            if gene_tokens and gene_tokens[0] == "gene" and len(gene_tokens) == 2:
+                return FastaFormat.GFFREAD
+        # reference src/utils.rs:112: Ensembl when the first token is absent
+        # and 4 further tokens follow; with rust-bio's parsing the first
+        # split(' ') token always exists for a non-empty desc, so mirror the
+        # practical outcome: a 5-token description is Ensembl.
+        if len(desc_tokens) == 5:
+            return FastaFormat.ENSEMBL
+    raise ValueError("Failed to detect FASTA header format.")
+
+
+def extract_tx_gene_id(record: FastaRecord, fasta_format: FastaFormat) -> tuple[str, str]:
+    """(tx_id, gene_id) per header format (reference: src/utils.rs:119-150)."""
+    if fasta_format == FastaFormat.GENCODE:
+        toks = record.id.split("|")
+        return toks[0], toks[1]
+    if fasta_format == FastaFormat.ENSEMBL:
+        tx_id = record.id
+        gene_id = record.desc.split(" ")[2].split(":")[1]
+        return tx_id, gene_id
+    if fasta_format == FastaFormat.GFFREAD:
+        tx_id = record.id.split(" ")[0]
+        gene_id = record.desc.split(" ")[0].split("=")[1]
+        return tx_id, gene_id
+    raise ValueError("fasta_format was uninitialized")
+
+
+def read_transcripts(
+    path: str,
+) -> tuple[list[np.ndarray], list[str], dict[str, str]]:
+    """Read a transcriptome FASTA -> (seqs, tx_names, tx_gene_map).
+
+    `seqs` are uint8 base-code arrays with non-ACGT bases deterministically
+    substituted (reference: src/utils.rs:61-97, using
+    `DnaString::from_acgt_bytes_hashn` at :76).
+    """
+    seqs: list[np.ndarray] = []
+    tx_ids: list[str] = []
+    tx_gene: dict[str, str] = {}
+    fasta_format = FastaFormat.UNKNOWN
+
+    log.info("Reading transcripts from Fasta file")
+    for record in iter_fasta(path):
+        seqs.append(from_acgt_bytes_hashn(record.seq, record.id.encode()))
+        if fasta_format == FastaFormat.UNKNOWN:
+            fasta_format = detect_fasta_format(record)
+        tx_id, gene_id = extract_tx_gene_id(record, fasta_format)
+        tx_ids.append(tx_id)
+        tx_gene[tx_id] = gene_id
+
+    log.info("Done reading the Fasta file; Found %d sequences", len(seqs))
+    return seqs, tx_ids, tx_gene
