@@ -1,0 +1,203 @@
+"""Command-line interface.
+
+Equivalent of the reference binary (src/bin/pseudoaligner.rs:23-206):
+subcommands `index`, `map`, `mappability`, `idxstats` with the same
+positional/flag structure.  `inspect` is declared in the reference USAGE
+but never implemented there (no `cmd_inspect` branch); here it prints an
+index summary.
+
+`map` writes one record per read to stdout in the reference's exact debug
+format `(flag, "read_id", [eq, class], coverage)`
+(src/pseudoaligner.rs:490) and a progress ticker to stderr every 10^6
+reads (src/pseudoaligner.rs:497-504).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+from . import __version__
+from .config import AlignerConfig
+
+log = logging.getLogger("pseudoaligner_tpu")
+
+USAGE_KMER_SUPPORTED = (20, 64)
+
+
+def _rust_f32_str(v: float) -> str:
+    """Rust `{}` Display for f32 (shortest roundtrip, positional)."""
+    f = np.float32(v)
+    if np.isnan(f):
+        return "NaN"
+    return np.format_float_positional(f, unique=True, trim="-")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pseudoaligner",
+        description="De-bruijn-mapping (TPU-native)",
+    )
+    p.add_argument("-v", "--version", action="version",
+                   version=f"pseudoaligner_tpu {__version__}")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, index=True):
+        sp.add_argument("-k", "--kmer-size", type=int, default=20,
+                        help="Kmer size to use - only 20 or 64 currently supported"
+                             " [default: 20]")
+        sp.add_argument("-n", "--num-threads", type=int, default=2,
+                        help="Number of worker threads [default: 2]")
+        if index:
+            sp.add_argument("-i", "--index", required=True, dest="index")
+
+    sp = sub.add_parser("index", help="build index from a transcriptome FASTA")
+    common(sp)
+    sp.add_argument("ref_fasta")
+
+    sp = sub.add_parser("map", help="map reads from a FASTQ against an index")
+    common(sp)
+    sp.add_argument("reads_fastq")
+    sp.add_argument("--batch-size", type=int, default=8192)
+    sp.add_argument("--max-read-len", type=int, default=160)
+
+    sp = sub.add_parser("mappability", help="per-transcript mappability report")
+    common(sp)
+    sp.add_argument("-o", "--outdir", default=None)
+
+    sp = sub.add_parser("idxstats", help="dump per-node stats")
+    common(sp)
+
+    sp = sub.add_parser("inspect", help="print index summary")
+    common(sp)
+    return p
+
+
+def _check_k(k: int) -> bool:
+    if k not in USAGE_KMER_SUPPORTED:
+        # reference prints and exits 0 (src/bin/pseudoaligner.rs:89-95)
+        print(f"Kmer size = {k} is not supported. Set kmer size to 20 or 64")
+        return False
+    return True
+
+
+def cmd_index(args) -> int:
+    from .index.builder import build_index
+    from .io.fasta import read_transcripts
+    from .serde import save_index
+
+    log.info("Building index from fasta")
+    seqs, tx_names, tx_gene_map = read_transcripts(args.ref_fasta)
+    index = build_index(seqs, tx_names, tx_gene_map, k=args.kmer_size)
+    log.info("Finished building index!")
+    log.info("Writing index to disk")
+    save_index(index, args.index)
+    log.info("Finished writing index!")
+    return 0
+
+
+def cmd_map(args, outdir: str) -> int:
+    from .models.aligner import Pseudoaligner
+    from .serde import load_index
+
+    log.info("Reading index from disk")
+    image = load_index(args.index)
+    if image.k != args.kmer_size:
+        print(f"Index was built with k={image.k}, not k={args.kmer_size}")
+        return 1
+    log.info("Finished reading index!")
+    log.info("Mapping reads from fastq")
+    log.info("Output directory: %s", outdir)
+
+    cfg = AlignerConfig(
+        k=image.k,
+        batch_size=args.batch_size,
+        max_read_len=args.max_read_len,
+    )
+    aligner = Pseudoaligner(image, cfg)
+
+    read_counter = 0
+    mapped_read_counter = 0
+    out = sys.stdout
+    for rec in aligner.map_fastq(args.reads_fastq):
+        out.write(rec.format_reference_style() + "\n")
+        if rec.flag:
+            mapped_read_counter += 1
+        read_counter += 1
+        if read_counter % 1_000_000 == 0:
+            frac = mapped_read_counter * 100.0 / read_counter
+            sys.stderr.write(
+                f"\rDone Mapping {read_counter} reads w/ Rate: {_rust_f32_str(frac)}"
+            )
+            sys.stderr.flush()
+    sys.stderr.write("\n")
+    log.info("Done Mapping Reads")
+    return 0
+
+
+def cmd_mappability(args, outdir: str) -> int:
+    from .mappability import write_mappability_tsv
+    from .serde import load_index
+
+    log.info("Reading index from disk")
+    image = load_index(args.index)
+    log.info("Finished reading index!")
+    log.info("Analyzing de Bruijn graph")
+    log.info("%d transcripts total", image.n_tx)
+    write_mappability_tsv(image, outdir)
+    return 0
+
+
+def cmd_idxstats(args) -> int:
+    from .serde import load_index
+
+    image = load_index(args.index)
+    lens = np.diff(image.ec_offsets.astype(np.int64))
+    out = sys.stdout
+    for n in range(image.n_nodes):
+        out.write(f"{n}\t{int(image.node_len[n])}\t{int(lens[image.node_ec[n]])}\n")
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from .serde import load_index
+
+    image = load_index(args.index)
+    for key, val in image.stats().items():
+        print(f"{key}\t{val}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=os.environ.get("PSEUDOALIGNER_LOG", "INFO").upper(),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        stream=sys.stderr,
+    )
+    log.info("Command line args:\n%r", args)
+
+    outdir = getattr(args, "outdir", None) or os.getcwd()
+    os.makedirs(outdir, exist_ok=True)
+
+    if not _check_k(args.kmer_size):
+        return 0
+    if args.cmd == "index":
+        return cmd_index(args)
+    if args.cmd == "map":
+        return cmd_map(args, outdir)
+    if args.cmd == "mappability":
+        return cmd_mappability(args, outdir)
+    if args.cmd == "idxstats":
+        return cmd_idxstats(args)
+    if args.cmd == "inspect":
+        return cmd_inspect(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,3 @@
+from .aligner import Pseudoaligner, ReadRecord
+
+__all__ = ["Pseudoaligner", "ReadRecord"]

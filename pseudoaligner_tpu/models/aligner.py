@@ -1,0 +1,149 @@
+"""The Pseudoaligner model: index + batched TPU mapping engine.
+
+TPU-native equivalent of the `Pseudoaligner` struct + `process_reads`
+driver (reference: src/pseudoaligner.rs:26-33, 420-514).  The reference's
+N worker threads pulling one read at a time from a mutexed iterator become
+a host batching pipeline feeding a jitted device step; results stream back
+per batch.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..config import AlignerConfig, READ_COVERAGE_THRESHOLD
+from ..index.image import IndexImage
+from ..io.fastq import FastqReader, ReadBatch
+from ..ops.map_kernel import MapResult, device_index_from_image, map_batch
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class ReadRecord:
+    """Per-read mapping record — mirrors the reference's output tuple
+    `(flag, read_id, eq_class, coverage)` (src/pseudoaligner.rs:453-462),
+    including the reference's flag predicate
+    `coverage >= READ_COVERAGE_THRESHOLD && eq_class.is_empty()`
+    (src/pseudoaligner.rs:455 — preserved as-is for behavior parity)."""
+
+    flag: bool
+    read_id: str
+    eq_class: list[int]
+    coverage: int
+
+    def format_reference_style(self) -> str:
+        """Render exactly like Rust's `println!("{:?}", read_data)`."""
+        flag = "true" if self.flag else "false"
+        eq = "[" + ", ".join(str(x) for x in self.eq_class) + "]"
+        return f'({flag}, "{self.read_id}", {eq}, {self.coverage})'
+
+
+class Pseudoaligner:
+    """Index container + mapping engine (the framework's flagship model)."""
+
+    def __init__(
+        self,
+        image: IndexImage,
+        config: AlignerConfig | None = None,
+        device=None,
+    ):
+        if config is None:
+            config = AlignerConfig(k=image.k)
+        if config.k != image.k:
+            raise ValueError(f"config k={config.k} != index k={image.k}")
+        self.image = image
+        self.config = config
+        dev, meta = device_index_from_image(image, config)
+        self.meta = meta
+        self.dev = jax.device_put(dev, device)
+        self._step = jax.jit(partial(map_batch, meta))
+        # host-side EC intersection memo for the CSR fallback path
+        self._ec_memo: dict[tuple[int, ...], list[int]] = {}
+
+    # ------------------------------------------------------------------
+    # device step
+    # ------------------------------------------------------------------
+
+    def map_batch_device(self, codes: np.ndarray, lens: np.ndarray) -> MapResult:
+        """Run the jitted mapping step on a [B, L] batch."""
+        return self._step(self.dev, codes.astype(np.int32), lens.astype(np.int32))
+
+    # ------------------------------------------------------------------
+    # host post-processing
+    # ------------------------------------------------------------------
+
+    def _ec_from_bits(self, bits_row: np.ndarray) -> list[int]:
+        by = np.ascontiguousarray(bits_row).view(np.uint8)
+        unpacked = np.unpackbits(by, bitorder="little")[: self.image.n_tx]
+        return np.nonzero(unpacked)[0].tolist()
+
+    def _ec_from_nodes(self, nodes: np.ndarray) -> list[int]:
+        """Host CSR intersection fallback (large transcriptomes) —
+        set-equivalent to src/pseudoaligner.rs:323-356."""
+        img = self.image
+        ec_ids = tuple(sorted(set(int(img.node_ec[n]) for n in nodes if n >= 0)))
+        hit = self._ec_memo.get(ec_ids)
+        if hit is not None:
+            return hit
+        lists = sorted(
+            (img.ec_list(e) for e in ec_ids), key=len
+        )
+        acc = lists[0]
+        for other in lists[1:]:
+            acc = np.intersect1d(acc, other, assume_unique=True)
+            if len(acc) == 0:
+                break
+        out = [int(x) for x in acc]
+        self._ec_memo[ec_ids] = out
+        return out
+
+    def records_from_result(
+        self, result: MapResult, batch: ReadBatch
+    ) -> list[ReadRecord]:
+        mapped = np.asarray(result.mapped)
+        cov = np.asarray(result.coverage)
+        use_bits = self.meta.tx_words > 0
+        if use_bits:
+            bits = np.asarray(result.ec_bits)
+        else:
+            nodes = np.asarray(result.nodes)
+            n_nodes = np.asarray(result.n_nodes)
+        out = []
+        for i, rid in enumerate(batch.ids):
+            if not mapped[i]:
+                out.append(ReadRecord(False, rid, [], 0))
+                continue
+            if use_bits:
+                eq = self._ec_from_bits(bits[i])
+            else:
+                eq = self._ec_from_nodes(nodes[i, : n_nodes[i]])
+            c = int(cov[i])
+            flag = c >= self.config.read_coverage_threshold and len(eq) == 0
+            out.append(ReadRecord(flag, rid, eq, c))
+        return out
+
+    # ------------------------------------------------------------------
+    # end-to-end streaming
+    # ------------------------------------------------------------------
+
+    def map_fastq(self, path: str):
+        """Stream a FASTQ file; yields ReadRecord per read, in file order."""
+        reader = FastqReader(
+            path, batch_size=self.config.batch_size, max_len=self.config.max_read_len
+        )
+        pending = None  # (device result future, batch) — simple double buffer
+        for batch in reader:
+            res = self.map_batch_device(batch.codes, batch.lens)
+            if pending is not None:
+                prev_res, prev_batch = pending
+                yield from self.records_from_result(jax.device_get(prev_res), prev_batch)
+            pending = (res, batch)
+        if pending is not None:
+            res, batch = pending
+            yield from self.records_from_result(jax.device_get(res), batch)

@@ -4,7 +4,7 @@ import sys
 # Tests run on a virtual 8-device CPU mesh (multi-chip shardings are
 # validated without TPU hardware; the driver separately dry-runs the
 # multi-chip path, and bench.py runs on the real chip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +12,14 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin (registered by sitecustomize in this image) pins the
+# platform to the single tunneled TPU chip regardless of JAX_PLATFORMS in
+# the environment; force CPU in-process so tests run on the virtual
+# 8-device CPU mesh and never claim (or block on) the TPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

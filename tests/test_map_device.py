@@ -1,0 +1,100 @@
+"""Device mapping engine vs golden oracle — bit-exact parity on every read
+of the bundled FASTQ (the reference's smoke workload, test/small.fq)."""
+
+import numpy as np
+import pytest
+
+from pseudoaligner_tpu.config import AlignerConfig
+from pseudoaligner_tpu.golden import GoldenAligner
+from pseudoaligner_tpu.io.fastq import ReadBatch
+from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+
+def _make_batches(reads, B, L):
+    for i in range(0, len(reads), B):
+        chunk = reads[i : i + B]
+        codes = np.zeros((B, L), dtype=np.uint8)
+        lens = np.zeros(B, dtype=np.int32)
+        ids = []
+        for j, (rid, c) in enumerate(chunk):
+            codes[j, : len(c)] = c
+            lens[j] = len(c)
+            ids.append(rid)
+        yield ReadBatch(codes=codes, lens=lens, ids=ids)
+
+
+def _check_parity(image, reads, use_bitset=True):
+    cfg = AlignerConfig(
+        k=image.k,
+        batch_size=256,
+        max_read_len=64,
+        max_nodes=64,
+        bitset_tx_threshold=1 << 20 if use_bitset else 0,
+    )
+    al = Pseudoaligner(image, cfg)
+    golden = GoldenAligner(image)
+
+    n_checked = 0
+    for batch in _make_batches(reads, cfg.batch_size, cfg.max_read_len):
+        res = al.map_batch_device(batch.codes, batch.lens)
+        recs = al.records_from_result(res, batch)
+        nodes = np.asarray(res.nodes)
+        n_nodes = np.asarray(res.n_nodes)
+        mm = np.asarray(res.mismatches)
+        for i, rid in enumerate(batch.ids):
+            read = batch.codes[i, : batch.lens[i]]
+            g = golden.map_read_to_nodes_with_mismatch(read, cfg.allowed_mismatches)
+            rec = recs[i]
+            if g is None:
+                assert not rec.flag or rec.coverage == 0
+                assert n_nodes[i] == 0, (rid, nodes[i])
+                assert rec.eq_class == [] and rec.coverage == 0
+            else:
+                gcov, gmm, gnodes = g
+                assert n_nodes[i] == len(gnodes), (rid, nodes[i], gnodes)
+                assert nodes[i, : n_nodes[i]].tolist() == gnodes, rid
+                assert rec.coverage == gcov, rid
+                assert mm[i] == gmm, rid
+                geq = golden.nodes_to_eq_class(gnodes)
+                assert rec.eq_class == geq, rid
+                gflag = gcov >= cfg.read_coverage_threshold and len(geq) == 0
+                assert rec.flag == gflag, rid
+            n_checked += 1
+    return n_checked
+
+
+def test_device_parity_small_subset(small_index, small_reads):
+    n = _check_parity(small_index, small_reads[:600])
+    assert n == 600
+
+
+def test_device_parity_small_subset_csr_path(small_index, small_reads):
+    """Same but exercising the host CSR-intersection fallback."""
+    n = _check_parity(small_index, small_reads[:300], use_bitset=False)
+    assert n == 300
+
+
+@pytest.mark.full
+def test_device_parity_full_fastq(full_index, small_reads):
+    n = _check_parity(full_index, small_reads)
+    assert n == len(small_reads)
+
+
+def test_device_handles_short_and_padded_reads(small_index):
+    cfg = AlignerConfig(k=20, batch_size=8, max_read_len=64, max_nodes=64)
+    al = Pseudoaligner(small_index, cfg)
+    codes = np.zeros((8, 64), dtype=np.uint8)
+    lens = np.zeros(8, dtype=np.int32)
+    # one real read from the index itself
+    seq = small_index.node_seq(0)[:40]
+    codes[0, :40] = seq
+    lens[0] = 40
+    # one too-short read
+    codes[1, :10] = 1
+    lens[1] = 10
+    res = al.map_batch_device(codes, lens)
+    mapped = np.asarray(res.mapped)
+    assert mapped[0]
+    assert not mapped[1]
+    assert not mapped[2:].any()
+    assert np.asarray(res.coverage)[0] == 40
