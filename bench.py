@@ -1,0 +1,122 @@
+"""Benchmark: read-mapping throughput (reads/sec) on the real device.
+
+Workload: the bundled transcriptome (test/gencode_small.fa, k=20) — the
+reference's own smoke configuration (BASELINE.md) — with a large
+deterministic synthetic read set (exact 60-mers + 1-SNP variants +
+reversed negatives, mirroring how test/small.fq was generated) so the
+chip reaches steady state.
+
+The reference publishes no benchmark numbers (BASELINE.md).  For
+`vs_baseline` we use a fixed nominal 100,000 reads/s — a generous estimate
+of the multithreaded reference on a server CPU (kallisto-class throughput,
+README.md:3 aspiration) — so the ratio is comparable across rounds.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_READS_PER_SEC = 100_000.0
+REF_FASTA = "/root/reference/test/gencode_small.fa"
+INDEX_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_index_k20.bin")
+
+
+def build_or_load_index():
+    from pseudoaligner_tpu.serde import load_index, save_index
+
+    if os.path.exists(INDEX_CACHE):
+        try:
+            return load_index(INDEX_CACHE)
+        except Exception:
+            pass
+    from pseudoaligner_tpu.index.builder import build_index
+    from pseudoaligner_tpu.io.fasta import read_transcripts
+
+    seqs, names, gene_map = read_transcripts(REF_FASTA)
+    image = build_index(seqs, names, gene_map, k=20)
+    save_index(image, INDEX_CACHE)
+    return image
+
+
+def synth_reads(image, n_reads, read_len=60, seed=0):
+    """Deterministic reads: 1/3 exact windows, 1/3 one-SNP, 1/3 reversed
+    (negative controls) — the bundled small.fq recipe at scale."""
+    rng = np.random.default_rng(seed)
+    # windows from the graph's own sequence pool for realistic locality
+    pool = image.seq_pool
+    starts = rng.integers(0, len(pool) - read_len, size=n_reads)
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    reads = pool[idx].astype(np.int32)
+    third = n_reads // 3
+    # SNPs in the middle third
+    pos = rng.integers(0, read_len, size=third)
+    rows = np.arange(third, 2 * third)
+    reads[rows, pos] = (reads[rows, pos] + rng.integers(1, 4, size=third)) % 4
+    # reverse (not complement) the last third
+    reads[2 * third :] = reads[2 * third :, ::-1]
+    lens = np.full(n_reads, read_len, dtype=np.int32)
+    return reads, lens
+
+
+def main():
+    t_setup = time.time()
+    import jax
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    image = build_or_load_index()
+
+    B = int(os.environ.get("BENCH_BATCH", 32768))
+    L = 60
+    n_batches = int(os.environ.get("BENCH_BATCHES", 8))
+    cfg = AlignerConfig(k=20, batch_size=B, max_read_len=L, max_nodes=32)
+    aligner = Pseudoaligner(image, cfg)
+
+    reads, lens = synth_reads(image, B * (n_batches + 1))
+    batches = [
+        (reads[i * B : (i + 1) * B], lens[i * B : (i + 1) * B])
+        for i in range(n_batches + 1)
+    ]
+
+    # warmup / compile
+    r0 = aligner.map_batch_device(*batches[0])
+    jax.block_until_ready(r0)
+    setup_s = time.time() - t_setup
+
+    t0 = time.time()
+    outs = []
+    for codes, ls in batches[1:]:
+        outs.append(aligner.map_batch_device(codes, ls))
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+
+    total_reads = B * n_batches
+    rps = total_reads / dt
+    mapped = sum(int(np.asarray(o.n_nodes > 0).sum()) for o in outs)
+    sys.stderr.write(
+        f"bench: {total_reads} reads in {dt:.3f}s on {jax.devices()[0]} "
+        f"({mapped / total_reads:.1%} mapped, setup {setup_s:.1f}s)\n"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "map_throughput",
+                "value": round(rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

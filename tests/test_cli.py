@@ -1,0 +1,110 @@
+"""End-to-end CLI tests (index -> map/mappability/idxstats/inspect),
+mirroring the reference's four subcommands (src/bin/pseudoaligner.rs)."""
+
+import io
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never claim the TPU from tests
+    env["PYTHONPATH"] = REPO
+    env["PSEUDOALIGNER_LOG"] = "WARNING"
+    return subprocess.run(
+        [sys.executable, "-m", "pseudoaligner_tpu"] + args,
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=cwd or REPO,
+        timeout=900,
+    )
+
+
+@pytest.fixture(scope="module")
+def small_fasta(tmp_path_factory):
+    """First 60 records of the bundled transcriptome, as a test FASTA."""
+    src = "/root/reference/test/gencode_small.fa"
+    out = tmp_path_factory.mktemp("data") / "mini.fa"
+    n = 0
+    with open(src) as f, open(out, "w") as g:
+        for line in f:
+            if line.startswith(">"):
+                n += 1
+                if n > 60:
+                    break
+            g.write(line)
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def cli_index(small_fasta, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx") / "index.bin")
+    r = run_cli(["index", "-i", idx, small_fasta])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(idx)
+    return idx
+
+
+def test_version():
+    r = run_cli(["--version"])
+    assert r.returncode == 0
+    assert "pseudoaligner_tpu" in r.stdout
+
+
+def test_bad_kmer_size(small_fasta, tmp_path):
+    r = run_cli(["index", "-k", "31", "-i", str(tmp_path / "x"), small_fasta])
+    # reference prints a message and exits 0 (src/bin/pseudoaligner.rs:89-95)
+    assert r.returncode == 0
+    assert "not supported" in r.stdout
+
+
+def test_map_output_format(cli_index, tmp_path):
+    # write a small fastq from the bundled reads
+    fq = tmp_path / "reads.fq"
+    with open("/root/reference/test/small.fq") as f:
+        head = [next(f) for _ in range(400)]
+    fq.write_text("".join(head))
+    r = run_cli(["map", "-i", cli_index, str(fq), "--batch-size", "128",
+                 "--max-read-len", "64"])
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    assert len(lines) == 100
+    pat = re.compile(r'^\((true|false), "[^"]+", \[(\d+(, \d+)*)?\], \d+\)$')
+    for ln in lines:
+        assert pat.match(ln), ln
+
+
+def test_idxstats(cli_index):
+    r = run_cli(["idxstats", "-i", cli_index])
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    assert len(lines) > 100
+    for ln in lines[:10]:
+        node_id, seq_len, ec_len = ln.split("\t")
+        assert int(seq_len) >= 20
+        assert int(ec_len) >= 1
+
+
+def test_mappability(cli_index, tmp_path):
+    r = run_cli(["mappability", "-i", cli_index, "-o", str(tmp_path)])
+    assert r.returncode == 0, r.stderr
+    tsv = tmp_path / "tx_mappability.tsv"
+    assert tsv.exists()
+    lines = tsv.read_text().splitlines()
+    assert lines[0].startswith("tx_name\tgene_name")
+    assert len(lines) == 61  # header + 60 transcripts
+
+
+def test_inspect(cli_index):
+    r = run_cli(["inspect", "-i", cli_index])
+    assert r.returncode == 0, r.stderr
+    assert "n_kmers" in r.stdout
