@@ -29,6 +29,7 @@ same final graph directly from a global k-mer census, fully vectorized:
 from __future__ import annotations
 
 import logging
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -37,6 +38,23 @@ from ..config import U32_MAX
 from ..ops.hashing import mix32_np
 from .image import IndexImage
 from .mphf import build_mphf
+
+
+@dataclass
+class CensusProduct:
+    """Stage-A output: per-distinct-kmer summary + join structure.
+
+    Produced either by the vectorized NumPy path (`census_numpy`) or by the
+    native C++ builder (`native/`); stage B (`assemble`) is shared.
+    """
+
+    kmer_words: np.ndarray  # [nk, W] uint32, sorted ascending
+    kmer_exts: np.ndarray  # [nk] uint8
+    ec_of_kmer: np.ndarray  # [nk] uint32
+    ec_offsets: np.ndarray  # [M+1] uint32
+    ec_txs: np.ndarray  # [sum] uint32
+    nxt: np.ndarray  # [nk] int64 — ScmapCompress join successor (-1 none),
+    #                  self-loops and cycles already broken deterministically
 
 log = logging.getLogger(__name__)
 
@@ -231,13 +249,35 @@ def build_index(
     tx_names: list[str],
     tx_gene_map: dict[str, str],
     k: int = 20,
+    native: str = "auto",
 ) -> IndexImage:
     """Build the full index image.  See module docstring.
 
     Equivalent of `build_index` (reference: src/build_index.rs:27-91).
+    native: "auto" (use the C++ census when the library is available),
+    "never", or "require".
     """
     if len(seqs) >= U32_MAX:
         raise ValueError(f"Too many ({len(seqs)}) sequences to handle.")
+
+    census = None
+    if native in ("auto", "require"):
+        try:
+            from .native import census_native
+
+            census = census_native(seqs, k)
+            log.info("native census: %d distinct k-mers", len(census.kmer_exts))
+        except Exception as e:  # pragma: no cover - environment dependent
+            if native == "require":
+                raise
+            log.info("native builder unavailable (%s); using NumPy path", e)
+    if census is None:
+        census = census_numpy(seqs, k)
+    return assemble(census, k, tx_names, tx_gene_map)
+
+
+def census_numpy(seqs: list[np.ndarray], k: int) -> CensusProduct:
+    """Stage A, vectorized NumPy implementation."""
     W = dna.kmer_words(k)
 
     log.info("k-mer census over %d sequences", len(seqs))
@@ -330,7 +370,37 @@ def build_index(
         # section 7.2 point on canonical ids)
         brk = cyc[nxt[cyc] == m]  # the unique x per cycle with nxt[x] == min
         nxt[brk] = -1
-        prv[np.unique(m)] = -1  # m values are exactly the cycle minima
+
+    return CensusProduct(
+        kmer_words=kmer_words_arr,
+        kmer_exts=kmer_exts.astype(np.uint8),
+        ec_of_kmer=ec_of_kmer,
+        ec_offsets=ec_offsets,
+        ec_txs=ec_txs,
+        nxt=nxt,
+    )
+
+
+def assemble(
+    census: CensusProduct,
+    k: int,
+    tx_names: list[str],
+    tx_gene_map: dict[str, str],
+) -> IndexImage:
+    """Stage B: chains -> nodes, sequence pool, edge tables, MPHF."""
+    W = dna.kmer_words(k)
+    kmer_words_arr = census.kmer_words
+    kmer_exts = census.kmer_exts
+    ec_of_kmer = census.ec_of_kmer
+    ec_offsets = census.ec_offsets
+    ec_txs = census.ec_txs
+    nxt = census.nxt
+    nk = len(kmer_exts)
+    steps = max(1, int(np.ceil(np.log2(max(nk, 2)))) + 1)
+
+    prv = np.full(nk, -1, dtype=np.int64)
+    has_nxt = nxt >= 0
+    prv[nxt[has_nxt]] = np.nonzero(has_nxt)[0]
 
     # chain head + position via pointer doubling
     up = np.where(prv >= 0, prv, np.arange(nk))

@@ -104,7 +104,12 @@ def build_mphf(keys: np.ndarray, gamma: float = 1.7) -> tuple[Mphf, np.ndarray]:
         m = len(remaining)
         if m == 0:
             break
-        size = _next_pow2(int(np.ceil(gamma * m)))
+        # gamma=1.7 for the big early levels (memory-bound); grow the
+        # oversizing on the tail so the level count — and with it the
+        # device probe's unrolled depth — stays small.  A few extra KB on
+        # tiny tail levels buys ~2x fewer probe steps per lookup.
+        g = gamma if lv < 3 else max(gamma, 8.0)
+        size = _next_pow2(int(np.ceil(g * m)))
         seed = level_seed(lv)
         h = hash_kmer_np(keys[remaining], seed) & np.uint32(size - 1)
         counts = np.bincount(h, minlength=size)

@@ -1,0 +1,127 @@
+"""ctypes bridge to the native C++ census builder (see builder.cpp).
+
+The library is compiled on first use (make, falling back to direct g++);
+`census_native` raises if no toolchain is available, and build_index falls
+back to the NumPy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libpabuilder.so")
+_SRC = os.path.join(_DIR, "builder.cpp")
+_lock = threading.Lock()
+_lib = None
+
+
+class _PaCensus(ctypes.Structure):
+    _fields_ = [
+        ("nk", ctypes.c_int64),
+        ("n_ecs", ctypes.c_int64),
+        ("ec_total", ctypes.c_int64),
+        ("words_per_kmer", ctypes.c_int32),
+        ("kmer_words", ctypes.POINTER(ctypes.c_uint32)),
+        ("exts", ctypes.POINTER(ctypes.c_uint8)),
+        ("ec_of_kmer", ctypes.POINTER(ctypes.c_uint32)),
+        ("ec_offsets", ctypes.POINTER(ctypes.c_uint32)),
+        ("ec_txs", ctypes.POINTER(ctypes.c_uint32)),
+        ("nxt", ctypes.POINTER(ctypes.c_int64)),
+    ]
+
+
+def _ensure_built() -> str:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "libpabuilder.so"],
+            check=True,
+            capture_output=True,
+        )
+    except Exception:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-std=c++17", "-fPIC",
+                "-shared", "-lpthread", _SRC, "-o", _SO,
+            ],
+            check=True,
+            capture_output=True,
+        )
+    return _SO
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_ensure_built())
+            lib.pa_census.restype = ctypes.c_int
+            lib.pa_census.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(_PaCensus),
+            ]
+            lib.pa_census_free.restype = None
+            lib.pa_census_free.argtypes = [ctypes.POINTER(_PaCensus)]
+            _lib = lib
+    return _lib
+
+
+def census_native(seqs: list[np.ndarray], k: int, n_threads: int | None = None):
+    """Run the C++ census; returns a builder.CensusProduct."""
+    from ..builder import CensusProduct
+
+    lib = _load()
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 2)
+
+    codes = np.ascontiguousarray(
+        np.concatenate([np.asarray(s, dtype=np.uint8) for s in seqs])
+        if seqs
+        else np.zeros(0, np.uint8)
+    )
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+
+    out = _PaCensus()
+    rc = lib.pa_census(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(seqs),
+        k,
+        n_threads,
+        ctypes.byref(out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"pa_census failed with code {rc}")
+    try:
+        nk, W = out.nk, out.words_per_kmer
+        kmer_words = np.ctypeslib.as_array(out.kmer_words, (nk, W)).copy()
+        exts = np.ctypeslib.as_array(out.exts, (nk,)).copy()
+        ec_of_kmer = np.ctypeslib.as_array(out.ec_of_kmer, (nk,)).copy()
+        ec_offsets = np.ctypeslib.as_array(out.ec_offsets, (out.n_ecs + 1,)).copy()
+        ec_txs = np.ctypeslib.as_array(out.ec_txs, (max(1, out.ec_total),))[
+            : out.ec_total
+        ].copy()
+        nxt = np.ctypeslib.as_array(out.nxt, (nk,)).copy()
+    finally:
+        lib.pa_census_free(ctypes.byref(out))
+
+    return CensusProduct(
+        kmer_words=kmer_words,
+        kmer_exts=exts,
+        ec_of_kmer=ec_of_kmer,
+        ec_offsets=ec_offsets,
+        ec_txs=ec_txs,
+        nxt=nxt,
+    )

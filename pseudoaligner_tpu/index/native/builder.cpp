@@ -1,0 +1,335 @@
+// Native index-build census — the heavy host-side stage of index
+// construction (stage A; see ../builder.py).
+//
+// TPU-native equivalent of the reference's sharded build hot path:
+// rayon-parallel super-k-mer sort + debruijn::filter_kmers k-mer census +
+// CountFilterEqClass equivalence-class interning + the ScmapCompress join
+// computation (reference: src/build_index.rs:50-71,153-179 and
+// src/equiv_classes.rs:62-91 [dep]).  Where the reference shards by MSP
+// bucket to bound memory and parallelize, this builder byte-partitions the
+// global occurrence table on the k-mer's top bits (same invariant: every
+// distinct k-mer lands wholly in one partition) and sorts partitions on a
+// thread pool.
+//
+// Produces, per distinct k-mer (ascending order): packed words, exts union,
+// equivalence-class id (ids dense, assigned by first appearance in sorted
+// k-mer order — deterministic, bit-identical to the NumPy path), the EC
+// table in CSR form, and the unitig join successor array with self-loops
+// and cycles broken at each cycle's minimum element.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct U128 {
+  uint64_t lo, hi;
+  bool operator<(const U128& o) const {
+    return hi != o.hi ? hi < o.hi : lo < o.lo;
+  }
+  bool operator==(const U128& o) const { return hi == o.hi && lo == o.lo; }
+};
+
+struct Occ {
+  U128 km;
+  uint32_t tx;
+  uint8_t ext;
+};
+
+inline U128 shl2_or(U128 v, uint64_t b, int k) {
+  U128 r;
+  r.hi = (v.hi << 2) | (v.lo >> 62);
+  r.lo = (v.lo << 2) | b;
+  int bits = 2 * k;
+  if (bits < 64) {
+    r.lo &= (1ULL << bits) - 1;
+    r.hi = 0;
+  } else if (bits < 128) {
+    r.hi &= (bits == 64) ? 0ULL : ((1ULL << (bits - 64)) - 1);
+  }
+  return r;
+}
+
+inline uint64_t first_base(U128 v, int k) {
+  int shift = 2 * (k - 1);
+  if (shift >= 64) return (v.hi >> (shift - 64)) & 3;
+  return (v.lo >> shift) & 3;
+}
+
+inline unsigned top_byte(U128 v, int k) {
+  int shift = 2 * k - 8;
+  if (shift < 0) return (unsigned)(v.lo & 0xFF);
+  if (shift >= 64) return (unsigned)((v.hi >> (shift - 64)) & 0xFF);
+  uint64_t x = v.lo >> shift;
+  if (shift > 0 && 64 - shift < 8) x |= v.hi << (64 - shift);
+  return (unsigned)(x & 0xFF);
+}
+
+struct VecHash {
+  size_t operator()(const std::vector<uint32_t>& v) const {
+    uint64_t h = 1469598103934665603ULL;
+    for (uint32_t x : v) {
+      h ^= x;
+      h *= 1099511628211ULL;
+      h ^= h >> 29;
+    }
+    return (size_t)h;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+typedef struct {
+  int64_t nk;
+  int64_t n_ecs;
+  int64_t ec_total;
+  int32_t words_per_kmer;
+  uint32_t* kmer_words;  // nk * W, little-endian words
+  uint8_t* exts;         // nk
+  uint32_t* ec_of_kmer;  // nk
+  uint32_t* ec_offsets;  // n_ecs + 1
+  uint32_t* ec_txs;      // ec_total
+  int64_t* nxt;          // nk
+} PaCensus;
+
+void pa_census_free(PaCensus* c) {
+  std::free(c->kmer_words);
+  std::free(c->exts);
+  std::free(c->ec_of_kmer);
+  std::free(c->ec_offsets);
+  std::free(c->ec_txs);
+  std::free(c->nxt);
+  std::memset(c, 0, sizeof(*c));
+}
+
+// codes: concatenated per-sequence base codes (0..3, one byte each)
+// offsets: n_seqs+1 prefix offsets into codes
+// returns 0 on success
+int pa_census(const uint8_t* codes, const int64_t* offsets, int64_t n_seqs,
+              int32_t k, int32_t n_threads, PaCensus* out) {
+  if (k < 4 || k > 64) return 2;
+  if (n_threads < 1) n_threads = 1;
+
+  // ---- occurrence fill (parallel over sequences) ----
+  int64_t total = 0;
+  for (int64_t s = 0; s < n_seqs; s++) {
+    int64_t len = offsets[s + 1] - offsets[s];
+    if (len >= k) total += len - k + 1;
+  }
+  if (total == 0) return 1;
+
+  std::vector<Occ> occ(total);
+  {
+    std::vector<int64_t> seq_base(n_seqs + 1, 0);
+    for (int64_t s = 0; s < n_seqs; s++) {
+      int64_t len = offsets[s + 1] - offsets[s];
+      seq_base[s + 1] = seq_base[s] + (len >= k ? len - k + 1 : 0);
+    }
+    auto fill = [&](int64_t s_begin, int64_t s_end) {
+      for (int64_t s = s_begin; s < s_end; s++) {
+        const uint8_t* c = codes + offsets[s];
+        int64_t len = offsets[s + 1] - offsets[s];
+        if (len < k) continue;
+        int64_t num = len - k + 1;
+        Occ* dst = occ.data() + seq_base[s];
+        U128 v{0, 0};
+        for (int i = 0; i < k; i++) v = shl2_or(v, c[i], k);
+        for (int64_t p = 0;; p++) {
+          Occ& o = dst[p];
+          o.km = v;
+          o.tx = (uint32_t)s;
+          uint8_t e = 0;
+          if (p > 0) e |= (uint8_t)(1u << (4 + c[p - 1]));
+          if (p + k < len) e |= (uint8_t)(1u << c[p + k]);
+          o.ext = e;
+          if (p + 1 >= num) break;
+          v = shl2_or(v, c[p + k], k);
+        }
+      }
+    };
+    int T = n_threads;
+    std::vector<std::thread> ths;
+    int64_t chunk = (n_seqs + T - 1) / T;
+    for (int t = 0; t < T; t++) {
+      int64_t b = t * chunk, e = std::min(n_seqs, b + chunk);
+      if (b < e) ths.emplace_back(fill, b, e);
+    }
+    for (auto& th : ths) th.join();
+  }
+
+  // ---- 256-way partition by top byte, parallel sort of partitions ----
+  {
+    std::vector<int64_t> counts(257, 0);
+    for (const Occ& o : occ) counts[top_byte(o.km, k) + 1]++;
+    for (int i = 0; i < 256; i++) counts[i + 1] += counts[i];
+    std::vector<Occ> tmp(total);
+    {
+      std::vector<int64_t> cur(counts.begin(), counts.begin() + 256);
+      for (const Occ& o : occ) tmp[cur[top_byte(o.km, k)]++] = o;
+    }
+    occ.swap(tmp);
+    auto cmp = [](const Occ& a, const Occ& b) {
+      if (!(a.km == b.km)) return a.km < b.km;
+      return a.tx < b.tx;
+    };
+    std::vector<std::thread> ths;
+    std::atomic<int>* next_part = new std::atomic<int>(0);
+    auto work = [&, next_part]() {
+      for (;;) {
+        int p = next_part->fetch_add(1);
+        if (p >= 256) return;
+        std::sort(occ.begin() + counts[p], occ.begin() + counts[p + 1], cmp);
+      }
+    };
+    for (int t = 0; t < n_threads; t++) ths.emplace_back(work);
+    for (auto& th : ths) th.join();
+    delete next_part;
+  }
+
+  // ---- group scan: exts union, tx dedup, EC interning ----
+  std::vector<U128> kmers;
+  std::vector<uint8_t> exts;
+  std::vector<uint32_t> ecs;
+  kmers.reserve(total / 2);
+  exts.reserve(total / 2);
+  ecs.reserve(total / 2);
+
+  std::unordered_map<std::vector<uint32_t>, uint32_t, VecHash> intern;
+  std::vector<uint32_t> ec_offsets{0};
+  std::vector<uint32_t> ec_txs;
+  std::vector<uint32_t> scratch;
+
+  for (int64_t i = 0; i < total;) {
+    U128 km = occ[i].km;
+    uint8_t e = 0;
+    scratch.clear();
+    int64_t j = i;
+    for (; j < total && occ[j].km == km; j++) {
+      e |= occ[j].ext;
+      if (scratch.empty() || scratch.back() != occ[j].tx)
+        scratch.push_back(occ[j].tx);
+    }
+    auto it = intern.find(scratch);
+    uint32_t id;
+    if (it == intern.end()) {
+      id = (uint32_t)intern.size();
+      intern.emplace(scratch, id);
+      ec_txs.insert(ec_txs.end(), scratch.begin(), scratch.end());
+      ec_offsets.push_back((uint32_t)ec_txs.size());
+    } else {
+      id = it->second;
+    }
+    kmers.push_back(km);
+    exts.push_back(e);
+    ecs.push_back(id);
+    i = j;
+  }
+  occ.clear();
+  occ.shrink_to_fit();
+  int64_t nk = (int64_t)kmers.size();
+
+  // ---- join successors (ScmapCompress rule) ----
+  std::vector<int64_t> nxt(nk, -1);
+  {
+    auto find = [&](U128 v) -> int64_t {
+      auto it = std::lower_bound(kmers.begin(), kmers.end(), v);
+      if (it == kmers.end() || !(*it == v)) return -1;
+      return it - kmers.begin();
+    };
+    auto work = [&](int64_t b, int64_t e) {
+      for (int64_t i = b; i < e; i++) {
+        unsigned r = exts[i] & 0xF;
+        if (__builtin_popcount(r) != 1) continue;
+        unsigned rb = __builtin_ctz(r);
+        U128 succ = shl2_or(kmers[i], rb, k);
+        int64_t j = find(succ);
+        if (j < 0 || j == i) continue;  // missing (impossible) or self-loop
+        unsigned l = exts[j] >> 4;
+        if (__builtin_popcount(l) != 1) continue;
+        if (__builtin_ctz(l) != first_base(kmers[i], k)) continue;
+        if (ecs[i] != ecs[j]) continue;
+        nxt[i] = j;
+      }
+    };
+    std::vector<std::thread> ths;
+    int64_t chunk = (nk + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t b = t * chunk, e = std::min(nk, b + chunk);
+      if (b < e) ths.emplace_back(work, b, e);
+    }
+    for (auto& th : ths) th.join();
+  }
+
+  // ---- cycle breaking (sequential) ----
+  {
+    std::vector<int64_t> prv(nk, -1);
+    for (int64_t i = 0; i < nk; i++)
+      if (nxt[i] >= 0) prv[nxt[i]] = i;
+    std::vector<uint8_t> visited(nk, 0);
+    for (int64_t i = 0; i < nk; i++) {
+      if (prv[i] >= 0) continue;  // not a head
+      for (int64_t x = i; x >= 0; x = nxt[x]) visited[x] = 1;
+    }
+    for (int64_t i = 0; i < nk; i++) {
+      if (visited[i]) continue;
+      // walk the cycle, find min
+      int64_t m = i, x = nxt[i];
+      visited[i] = 1;
+      while (x != i) {
+        visited[x] = 1;
+        if (x < m) m = x;
+        x = nxt[x];
+      }
+      // break the edge entering m
+      int64_t y = m;
+      while (nxt[y] != m) y = nxt[y];
+      nxt[y] = -1;
+    }
+  }
+
+  // ---- emit ----
+  int W = (2 * k + 31) / 32;
+  out->nk = nk;
+  out->n_ecs = (int64_t)intern.size();
+  out->ec_total = (int64_t)ec_txs.size();
+  out->words_per_kmer = W;
+  out->kmer_words = (uint32_t*)std::malloc(sizeof(uint32_t) * nk * W);
+  out->exts = (uint8_t*)std::malloc(nk);
+  out->ec_of_kmer = (uint32_t*)std::malloc(sizeof(uint32_t) * nk);
+  out->ec_offsets = (uint32_t*)std::malloc(sizeof(uint32_t) * ec_offsets.size());
+  out->ec_txs = (uint32_t*)std::malloc(sizeof(uint32_t) * std::max<size_t>(1, ec_txs.size()));
+  out->nxt = (int64_t*)std::malloc(sizeof(int64_t) * nk);
+  if (!out->kmer_words || !out->exts || !out->ec_of_kmer || !out->ec_offsets ||
+      !out->ec_txs || !out->nxt) {
+    pa_census_free(out);
+    return 3;
+  }
+  for (int64_t i = 0; i < nk; i++) {
+    for (int w = 0; w < W; w++) {
+      uint64_t word;
+      if (w < 2)
+        word = (kmers[i].lo >> (32 * w)) & 0xFFFFFFFFULL;
+      else
+        word = (kmers[i].hi >> (32 * (w - 2))) & 0xFFFFFFFFULL;
+      out->kmer_words[i * W + w] = (uint32_t)word;
+    }
+  }
+  std::memcpy(out->exts, exts.data(), nk);
+  std::memcpy(out->ec_of_kmer, ecs.data(), sizeof(uint32_t) * nk);
+  std::memcpy(out->ec_offsets, ec_offsets.data(),
+              sizeof(uint32_t) * ec_offsets.size());
+  if (!ec_txs.empty())
+    std::memcpy(out->ec_txs, ec_txs.data(), sizeof(uint32_t) * ec_txs.size());
+  std::memcpy(out->nxt, nxt.data(), sizeof(int64_t) * nk);
+  return 0;
+}
+
+}  // extern "C"

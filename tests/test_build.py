@@ -25,22 +25,28 @@ def brute_force_eqclasses(seqs, k):
 
 
 def _check_kmers_against_brute(img, eq):
-    """Per-kmer EC + position check via the MPHF."""
-    for key, expect in eq.items():
-        from pseudoaligner_tpu.dna import pyint_to_kmer
+    """Per-kmer EC + position check via the MPHF (lookups batched)."""
+    from pseudoaligner_tpu.dna import pyint_to_kmer
 
-        kw = pyint_to_kmer(key, img.k)
-        slot = img.mphf.lookup(kw[None, :])[0]
-        assert slot >= 0
-        assert np.array_equal(img.kmer_keys[slot], kw), "slot stores wrong key"
-        node, off = int(img.kmer_node[slot]), int(img.kmer_offset[slot])
-        # the graph sequence at (node, offset) spells this kmer
-        s = int(img.node_start[node])
-        got_codes = img.seq_pool[s + off : s + off + img.k]
-        assert kmer_to_pyint(pack_kmers(got_codes, img.k)[0]) == key
-        # EC content matches brute force
-        got_ec = img.ec_list(int(img.node_ec[node])).tolist()
-        assert got_ec == expect, (got_ec, expect)
+    keys = list(eq.keys())
+    kws = np.stack([pyint_to_kmer(key, img.k) for key in keys])
+    slots = img.mphf.lookup(kws)
+    assert (slots >= 0).all()
+    assert np.array_equal(img.kmer_keys[slots], kws), "slot stores wrong key"
+    nodes = img.kmer_node[slots].astype(np.int64)
+    offs = img.kmer_offset[slots].astype(np.int64)
+    # the graph sequence at (node, offset) spells each kmer
+    starts = img.node_start[nodes].astype(np.int64) + offs
+    window = starts[:, None] + np.arange(img.k)
+    got = img.seq_pool[window]
+    # re-pack gathered codes and compare to the queried kmers
+    repacked = np.stack([pack_kmers(got[i], img.k)[0] for i in range(len(keys))])
+    assert np.array_equal(repacked, kws)
+    # EC content matches brute force
+    ecs = img.node_ec[nodes]
+    for i, key in enumerate(keys):
+        got_ec = img.ec_list(int(ecs[i])).tolist()
+        assert got_ec == eq[key], (got_ec, eq[key])
 
 
 def _check_self_mapping(img, seqs):
