@@ -77,7 +77,7 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", 32768))
     L = 60
-    n_batches = int(os.environ.get("BENCH_BATCHES", 8))
+    n_batches = int(os.environ.get("BENCH_BATCHES", 32))
     cfg = AlignerConfig(k=20, batch_size=B, max_read_len=L, max_nodes=32)
     aligner = Pseudoaligner(image, cfg)
 

@@ -62,6 +62,26 @@ def _build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("map", help="map reads from a FASTQ against an index")
     common(sp)
     sp.add_argument("reads_fastq")
+    sp.add_argument("reads_fastq2", nargs="?", default=None,
+                    help="optional mate FASTQ — paired-end EC intersection")
+    sp.add_argument("--batch-size", type=int, default=8192)
+    sp.add_argument("--max-read-len", type=int, default=160)
+    sp.add_argument("-o", "--outdir", default=None)
+    sp.add_argument("--tcc", action="store_true",
+                    help="also write kallisto-style output.ec/output.tsv "
+                         "TCC files to the output directory")
+
+    sp = sub.add_parser(
+        "count",
+        help="10x single-cell counting: R1 barcode/UMI + R2 cDNA -> "
+             "per-cell TCC matrix (alevin-style)",
+    )
+    common(sp)
+    sp.add_argument("r1_fastq")
+    sp.add_argument("r2_fastq")
+    sp.add_argument("-o", "--outdir", default=None)
+    sp.add_argument("--bc-len", type=int, default=16)
+    sp.add_argument("--umi-len", type=int, default=12)
     sp.add_argument("--batch-size", type=int, default=8192)
     sp.add_argument("--max-read-len", type=int, default=160)
 
@@ -120,11 +140,24 @@ def cmd_map(args, outdir: str) -> int:
     )
     aligner = Pseudoaligner(image, cfg)
 
+    tcc = None
+    if args.tcc:
+        from .tcc import TccCounter
+
+        tcc = TccCounter()
+
+    if args.reads_fastq2:
+        records = aligner.map_fastq_paired(args.reads_fastq, args.reads_fastq2)
+    else:
+        records = aligner.map_fastq(args.reads_fastq)
+
     read_counter = 0
     mapped_read_counter = 0
     out = sys.stdout
-    for rec in aligner.map_fastq(args.reads_fastq):
+    for rec in records:
         out.write(rec.format_reference_style() + "\n")
+        if tcc is not None:
+            tcc.add(rec.eq_class, mapped=rec.coverage > 0)
         if rec.flag:
             mapped_read_counter += 1
         read_counter += 1
@@ -135,7 +168,34 @@ def cmd_map(args, outdir: str) -> int:
             )
             sys.stderr.flush()
     sys.stderr.write("\n")
+    if tcc is not None:
+        ec_path, tsv_path = tcc.write(outdir)
+        log.info("TCC written: %s, %s (%d classes, %d/%d reads mapped)",
+                 ec_path, tsv_path, len(tcc.counts), tcc.n_mapped, tcc.n_reads)
     log.info("Done Mapping Reads")
+    return 0
+
+
+def cmd_count(args, outdir: str) -> int:
+    from .config import AlignerConfig
+    from .models.aligner import Pseudoaligner
+    from .serde import load_index
+    from .singlecell import Chemistry, count_single_cell
+
+    log.info("Reading index from disk")
+    image = load_index(args.index)
+    cfg = AlignerConfig(
+        k=image.k, batch_size=args.batch_size, max_read_len=args.max_read_len
+    )
+    aligner = Pseudoaligner(image, cfg)
+    chem = Chemistry(bc_len=args.bc_len, umi_len=args.umi_len)
+    counts = count_single_cell(aligner, args.r1_fastq, args.r2_fastq, chem)
+    counts.write(outdir)
+    log.info(
+        "count: %d reads, %d mapped, %d cells, %d classes, %d bad R1",
+        counts.n_reads, counts.n_mapped, len(counts.cells),
+        len(counts.classes), counts.n_bad_r1,
+    )
     return 0
 
 
@@ -190,6 +250,8 @@ def main(argv=None) -> int:
         return cmd_index(args)
     if args.cmd == "map":
         return cmd_map(args, outdir)
+    if args.cmd == "count":
+        return cmd_count(args, outdir)
     if args.cmd == "mappability":
         return cmd_mappability(args, outdir)
     if args.cmd == "idxstats":

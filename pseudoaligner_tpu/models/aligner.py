@@ -19,7 +19,12 @@ import numpy as np
 from ..config import AlignerConfig, READ_COVERAGE_THRESHOLD
 from ..index.image import IndexImage
 from ..io.fastq import FastqReader, ReadBatch
-from ..ops.map_kernel import MapResult, device_index_from_image, map_batch
+from ..ops.map_kernel import (
+    MapResult,
+    device_index_from_image,
+    map_batch_packed,
+    pack_reads_host,
+)
 
 log = logging.getLogger(__name__)
 
@@ -62,7 +67,7 @@ class Pseudoaligner:
         dev, meta = device_index_from_image(image, config)
         self.meta = meta
         self.dev = jax.device_put(dev, device)
-        self._step = jax.jit(partial(map_batch, meta))
+        self._step = jax.jit(partial(map_batch_packed, meta))
         # host-side EC intersection memo for the CSR fallback path
         self._ec_memo: dict[tuple[int, ...], list[int]] = {}
 
@@ -71,8 +76,10 @@ class Pseudoaligner:
     # ------------------------------------------------------------------
 
     def map_batch_device(self, codes: np.ndarray, lens: np.ndarray) -> MapResult:
-        """Run the jitted mapping step on a [B, L] batch."""
-        return self._step(self.dev, codes.astype(np.int32), lens.astype(np.int32))
+        """Run the jitted mapping step on a [B, L] batch (codes are packed
+        2-bit on the host so the host->device transfer is 16x smaller)."""
+        packed = pack_reads_host(np.asarray(codes, dtype=np.uint8))
+        return self._step(self.dev, packed, lens.astype(np.int32))
 
     # ------------------------------------------------------------------
     # host post-processing
@@ -147,3 +154,39 @@ class Pseudoaligner:
         if pending is not None:
             res, batch = pending
             yield from self.records_from_result(jax.device_get(res), batch)
+
+    def map_fastq_paired(self, path1: str, path2: str):
+        """Paired-end mapping (BASELINE config 3): both mates are mapped
+        and their equivalence classes intersected — the compatible set for
+        the fragment.  If only one mate maps, its class is used; if
+        neither maps, the pair is unmapped.  Coverage is summed.
+
+        The reference has no paired mode (single FASTQ only,
+        src/bin/pseudoaligner.rs:28); semantics follow kallisto's
+        paired-end EC intersection.
+        """
+        from ..golden import intersect
+
+        r1 = FastqReader(path1, self.config.batch_size, self.config.max_read_len)
+        r2 = FastqReader(path2, self.config.batch_size, self.config.max_read_len)
+        for b1, b2 in zip(r1, r2):
+            if b1.n_reads != b2.n_reads:
+                raise ValueError("paired FASTQs have different read counts")
+            res1 = self.map_batch_device(b1.codes, b1.lens)
+            res2 = self.map_batch_device(b2.codes, b2.lens)
+            recs1 = self.records_from_result(jax.device_get(res1), b1)
+            recs2 = self.records_from_result(jax.device_get(res2), b2)
+            for a, b in zip(recs1, recs2):
+                cov = a.coverage + b.coverage
+                if a.coverage and b.coverage:
+                    eq = intersect(list(a.eq_class), b.eq_class)
+                elif a.coverage:
+                    eq = a.eq_class
+                elif b.coverage:
+                    eq = b.eq_class
+                else:
+                    eq = []
+                flag = (
+                    cov >= self.config.read_coverage_threshold and len(eq) == 0
+                )
+                yield ReadRecord(flag, a.read_id, eq, cov)

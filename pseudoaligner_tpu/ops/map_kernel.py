@@ -152,6 +152,35 @@ def _push(nodes_buf, n_nodes, node, do_push):
     return nodes_buf, n_nodes + do_push.astype(jnp.int32)
 
 
+def unpack_reads(packed: jnp.ndarray, L: int) -> jnp.ndarray:
+    """[B, ceil(L/16)] uint32 2-bit-packed reads -> [B, L] int32 codes.
+
+    Host->HBM read transfer is 2-bit packed (the DnaString wire format,
+    16 bases/word) — 16x less interconnect/HBM traffic than one int per
+    base; unpacking is a few VPU shift-ands.
+    """
+    B, nw = packed.shape
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    codes = (packed[:, :, None] >> shifts) & jnp.uint32(3)
+    return codes.reshape(B, nw * 16)[:, :L].astype(jnp.int32)
+
+
+def pack_reads_host(codes: np.ndarray) -> np.ndarray:
+    """[B, L] uint8 codes -> [B, ceil(L/16)] uint32 (NumPy, host side)."""
+    B, L = codes.shape
+    nw = (L + 15) // 16
+    padded = np.zeros((B, nw * 16), dtype=np.uint32)
+    padded[:, :L] = codes
+    padded = padded.reshape(B, nw, 16)
+    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+    return np.bitwise_or.reduce(padded << shifts, axis=2).astype(np.uint32)
+
+
+def map_batch_packed(meta: MapMeta, idx: DeviceIndex, packed, lens) -> MapResult:
+    """map_batch over 2-bit-packed reads (the production transfer path)."""
+    return map_batch(meta, idx, unpack_reads(packed, meta.read_len), lens)
+
+
 def map_batch(meta: MapMeta, idx: DeviceIndex, reads, lens) -> MapResult:
     """Map a [B, L] batch.  reads: int32 base codes, lens: int32."""
     B, L = reads.shape

@@ -26,7 +26,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import AlignerConfig
-from ..ops.map_kernel import DeviceIndex, MapMeta, MapResult, map_batch
+from ..ops.map_kernel import (
+    DeviceIndex,
+    MapMeta,
+    MapResult,
+    map_batch_packed,
+    pack_reads_host,
+)
 
 READS_AXIS = "reads"
 
@@ -58,8 +64,8 @@ def make_sharded_step(meta: MapMeta, mesh: Mesh, n_tx: int, axis: str = READS_AX
     psum-reduced across the mesh.
     """
 
-    def local_step(idx: DeviceIndex, reads, lens):
-        res = map_batch(meta, idx, reads, lens)
+    def local_step(idx: DeviceIndex, packed, lens):
+        res = map_batch_packed(meta, idx, packed, lens)
         counts = tx_compat_counts(res, n_tx)
         counts = jax.lax.psum(counts, axis)
         return res, counts
@@ -117,5 +123,6 @@ class ShardedAligner:
         B = reads.shape[0]
         if B % nd:
             raise ValueError(f"batch {B} not divisible by mesh size {nd}")
-        r, l = shard_batch(reads.astype(np.int32), lens.astype(np.int32), self.mesh)
+        packed = pack_reads_host(np.asarray(reads, dtype=np.uint8))
+        r, l = shard_batch(packed, lens.astype(np.int32), self.mesh)
         return self._step(self.dev, r, l)

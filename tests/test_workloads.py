@@ -1,0 +1,121 @@
+"""Workload configs: TCC aggregation, paired-end mapping, 10x single-cell
+counting (BASELINE configs 3-4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pseudoaligner_tpu.config import AlignerConfig
+from pseudoaligner_tpu.dna import decode_bases
+from pseudoaligner_tpu.models.aligner import Pseudoaligner
+from pseudoaligner_tpu.tcc import TccCounter
+
+
+@pytest.fixture(scope="module")
+def aligner(small_index):
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=96, max_nodes=64)
+    return Pseudoaligner(small_index, cfg)
+
+
+def _write_fastq(path, reads):
+    with open(path, "w") as f:
+        for rid, seq in reads:
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+
+
+def _tx_window(small_transcripts, tx, start, ln):
+    seqs, _, _ = small_transcripts
+    return decode_bases(seqs[tx][start : start + ln])
+
+
+def test_tcc_counter_basics():
+    c = TccCounter()
+    c.add([1, 2, 3])
+    c.add([1, 2, 3])
+    c.add([5])
+    c.add([], mapped=False)
+    assert c.n_reads == 4 and c.n_mapped == 3
+    assert c.counts == [2, 1]
+    d = TccCounter()
+    d.add([5])
+    d.add([9, 10])
+    c.merge(d)
+    assert c.counts == [2, 2, 1]
+    assert c.n_reads == 6
+
+
+def test_tcc_write(tmp_path):
+    c = TccCounter()
+    c.add([1, 2])
+    c.add([1, 2])
+    c.add([7])
+    ec, tsv = c.write(str(tmp_path))
+    assert open(ec).read() == "0\t1,2\n1\t7\n"
+    assert open(tsv).read() == "0\t2\n1\t1\n"
+
+
+def test_paired_end(aligner, small_transcripts, tmp_path):
+    # mates from the same transcript: EC intersection keeps the transcript
+    r1 = [("p0", _tx_window(small_transcripts, 3, 10, 60)),
+          ("p1", _tx_window(small_transcripts, 5, 0, 60))]
+    r2 = [("p0", _tx_window(small_transcripts, 3, 200, 60)),
+          ("p1", "A" * 60)]  # second mate unmapped
+    _write_fastq(tmp_path / "r1.fq", r1)
+    _write_fastq(tmp_path / "r2.fq", r2)
+    recs = list(aligner.map_fastq_paired(str(tmp_path / "r1.fq"),
+                                         str(tmp_path / "r2.fq")))
+    assert len(recs) == 2
+    assert 3 in recs[0].eq_class
+    # single-mate fallback: pair 1 uses mate 1's class
+    single = list(aligner.map_fastq(str(tmp_path / "r1.fq")))
+    assert recs[1].eq_class == single[1].eq_class
+    assert recs[1].coverage == single[1].coverage
+
+
+def test_paired_vs_singles_intersection(aligner, small_transcripts, tmp_path):
+    from pseudoaligner_tpu.golden import intersect
+
+    r1 = [("q", _tx_window(small_transcripts, 10, 5, 60))]
+    r2 = [("q", _tx_window(small_transcripts, 10, 90, 60))]
+    _write_fastq(tmp_path / "a.fq", r1)
+    _write_fastq(tmp_path / "b.fq", r2)
+    (pa,) = aligner.map_fastq_paired(str(tmp_path / "a.fq"), str(tmp_path / "b.fq"))
+    (sa,) = aligner.map_fastq(str(tmp_path / "a.fq"))
+    (sb,) = aligner.map_fastq(str(tmp_path / "b.fq"))
+    assert pa.eq_class == intersect(list(sa.eq_class), sb.eq_class)
+    assert pa.coverage == sa.coverage + sb.coverage
+
+
+def test_single_cell_count(aligner, small_transcripts, tmp_path):
+    from pseudoaligner_tpu.singlecell import Chemistry, count_single_cell
+
+    bc1, bc2 = "A" * 16, "C" * 16
+    # cell 1: two reads same UMI (dedup to 1) + one distinct; cell 2: one
+    r1 = [
+        ("m0", bc1 + "G" * 12),
+        ("m1", bc1 + "G" * 12),
+        ("m2", bc1 + "T" * 12),
+        ("m3", bc2 + "G" * 12),
+        ("m4", bc2 + "X"),  # too short -> bad R1
+    ]
+    cdna = _tx_window(small_transcripts, 7, 30, 60)
+    r2 = [("m%d" % i, cdna) for i in range(5)]
+    _write_fastq(tmp_path / "r1.fq", r1)
+    _write_fastq(tmp_path / "r2.fq", r2)
+    counts = count_single_cell(
+        aligner, str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq"), Chemistry()
+    )
+    assert counts.n_reads == 5
+    assert counts.n_bad_r1 == 1
+    assert len(counts.cells) == 2
+    counts.write(str(tmp_path / "out"))
+    mtx = open(tmp_path / "out" / "matrix.mtx").read().splitlines()
+    dims = mtx[2].split()
+    assert dims == ["2", "1", "2"]  # 2 cells, 1 class, 2 entries
+    entries = {(int(a), int(b)): int(c) for a, b, c in (ln.split() for ln in mtx[3:])}
+    # cell 1 has 2 distinct UMIs for the class, cell 2 has 1
+    assert entries[(1, 1)] == 2
+    assert entries[(2, 1)] == 1
+    barcodes = open(tmp_path / "out" / "barcodes.tsv").read().split()
+    assert barcodes == [bc1, bc2]
