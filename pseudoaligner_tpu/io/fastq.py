@@ -30,11 +30,16 @@ class ReadBatch:
     codes: [B, L] uint8 base codes, padded with 0 beyond each read's length
     lens:  [B] int32 read lengths (0 for padding rows)
     ids:   list of read names (len == number of real reads <= B)
+    group: [n_reads] int32 — source-read index; rows sharing a value are
+           overlapping windows of one long read (see segment_long)
+    offset: [n_reads] int32 — window start within the source read
     """
 
     codes: np.ndarray
     lens: np.ndarray
     ids: list[str]
+    group: np.ndarray | None = None
+    offset: np.ndarray | None = None
 
     @property
     def n_reads(self) -> int:
@@ -62,16 +67,29 @@ def read_fastq_records(path: str) -> Iterator[tuple[str, bytes]]:
 class FastqReader:
     """Batching FASTQ reader producing fixed-shape ReadBatch objects.
 
-    Reads longer than `max_len` are rejected with an error for now (the
-    long-read segmentation path unions node sets across windows; see
-    SURVEY.md section 5.7) — the reference handles arbitrary length in a
-    scalar loop, typical RNA-seq reads are 60-150bp.
+    Reads longer than `max_len` are split into overlapping windows
+    (overlap `window_overlap`, typically k-1, so every k-mer appears in
+    some window) when `segment_long=True` — the long-read segmentation
+    path (SURVEY.md section 5.7; the reference handles arbitrary length in
+    a scalar loop).  Windows of one read share a `group` value and are
+    merged downstream.  With `segment_long=False`, long reads raise.
     """
 
-    def __init__(self, path: str, batch_size: int, max_len: int):
+    def __init__(
+        self,
+        path: str,
+        batch_size: int,
+        max_len: int,
+        segment_long: bool = False,
+        window_overlap: int = 19,
+    ):
         self._records = read_fastq_records(path)
         self.batch_size = batch_size
         self.max_len = max_len
+        self.segment_long = segment_long
+        self.window_overlap = window_overlap
+        self._read_index = 0
+        self._pending: list[tuple[str, np.ndarray, int]] = []
 
     def __iter__(self) -> Iterator[ReadBatch]:
         while True:
@@ -80,25 +98,72 @@ class FastqReader:
                 return
             yield batch
 
+    def _rows_for(self, rid: str, seq: bytes) -> list[tuple[str, np.ndarray, int]]:
+        raw = np.frombuffer(seq, dtype=np.uint8)
+        enc = _ENCODE_LUT[raw]
+        # Non-ACGT bases in reads: `DnaString::from_dna_string` maps
+        # unknown ASCII to code 0 ('A') (reference call site:
+        # src/pseudoaligner.rs:450 [dep]).
+        enc = np.where(enc == 255, 0, enc).astype(np.uint8)
+        g = self._read_index
+        self._read_index += 1
+        L = self.max_len
+        if len(enc) <= L:
+            return [(rid, enc, g, 0)]
+        if not self.segment_long:
+            raise ValueError(
+                f"read {rid!r} length {len(seq)} exceeds max_read_len={L} "
+                "(enable segment_long)"
+            )
+        stride = L - self.window_overlap
+        rows = []
+        p = 0
+        while True:
+            rows.append((rid, enc[p : p + L], g, p))
+            if p + L >= len(enc):
+                break
+            p = min(p + stride, len(enc) - L)
+        return rows
+
     def _next_batch(self) -> ReadBatch | None:
         b, L = self.batch_size, self.max_len
         codes = np.zeros((b, L), dtype=np.uint8)
         lens = np.zeros(b, dtype=np.int32)
         ids: list[str] = []
-        for i, (rid, seq) in zip(range(b), self._records):
-            if len(seq) > L:
-                raise ValueError(
-                    f"read {rid!r} length {len(seq)} exceeds max_read_len={L}"
-                )
-            raw = np.frombuffer(seq, dtype=np.uint8)
-            enc = _ENCODE_LUT[raw]
-            # Non-ACGT bases in reads: `DnaString::from_dna_string` maps
-            # unknown ASCII to code 0 ('A') (reference call site:
-            # src/pseudoaligner.rs:450 [dep]).
-            enc = np.where(enc == 255, 0, enc)
-            codes[i, : len(seq)] = enc
-            lens[i] = len(seq)
+        group: list[int] = []
+        offset: list[int] = []
+
+        def put(row):
+            i = len(ids)
+            rid, enc, g, off = row
+            codes[i, : len(enc)] = enc
+            lens[i] = len(enc)
             ids.append(rid)
+            group.append(g)
+            offset.append(off)
+
+        while len(ids) < b and self._pending:
+            put(self._pending.pop(0))
+        while len(ids) < b:
+            try:
+                rid, seq = next(self._records)
+            except StopIteration:
+                break
+            rows = self._rows_for(rid, seq)
+            # keep all windows of one read in the same batch when possible
+            if len(rows) > b - len(ids):
+                self._pending.extend(rows)
+                while len(ids) < b and self._pending:
+                    put(self._pending.pop(0))
+            else:
+                for r in rows:
+                    put(r)
         if not ids:
             return None
-        return ReadBatch(codes=codes, lens=lens, ids=ids)
+        return ReadBatch(
+            codes=codes,
+            lens=lens,
+            ids=ids,
+            group=np.asarray(group, dtype=np.int32),
+            offset=np.asarray(offset, dtype=np.int32),
+        )

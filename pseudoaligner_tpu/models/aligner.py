@@ -140,20 +140,75 @@ class Pseudoaligner:
     # ------------------------------------------------------------------
 
     def map_fastq(self, path: str):
-        """Stream a FASTQ file; yields ReadRecord per read, in file order."""
+        """Stream a FASTQ file; yields ReadRecord per read, in file order.
+
+        Reads longer than the compiled batch width are segmented into
+        overlapping windows on the host and their window results merged
+        (EC = intersection of mapped windows' classes; coverage = summed,
+        capped at read length — an approximation of the reference's
+        single-pass coverage for reads beyond the kernel width)."""
         reader = FastqReader(
-            path, batch_size=self.config.batch_size, max_len=self.config.max_read_len
+            path,
+            batch_size=self.config.batch_size,
+            max_len=self.config.max_read_len,
+            segment_long=True,
+            window_overlap=self.config.k - 1,
         )
-        pending = None  # (device result future, batch) — simple double buffer
+        yield from self._merge_windows(self._stream_batches(reader))
+
+    def _stream_batches(self, reader):
+        """Double-buffered device execution; yields (record, group, read_len)."""
+        pending = None
         for batch in reader:
             res = self.map_batch_device(batch.codes, batch.lens)
             if pending is not None:
-                prev_res, prev_batch = pending
-                yield from self.records_from_result(jax.device_get(prev_res), prev_batch)
+                yield from self._batch_rows(*pending)
             pending = (res, batch)
         if pending is not None:
-            res, batch = pending
-            yield from self.records_from_result(jax.device_get(res), batch)
+            yield from self._batch_rows(*pending)
+
+    def _batch_rows(self, res, batch):
+        recs = self.records_from_result(jax.device_get(res), batch)
+        group = batch.group
+        offset = batch.offset
+        for i, rec in enumerate(recs):
+            g = int(group[i]) if group is not None else i
+            off = int(offset[i]) if offset is not None else 0
+            yield rec, g, off + int(batch.lens[i])
+
+    def _merge_windows(self, rows):
+        """Merge per-window records of segmented long reads."""
+        from ..golden import intersect
+
+        cur = None  # (group, ReadRecord, read_end = max(offset+len))
+        for rec, g, end in rows:
+            if cur is None:
+                cur = (g, rec, end)
+                continue
+            cg, crec, cend = cur
+            if g != cg:
+                yield self._finalize_merged(crec, cend)
+                cur = (g, rec, end)
+                continue
+            # same source read: merge this window in
+            if rec.coverage and crec.coverage:
+                eq = intersect(list(crec.eq_class), rec.eq_class)
+            elif rec.coverage:
+                eq = rec.eq_class
+            else:
+                eq = crec.eq_class
+            cur = (
+                cg,
+                ReadRecord(False, crec.read_id, eq, crec.coverage + rec.coverage),
+                max(cend, end),
+            )
+        if cur is not None:
+            yield self._finalize_merged(cur[1], cur[2])
+
+    def _finalize_merged(self, rec: ReadRecord, total_len: int) -> ReadRecord:
+        cov = min(rec.coverage, total_len)
+        flag = cov >= self.config.read_coverage_threshold and len(rec.eq_class) == 0
+        return ReadRecord(flag, rec.read_id, rec.eq_class, cov)
 
     def map_fastq_paired(self, path1: str, path2: str):
         """Paired-end mapping (BASELINE config 3): both mates are mapped

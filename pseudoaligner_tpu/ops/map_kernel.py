@@ -104,9 +104,19 @@ def _seed_tables(meta: MapMeta, idx: DeviceIndex, reads, lens):
         idx.kmer_node,
         idx.kmer_offset,
     )
+    node, next_hit = next_hit_table(node, lens, meta.k, P)
+    return node, off, next_hit
+
+
+def next_hit_table(seed_node, lens, k: int, P: int):
+    """Mask invalid positions and build the stride-3 next-hit table.
+
+    Returns (masked seed_node, next_hit) where next_hit[b,p] is the first
+    position q >= p with q = p (mod 3) holding a verified seed, else P.
+    """
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
-    valid = (node >= 0) & (pos <= (lens[:, None] - meta.k))
-    node = jnp.where(valid, node, -1)
+    valid = (seed_node >= 0) & (pos <= (lens[:, None] - k))
+    node = jnp.where(valid, seed_node, -1)
 
     cand = jnp.where(valid, pos, jnp.int32(P))
     next_hit = jnp.full_like(cand, P)
@@ -114,7 +124,7 @@ def _seed_tables(meta: MapMeta, idx: DeviceIndex, reads, lens):
         sub = cand[:, r::3]
         nxt_sub = jax.lax.cummin(sub, axis=1, reverse=True)
         next_hit = next_hit.at[:, r::3].set(nxt_sub)
-    return node, off, next_hit
+    return node, next_hit
 
 
 def _segment_compare(meta, idx, reads, ref_base_idx, read_base_idx, maxm, allowed):
@@ -183,14 +193,27 @@ def map_batch_packed(meta: MapMeta, idx: DeviceIndex, packed, lens) -> MapResult
 
 def map_batch(meta: MapMeta, idx: DeviceIndex, reads, lens) -> MapResult:
     """Map a [B, L] batch.  reads: int32 base codes, lens: int32."""
+    reads = reads.astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
+    seed_node, seed_off, next_hit = _seed_tables(meta, idx, reads, lens)
+    return map_batch_with_seeds(meta, idx, reads, lens, seed_node, seed_off, next_hit)
+
+
+def map_batch_with_seeds(
+    meta: MapMeta, idx: DeviceIndex, reads, lens, seed_node, seed_off, next_hit
+) -> MapResult:
+    """The walk + EC stages, given precomputed all-position seed tables.
+
+    Split out so the k-mer-partitioned (sharded-lookup) mode can supply
+    seed tables produced by an all-to-all routed probe
+    (parallel/sharded_index.py) while sharing the walk bit-for-bit.
+    """
     B, L = reads.shape
     k = meta.k
     P = meta.n_positions
     allowed = meta.allowed_mismatches
     reads = reads.astype(jnp.int32)
     lens = lens.astype(jnp.int32)
-
-    seed_node, seed_off, next_hit = _seed_tables(meta, idx, reads, lens)
 
     rows = jnp.arange(B)
     q0 = next_hit[:, 0] if P > 0 else jnp.full((B,), 0, jnp.int32)

@@ -55,6 +55,36 @@ def mphf_probe(
     return out
 
 
+def mphf_probe_dynamic(
+    words: jnp.ndarray,  # [..., W] uint32
+    bits: jnp.ndarray,
+    ranks: jnp.ndarray,
+    seeds: jnp.ndarray,  # [n_levels] uint32 (device values, not static)
+    masks: jnp.ndarray,  # [n_levels] uint32
+    word_offsets: jnp.ndarray,  # [n_levels] int32
+    key_offsets: jnp.ndarray,  # [n_levels] int32
+    n_levels: int,  # static trip count (padded levels must have mask=0
+    #                 and point at a zero word so they can never hit)
+) -> jnp.ndarray:
+    """Probe with per-shard level metadata held in (small) device arrays —
+    used by the k-mer-partitioned mode where each mesh shard carries its
+    own sub-MPHF (parallel/sharded_index.py)."""
+    out = jnp.full(words.shape[:-1], -1, dtype=jnp.int32)
+    for lv in range(n_levels):
+        h = hash_kmer_jnp(words, seeds[lv]) & masks[lv]
+        w = word_offsets[lv] + (h >> 5).astype(jnp.int32)
+        word = jnp.take(bits, w, axis=0)
+        bitpos = h & jnp.uint32(31)
+        bit = (word >> bitpos) & jnp.uint32(1)
+        below = word & ((jnp.uint32(1) << bitpos) - jnp.uint32(1))
+        rank = jnp.take(ranks, w, axis=0).astype(jnp.int32) + jax.lax.population_count(
+            below
+        ).astype(jnp.int32)
+        hit = (out < 0) & (bit == 1)
+        out = jnp.where(hit, key_offsets[lv] + rank, out)
+    return out
+
+
 def verified_lookup(
     words: jnp.ndarray,  # [..., W] uint32
     bits: jnp.ndarray,

@@ -1,0 +1,331 @@
+"""K-mer-partitioned index mode: sharded lookup with all-to-all exchange.
+
+BASELINE config 5.  The k-mer index (MPHF bitvectors + slot-ordered keys
+and values — the dominant memory component at transcriptome scale) is
+partitioned across the mesh by a hash of the k-mer; each device holds one
+sub-index plus the (much smaller) replicated graph.  Mapping a read batch:
+
+1. every device packs its read shard's [b, P] k-mers and computes each
+   k-mer's owner shard (`hash & (S-1)`);
+2. queries are bucketed by owner into fixed-capacity send buffers and
+   exchanged with `jax.lax.all_to_all` over ICI (the EP-shaped dispatch of
+   SURVEY.md section 2.3);
+3. each device probes its local sub-MPHF (per-shard level metadata lives
+   in device arrays — ops/mphf_lookup.mphf_probe_dynamic — since shards'
+   level structures differ) and verifies against its local keys;
+4. results return via a second all-to-all and are scattered back into the
+   [b, P] seed tables; the walk + EC stages then run exactly as in the
+   replicated mode (ops/map_kernel.map_batch_with_seeds).
+
+Send buffers have capacity `slack * ceil(bP/S)` per destination; the hash
+distributes near-uniformly so overflow is vanishingly rare — it is
+reported per batch (`overflow` output) so the host can re-run an affected
+batch through the replicated path.  The reference has no counterpart
+(single-process; SURVEY.md section 2.3): this layer is what lets the index
+scale beyond one chip's HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import AlignerConfig
+from ..index.image import IndexImage
+from ..index.mphf import build_mphf
+from ..ops.hashing import hash_kmer_jnp, hash_kmer_np
+from ..ops.kmers import all_kmers
+from ..ops.map_kernel import (
+    DeviceIndex,
+    MapMeta,
+    MapResult,
+    device_index_from_image,
+    map_batch_with_seeds,
+    next_hit_table,
+    unpack_reads,
+)
+from ..ops.mphf_lookup import mphf_probe_dynamic
+from .mesh import READS_AXIS, tx_compat_counts
+
+OWNER_SEED = 0xA5A5_5A5A
+
+
+class ShardedLookup(NamedTuple):
+    """Stacked per-shard sub-index arrays; axis 0 is the mesh axis."""
+
+    bits: jnp.ndarray  # [S, max_bits_words] uint32
+    ranks: jnp.ndarray  # [S, max_bits_words] uint32
+    seeds: jnp.ndarray  # [S, n_levels] uint32
+    masks: jnp.ndarray  # [S, n_levels] uint32
+    word_offsets: jnp.ndarray  # [S, n_levels] int32
+    key_offsets: jnp.ndarray  # [S, n_levels] int32
+    keys: jnp.ndarray  # [S, max_keys, W] uint32
+    values: jnp.ndarray  # [S, max_keys, 2] int32 (node, offset)
+
+
+@dataclass(frozen=True)
+class KPartMeta:
+    n_shards: int
+    n_levels: int
+    cap: int  # per-destination send capacity
+
+
+def build_sharded_lookup(image: IndexImage, n_shards: int):
+    """Partition the k-mer index by owner hash; build per-shard sub-MPHFs."""
+    keys = image.kmer_keys
+    owner = hash_kmer_np(keys, OWNER_SEED) & np.uint32(n_shards - 1)
+    W = keys.shape[1]
+
+    shard_data = []
+    for s in range(n_shards):
+        sel = np.nonzero(owner == s)[0]
+        skeys = keys[sel]
+        mphf, slot_of_key = build_mphf(skeys) if len(sel) else (None, None)
+        values = np.zeros((max(1, len(sel)), 2), dtype=np.int32)
+        ordered_keys = np.zeros((max(1, len(sel)), W), dtype=np.uint32)
+        if len(sel):
+            values[slot_of_key, 0] = image.kmer_node[sel].astype(np.int32)
+            values[slot_of_key, 1] = image.kmer_offset[sel].astype(np.int32)
+            ordered_keys[slot_of_key] = skeys
+        shard_data.append((mphf, ordered_keys, values))
+
+    n_levels = max(
+        (m.n_levels for m, _, _ in shard_data if m is not None), default=1
+    )
+    max_keys = max(k.shape[0] for _, k, _ in shard_data)
+    max_words = max(
+        (len(m.bits) for m, _, _ in shard_data if m is not None), default=0
+    ) + 1  # +1 zero word as the never-hit target for padded levels
+
+    S = n_shards
+    bits = np.zeros((S, max_words), dtype=np.uint32)
+    ranks = np.zeros((S, max_words), dtype=np.uint32)
+    seeds = np.zeros((S, n_levels), dtype=np.uint32)
+    masks = np.zeros((S, n_levels), dtype=np.uint32)
+    word_offsets = np.full((S, n_levels), max_words - 1, dtype=np.int32)
+    key_offsets = np.zeros((S, n_levels), dtype=np.int32)
+    keyarr = np.zeros((S, max_keys, W), dtype=np.uint32)
+    valarr = np.zeros((S, max_keys, 2), dtype=np.int32)
+
+    for s, (m, okeys, vals) in enumerate(shard_data):
+        keyarr[s, : okeys.shape[0]] = okeys
+        valarr[s, : vals.shape[0]] = vals
+        if m is None:
+            continue
+        nl = m.n_levels
+        bits[s, : len(m.bits)] = m.bits
+        ranks[s, : len(m.ranks)] = m.ranks
+        seeds[s, :nl] = m.seeds
+        masks[s, :nl] = m.masks
+        word_offsets[s, :nl] = m.word_offsets.astype(np.int32)
+        key_offsets[s, :nl] = m.key_offsets.astype(np.int32)
+
+    return (
+        ShardedLookup(bits, ranks, seeds, masks, word_offsets, key_offsets,
+                      keyarr, valarr),
+        n_levels,
+    )
+
+
+def _routed_seed_tables(
+    meta: MapMeta,
+    kmeta: KPartMeta,
+    lookup: ShardedLookup,
+    reads,
+    lens,
+    axis: str,
+):
+    """All-position seed tables via all-to-all routed sub-index probes.
+
+    Runs inside shard_map: `lookup` fields are the LOCAL shard's blocks
+    (leading axis of size 1)."""
+    B, L = reads.shape
+    P_ = meta.n_positions
+    S, CAP = kmeta.n_shards, kmeta.cap
+    W = lookup.keys.shape[-1]
+
+    kmers = all_kmers(reads, meta.k)  # [B, P, W]
+    flat = kmers.reshape(B * P_, W)
+    n = B * P_
+    owner = (hash_kmer_jnp(flat, jnp.uint32(OWNER_SEED)) & jnp.uint32(S - 1)).astype(
+        jnp.int32
+    )
+
+    # bucket queries by owner: stable sort by owner, then position within
+    # bucket = rank among same-owner entries
+    order = jnp.argsort(owner, stable=True)
+    owner_sorted = owner[order]
+    pos_in_bucket = jnp.arange(n, dtype=jnp.int32) - jnp.searchsorted(
+        owner_sorted, owner_sorted, side="left"
+    ).astype(jnp.int32)
+    overflow = jnp.sum((pos_in_bucket >= CAP).astype(jnp.int32))
+
+    # fixed-capacity per-destination buffers with a dump slot (index CAP)
+    # for overflow entries, so every scatter target is unique
+    send_q = jnp.zeros((S, CAP + 1, W), dtype=jnp.uint32)
+    send_src = jnp.full((S, CAP + 1), -1, dtype=jnp.int32)  # local flat position
+    ok = pos_in_bucket < CAP
+    dst = owner_sorted
+    slot = jnp.where(ok, pos_in_bucket, CAP)
+    send_q = send_q.at[dst, slot].set(flat[order])
+    send_src = send_src.at[dst, slot].set(jnp.where(ok, order, -1))
+    send_q = send_q[:, :CAP]
+    send_src = send_src[:, :CAP]
+
+    # exchange queries: received[s] = queries sent to me by shard s
+    recv_q = jax.lax.all_to_all(send_q, axis, split_axis=0, concat_axis=0, tiled=True)
+
+    # local probe of my sub-index
+    rq = recv_q.reshape(S * CAP, W)
+    slot_idx = mphf_probe_dynamic(
+        rq,
+        lookup.bits[0],
+        lookup.ranks[0],
+        lookup.seeds[0],
+        lookup.masks[0],
+        lookup.word_offsets[0],
+        lookup.key_offsets[0],
+        kmeta.n_levels,
+    )
+    safe = jnp.maximum(slot_idx, 0)
+    stored = jnp.take(lookup.keys[0], safe, axis=0)
+    okhit = (slot_idx >= 0) & jnp.all(stored == rq, axis=-1)
+    vals = jnp.take(lookup.values[0], safe, axis=0)
+    res_node = jnp.where(okhit, vals[:, 0], -1)
+    res_off = jnp.where(okhit, vals[:, 1], -1)
+    res = jnp.stack([res_node, res_off], axis=-1).reshape(S, CAP, 2)
+
+    # exchange results back
+    back = jax.lax.all_to_all(res, axis, split_axis=0, concat_axis=0, tiled=True)
+    back = back.reshape(S * CAP, 2)
+    src = send_src.reshape(S * CAP)
+
+    # unscatter with a dump slot (index n) for unused buffer entries
+    seed_node_flat = jnp.full(n + 1, -1, dtype=jnp.int32)
+    seed_off_flat = jnp.full(n + 1, -1, dtype=jnp.int32)
+    src_safe = jnp.where(src >= 0, src, n)
+    seed_node_flat = seed_node_flat.at[src_safe].set(back[:, 0])
+    seed_off_flat = seed_off_flat.at[src_safe].set(back[:, 1])
+    seed_node = seed_node_flat[:n].reshape(B, P_)
+    seed_off = seed_off_flat[:n].reshape(B, P_)
+    return seed_node, seed_off, overflow
+
+
+def make_kpart_step(
+    meta: MapMeta,
+    kmeta: KPartMeta,
+    mesh: Mesh,
+    n_tx: int,
+    axis: str = READS_AXIS,
+):
+    """Jitted distributed step for the k-mer-partitioned mode.
+
+    fn(graph_idx, lookup, packed, lens) ->
+        (MapResult sharded, counts replicated, overflow replicated)
+    """
+
+    def local_step(idx: DeviceIndex, lookup: ShardedLookup, packed, lens):
+        reads = unpack_reads(packed, meta.read_len)
+        lens = lens.astype(jnp.int32)
+        seed_node, seed_off, overflow = _routed_seed_tables(
+            meta, kmeta, lookup, reads, lens, axis
+        )
+        seed_node, next_hit = next_hit_table(
+            seed_node, lens, meta.k, meta.n_positions
+        )
+        res = map_batch_with_seeds(
+            meta, idx, reads, lens, seed_node, seed_off, next_hit
+        )
+        if meta.tx_words > 0:
+            counts = jax.lax.psum(tx_compat_counts(res, n_tx), axis)
+        else:
+            counts = jnp.zeros(n_tx, jnp.int32)
+        overflow = jax.lax.psum(overflow, axis)
+        return res, counts, overflow
+
+    idx_spec = jax.tree.map(lambda _: P(), DeviceIndex(*[0] * len(DeviceIndex._fields)))
+    lookup_spec = jax.tree.map(
+        lambda _: P(axis), ShardedLookup(*[0] * len(ShardedLookup._fields))
+    )
+    out_spec = (
+        MapResult(
+            mapped=P(axis), coverage=P(axis), mismatches=P(axis),
+            nodes=P(axis), n_nodes=P(axis), ec_bits=P(axis),
+        ),
+        P(),
+        P(),
+    )
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(idx_spec, lookup_spec, P(axis), P(axis)),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class KmerPartitionedAligner:
+    """Mapping engine with the k-mer index sharded across the mesh."""
+
+    def __init__(
+        self,
+        image: IndexImage,
+        config: AlignerConfig,
+        mesh: Mesh,
+        slack: float = 4.0,
+    ):
+        from .mesh import shard_batch
+
+        self.mesh = mesh
+        S = int(mesh.devices.size)
+        if S & (S - 1):
+            raise ValueError("mesh size must be a power of two")
+        dev, meta = device_index_from_image(image, config)
+        self.meta = meta
+        self.config = config
+        self.n_tx = len(image.tx_names)
+
+        lookup_np, n_levels = build_sharded_lookup(image, S)
+        b_local = config.batch_size // S
+        per_dev_queries = b_local * meta.n_positions
+        cap = max(64, int(slack * per_dev_queries / S))
+        # round capacity to a multiple of 8 for friendlier layouts
+        cap = (cap + 7) // 8 * 8
+        self.kmeta = KPartMeta(n_shards=S, n_levels=n_levels, cap=cap)
+
+        repl = NamedSharding(mesh, P())
+        shrd = NamedSharding(mesh, P(READS_AXIS))
+        # graph replicated; the sharded lookup's leading axis = mesh axis
+        graph = dev._replace(
+            mphf_bits=np.zeros(1, np.uint32),  # replicated MPHF unused here
+            mphf_ranks=np.zeros(1, np.uint32),
+            kmer_keys=np.zeros((1, image.kmer_keys.shape[1]), np.uint32),
+            kmer_node=np.zeros(1, np.int32),
+            kmer_offset=np.zeros(1, np.int32),
+        )
+        self.dev = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), repl), graph)
+        self.lookup = jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a), shrd), lookup_np
+        )
+        self._step = make_kpart_step(meta, self.kmeta, mesh, self.n_tx)
+        self._shard_batch = shard_batch
+
+    def map_batch(self, reads: np.ndarray, lens: np.ndarray):
+        from ..ops.map_kernel import pack_reads_host
+
+        packed = pack_reads_host(np.asarray(reads, dtype=np.uint8))
+        r, l = self._shard_batch(packed, lens.astype(np.int32), self.mesh)
+        res, counts, overflow = self._step(self.dev, self.lookup, r, l)
+        if int(overflow) > 0:
+            raise RuntimeError(
+                f"kpart routing overflow ({int(overflow)} queries) — "
+                "increase slack or re-run batch via the replicated path"
+            )
+        return res, counts

@@ -1,0 +1,63 @@
+"""K-mer-partitioned (sharded-lookup) mode vs replicated mode — identical
+results on the virtual 8-device CPU mesh (BASELINE config 5)."""
+
+import numpy as np
+import pytest
+
+from pseudoaligner_tpu.config import AlignerConfig
+from pseudoaligner_tpu.models.aligner import Pseudoaligner
+from pseudoaligner_tpu.parallel.mesh import make_mesh
+from pseudoaligner_tpu.parallel.sharded_index import (
+    KmerPartitionedAligner,
+    build_sharded_lookup,
+)
+
+
+def _batch(small_reads, B, L):
+    codes = np.zeros((B, L), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for j, (_, c) in enumerate(small_reads[:B]):
+        codes[j, : len(c)] = c
+        lens[j] = len(c)
+    return codes, lens
+
+
+def test_sharded_lookup_partition_covers_all_keys(small_index):
+    lookup, n_levels = build_sharded_lookup(small_index, 4)
+    total = 0
+    seen = set()
+    for s in range(4):
+        ks = lookup.keys[s]
+        nz = np.any(ks != 0, axis=1) | (
+            np.arange(len(ks)) < 1
+        )  # count real keys (kmer 0 can be a real key only once)
+        for row in ks[np.any(ks != 0, axis=1)]:
+            seen.add(tuple(row))
+    all_keys = {tuple(r) for r in small_index.kmer_keys if tuple(r) != (0, 0)}
+    assert all_keys <= seen
+
+
+@pytest.mark.parametrize("nd", [2, 8])
+def test_kpart_matches_replicated(small_index, small_reads, nd):
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=64)
+    B, L = 64, 64
+    codes, lens = _batch(small_reads, B, L)
+
+    single = Pseudoaligner(small_index, cfg)
+    base = single.map_batch_device(codes, lens)
+
+    mesh = make_mesh(nd)
+    kp = KmerPartitionedAligner(small_index, cfg, mesh)
+    res, counts = kp.map_batch(codes, lens)
+
+    assert np.array_equal(np.asarray(base.mapped), np.asarray(res.mapped))
+    assert np.array_equal(np.asarray(base.coverage), np.asarray(res.coverage))
+    assert np.array_equal(np.asarray(base.mismatches), np.asarray(res.mismatches))
+    assert np.array_equal(np.asarray(base.ec_bits), np.asarray(res.ec_bits))
+    assert np.array_equal(np.asarray(base.nodes), np.asarray(res.nodes))
+
+    # counts equal the replicated-mode host recomputation
+    bits = np.asarray(base.ec_bits)
+    by = np.ascontiguousarray(bits).view(np.uint8)
+    unpacked = np.unpackbits(by, axis=1, bitorder="little")[:, : small_index.n_tx]
+    assert np.array_equal(np.asarray(counts), unpacked.sum(axis=0).astype(np.int32))

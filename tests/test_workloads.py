@@ -119,3 +119,38 @@ def test_single_cell_count(aligner, small_transcripts, tmp_path):
     assert entries[(2, 1)] == 1
     barcodes = open(tmp_path / "out" / "barcodes.tsv").read().split()
     assert barcodes == [bc1, bc2]
+
+
+def test_long_read_segmentation(aligner, small_transcripts, tmp_path):
+    """A whole transcript streamed as a long read: windows are merged and
+    the transcript is in the resulting equivalence class."""
+    seqs, _, _ = small_transcripts
+    tx = 12
+    long_seq = decode_bases(seqs[tx][:500])
+    _write_fastq(tmp_path / "long.fq", [("lr0", long_seq), ("short", long_seq[:60])])
+    recs = list(aligner.map_fastq(str(tmp_path / "long.fq")))
+    assert len(recs) == 2
+    assert tx in recs[0].eq_class
+    assert recs[0].coverage <= 500
+    assert recs[0].coverage >= 400
+    assert tx in recs[1].eq_class
+
+
+def test_segmentation_preserves_short_read_parity(aligner, small_reads, tmp_path):
+    """Short reads must be byte-identical through the segmenting reader."""
+    reads = small_reads[:80]
+    _write_fastq(
+        tmp_path / "s.fq", [(rid, decode_bases(c)) for rid, c in reads]
+    )
+    recs = list(aligner.map_fastq(str(tmp_path / "s.fq")))
+    from pseudoaligner_tpu.golden import GoldenAligner
+
+    g = GoldenAligner(aligner.image)
+    for (rid, codes), rec in zip(reads, recs):
+        r = g.map_read(codes)
+        if r is None:
+            assert rec.coverage == 0 and rec.eq_class == []
+        else:
+            eq, cov = r
+            assert rec.eq_class == eq, rid
+            assert rec.coverage == cov, rid
