@@ -75,6 +75,11 @@ class AlignerConfig:
     # Use the on-device EC-bitset intersection when the transcriptome has at
     # most this many transcripts; otherwise fall back to host CSR merge.
     bitset_tx_threshold: int = 16384
+    # Seed k-mer index structure: "cuckoo" (4-slot bucketized two-choice
+    # table; a probe is 2 row gathers — the TPU speed mode) or "mphf"
+    # (BBHash bitvectors; ~8x more gathers per probe but ~2x less probe
+    # memory, mirroring the reference's NoKeyBoomHashMap tradeoff).
+    seed_index: str = "cuckoo"
 
     def __post_init__(self):
         if self.k < 4 or self.k > 64:

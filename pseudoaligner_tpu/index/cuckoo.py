@@ -1,0 +1,148 @@
+"""Bucketized two-choice cuckoo hash table — the speed-mode k-mer index.
+
+Motivation (measured on TPU v5e, see tools/tpu_worker.py experiments): a
+gather costs ~8ns per index regardless of row size, so the BBHash MPHF
+probe (7 levels x 2 word-gathers + key + value gathers ~ 17 gather ops) is
+~8x more expensive than a structure that answers in ~2 row gathers.  This
+table stores (key, node, offset) together in 4-slot buckets; a probe
+gathers bucket h1(k) and bucket h2(k) (two [B]-index row gathers) and
+compares keys in registers.  Memory is ~the same as MPHF+keys+values
+(which the serving path stores anyway for verification): the MPHF remains
+as the memory-lean option (`AlignerConfig.seed_index = "mphf"`), matching
+the reference's NoKeyBoomHashMap memory/speed tradeoff the other way
+(reference: src/build_index.rs:220, src/pseudoaligner.rs:96 [dep]).
+
+Layout: buckets [n_buckets, SLOTS * (W + 2)] uint32 — per slot the k-mer
+words (little-endian, as everywhere) then node then offset.  Empty slots
+hold the all-ones key (never a valid k-mer of <=64 bases... all-ones IS a
+valid poly-T k-mer for k=16/32/64 word-filling sizes — so emptiness is
+tracked by node == EMPTY sentinel instead).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.hashing import hash_kmer_np
+
+SLOTS = 4
+EMPTY = 0xFFFFFFFF
+H1_SEED = 0x1357_9BDF
+H2_SEED = 0x2468_ACE0
+MAX_KICKS = 64
+
+
+@dataclass
+class CuckooIndex:
+    buckets: np.ndarray  # [n_buckets, SLOTS*(W+2)] uint32
+    mask: int  # n_buckets - 1
+    W: int
+
+    @property
+    def n_buckets(self) -> int:
+        return self.buckets.shape[0]
+
+
+def _bucket_hashes(keys: np.ndarray, mask: int):
+    h1 = hash_kmer_np(keys, H1_SEED) & np.uint32(mask)
+    h2 = hash_kmer_np(keys, H2_SEED) & np.uint32(mask)
+    return h1, h2
+
+
+def build_cuckoo(
+    keys: np.ndarray, nodes: np.ndarray, offsets: np.ndarray, load: float = 0.75
+) -> CuckooIndex:
+    """Build the table (host).  keys: [n, W] uint32 (distinct)."""
+    n, W = keys.shape
+    need = max(SLOTS * 2, int(np.ceil(n / load / SLOTS)) * SLOTS)
+    nb = 1 << max(1, (need // SLOTS - 1).bit_length())
+    mask = nb - 1
+
+    slot_key = np.zeros((nb, SLOTS, W), dtype=np.uint32)
+    slot_node = np.full((nb, SLOTS), EMPTY, dtype=np.uint32)
+    slot_off = np.zeros((nb, SLOTS), dtype=np.uint32)
+    used = np.zeros(nb, dtype=np.int8)
+
+    h1, h2 = _bucket_hashes(keys, mask)
+
+    # bulk pass: greedy placement into the emptier of the two buckets,
+    # vectorized round by round; leftovers go through scalar cuckoo kicks
+    pending = np.arange(n)
+    rng = np.random.default_rng(0xC0FFEE)
+    for _ in range(8):
+        if len(pending) == 0:
+            break
+        cnt1 = used[h1[pending]]
+        cnt2 = used[h2[pending]]
+        tgt = np.where(cnt1 <= cnt2, h1[pending], h2[pending]).astype(np.int64)
+        # one item per bucket per round: first occurrence wins
+        order = np.argsort(tgt, kind="stable")
+        tgt_sorted = tgt[order]
+        first = np.ones(len(tgt_sorted), dtype=bool)
+        first[1:] = tgt_sorted[1:] != tgt_sorted[:-1]
+        winners = pending[order[first]]
+        wt = tgt_sorted[first]
+        fits = used[wt] < SLOTS
+        winners, wt = winners[fits], wt[fits]
+        s = used[wt].astype(np.int64)
+        slot_key[wt, s] = keys[winners]
+        slot_node[wt, s] = nodes[winners]
+        slot_off[wt, s] = offsets[winners]
+        used[wt] += 1
+        placed = np.zeros(n, dtype=bool)
+        placed[winners] = True
+        pending = pending[~placed[pending]]
+
+    # scalar cuckoo for the tail
+    for i in pending:
+        cur = (keys[i].copy(), int(nodes[i]), int(offsets[i]))
+        b = int(h1[i])
+        ok = False
+        for _kick in range(MAX_KICKS):
+            if used[b] < SLOTS:
+                s = used[b]
+                slot_key[b, s] = cur[0]
+                slot_node[b, s] = cur[1]
+                slot_off[b, s] = cur[2]
+                used[b] += 1
+                ok = True
+                break
+            # evict a random slot
+            s = int(rng.integers(0, SLOTS))
+            vk = slot_key[b, s].copy()
+            vn, vo = int(slot_node[b, s]), int(slot_off[b, s])
+            slot_key[b, s] = cur[0]
+            slot_node[b, s] = cur[1]
+            slot_off[b, s] = cur[2]
+            cur = (vk, vn, vo)
+            a1, a2 = _bucket_hashes(cur[0][None, :], mask)
+            b = int(a2[0]) if b == int(a1[0]) else int(a1[0])
+        if not ok:
+            # extremely unlikely at load<=0.85; grow and rebuild
+            return build_cuckoo(keys, nodes, offsets, load=load / 2)
+
+    rows = np.concatenate(
+        [slot_key.reshape(nb, SLOTS, W),
+         slot_node.reshape(nb, SLOTS, 1),
+         slot_off.reshape(nb, SLOTS, 1)],
+        axis=2,
+    ).reshape(nb, SLOTS * (W + 2))
+    return CuckooIndex(buckets=rows.astype(np.uint32), mask=mask, W=W)
+
+
+def cuckoo_lookup_np(ci: CuckooIndex, queries: np.ndarray):
+    """NumPy mirror of the device probe: [n, W] -> (node, offset) or -1."""
+    n, W = queries.shape
+    node = np.full(n, -1, dtype=np.int64)
+    off = np.full(n, -1, dtype=np.int64)
+    h1, h2 = _bucket_hashes(queries, ci.mask)
+    for h in (h1, h2):
+        rows = ci.buckets[h].reshape(n, SLOTS, W + 2)
+        for s in range(SLOTS):
+            keym = np.all(rows[:, s, :W] == queries, axis=1)
+            hit = keym & (rows[:, s, W] != EMPTY) & (node < 0)
+            node[hit] = rows[hit, s, W]
+            off[hit] = rows[hit, s, W + 1]
+    return node, off

@@ -2,25 +2,35 @@
 
 TPU-native re-design of `map_read_to_nodes_with_mismatch` + EC intersection
 (reference: src/pseudoaligner.rs:64-356).  The reference maps one read per
-thread with scalar loops; here a whole [B, L] batch advances in lockstep:
+thread with scalar loops; here a whole [B, L] batch advances in lockstep.
 
-- every read position's k-mer is packed and MPHF-probed **up front** as one
-  [B, P] vector op (ops/kmers.py + ops/mphf_lookup.py), turning the
-  stride-3 seed scan and every later re-seed (src/pseudoaligner.rs:91-114,
-  287-299) into a table lookup: per mod-3 residue class, a reverse cummin
-  yields `next_hit[p]` = the first verified seed at or after p in p's
-  stride class;
+The design is driven by a measured TPU cost model (tools/tpu_worker.py
+experiments on v5e): a gather op costs ~0.3ms fixed + ~8ns per gathered
+index, independent of row width — so the engine minimizes *gather-op and
+gathered-index counts*, and does everything else as dense VPU work:
+
+- seed lookup: every read position's k-mer is probed up front.  The default
+  seed index is a 4-slot bucketized cuckoo table storing (key, node,
+  offset) together (index/cuckoo.py): a probe is TWO row gathers + register
+  compares, vs ~17 gathers for the BBHash MPHF probe (kept as the
+  memory-lean `seed_index="mphf"` option).  The stride-3 seed scan and all
+  re-seeds (src/pseudoaligner.rs:91-114,287-299) then become reverse-cummin
+  next-hit table lookups;
 - the base-by-base comparison loops (src/pseudoaligner.rs:151-170,236-255)
-  become masked L-wide vector window compares: one cumulative-sum over the
-  mismatch mask reproduces the per-segment SNP budget exactly (the base
+  are masked L-wide vector window compares.  Both the graph sequence pool
+  and the reads stay 2-bit packed: a window fetch is two aligned row
+  gathers from the [., 8]-word pool, the arbitrary-offset alignment is a
+  dense 8-way word select + per-lane bit shift, and mismatch flags come
+  from XOR + static per-column unpack — zero element gathers.  One
+  cumulative sum reproduces the per-segment SNP budget exactly (the base
   that exceeds the budget counts toward mismatches but not coverage);
-- the irregular graph walk keeps its data-dependent control flow as two
-  `lax.while_loop`s (left extension, then forward walk) over per-lane
-  state, masked per lane; XLA batches the graph gathers across lanes;
-- the EC intersection (src/pseudoaligner.rs:323-356,389-418) becomes an
-  AND-reduction over per-class transcript bitsets for small transcriptomes
-  (bit t of word w = transcript 32w+t), with a host CSR-merge fallback for
-  large ones.
+- the irregular unitig walk keeps its data-dependent control flow as masked
+  `lax.while_loop`s; each iteration does ONE fused node-row gather
+  (start/len/exts/ec + both edge tables in a single [N, 12] row);
+- the EC intersection (src/pseudoaligner.rs:323-356,389-418) is an
+  AND-reduction over per-class transcript bitsets, iterated only to the
+  batch's actual max node count, with a host CSR-merge fallback for very
+  large transcriptomes.
 
 Semantics are bit-identical to the golden oracle (tests/test_map_device.py
 checks every read of the bundled FASTQ).
@@ -36,6 +46,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AlignerConfig
+from ..index.cuckoo import SLOTS as CK_SLOTS, EMPTY as CK_EMPTY, build_cuckoo
+from .hashing import hash_kmer_jnp
 from .kmers import all_kmers
 from .mphf_lookup import MphfMeta, verified_lookup
 
@@ -43,14 +55,12 @@ from .mphf_lookup import MphfMeta, verified_lookup
 class DeviceIndex(NamedTuple):
     """The HBM-resident index arrays (a pytree; see index/image.py)."""
 
-    seq_pool: jnp.ndarray  # [pool] int32 base codes
-    node_start: jnp.ndarray  # [N] int32
-    node_len: jnp.ndarray  # [N] int32
-    node_exts: jnp.ndarray  # [N] int32
-    node_ec: jnp.ndarray  # [N] int32
-    l_edge: jnp.ndarray  # [N, 4] int32
-    r_edge: jnp.ndarray  # [N, 4] int32
-    mphf_bits: jnp.ndarray  # [bw] uint32
+    pool_rows: jnp.ndarray  # [R, 8] uint32 — 2-bit packed pool, 128 bases/row,
+    #                          front/back zero padding of meta.pool_pad bases
+    node_row: jnp.ndarray  # [N, 12] int32 — start(+pad), len, exts, ec,
+    #                         l_edge[4], r_edge[4]
+    cuckoo: jnp.ndarray  # [NB, CK_SLOTS*(W+2)] uint32 (empty if mphf mode)
+    mphf_bits: jnp.ndarray  # [bw] uint32 (legacy/memory-lean mode)
     mphf_ranks: jnp.ndarray  # [bw] uint32
     kmer_keys: jnp.ndarray  # [nk, W] uint32
     kmer_node: jnp.ndarray  # [nk] int32
@@ -69,10 +79,23 @@ class MapMeta:
     max_nodes: int
     mphf: MphfMeta
     tx_words: int  # ceil(n_tx/32); 0 disables the bitset EC path
+    seed_index: str = "cuckoo"  # "cuckoo" | "mphf"
+    cuckoo_mask: int = 0
+    pool_pad: int = 256  # zero bases padded at pool front (and >= back)
 
     @property
     def n_positions(self) -> int:
         return self.read_len - self.k + 1
+
+    @property
+    def cmp_words(self) -> int:
+        """Words in an extracted compare window (L bases + shift spill)."""
+        return (self.read_len + 15) // 16 + 1
+
+    @property
+    def pool_fetch_rows(self) -> int:
+        """Pool rows fetched per window (covers L bases at any alignment)."""
+        return (self.read_len + 127) // 128 + 1
 
 
 class MapResult(NamedTuple):
@@ -86,89 +109,13 @@ class MapResult(NamedTuple):
     ec_bits: jnp.ndarray  # [B, TW] uint32 (intersected; zeros if disabled)
 
 
-def _seed_tables(meta: MapMeta, idx: DeviceIndex, reads, lens):
-    """All-position verified seed lookup + stride-3 next-hit table.
-
-    Returns (seed_node [B,P], seed_off [B,P], next_hit [B,P]) where
-    next_hit[b,p] is the first position q >= p, q = p (mod 3), with a
-    verified seed — or the sentinel P.
-    """
-    P = meta.n_positions
-    kmers = all_kmers(reads, meta.k)  # [B, P, W]
-    node, off = verified_lookup(
-        kmers,
-        idx.mphf_bits,
-        idx.mphf_ranks,
-        meta.mphf,
-        idx.kmer_keys,
-        idx.kmer_node,
-        idx.kmer_offset,
-    )
-    node, next_hit = next_hit_table(node, lens, meta.k, P)
-    return node, off, next_hit
-
-
-def next_hit_table(seed_node, lens, k: int, P: int):
-    """Mask invalid positions and build the stride-3 next-hit table.
-
-    Returns (masked seed_node, next_hit) where next_hit[b,p] is the first
-    position q >= p with q = p (mod 3) holding a verified seed, else P.
-    """
-    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
-    valid = (seed_node >= 0) & (pos <= (lens[:, None] - k))
-    node = jnp.where(valid, seed_node, -1)
-
-    cand = jnp.where(valid, pos, jnp.int32(P))
-    next_hit = jnp.full_like(cand, P)
-    for r in range(min(3, P)):
-        sub = cand[:, r::3]
-        nxt_sub = jax.lax.cummin(sub, axis=1, reverse=True)
-        next_hit = next_hit.at[:, r::3].set(nxt_sub)
-    return node, next_hit
-
-
-def _segment_compare(meta, idx, reads, ref_base_idx, read_base_idx, maxm, allowed):
-    """One masked window compare = one reference base-compare loop segment.
-
-    ref_base_idx/read_base_idx: [B, L] absolute gather indices for window
-    position j (already directed — ascending for the forward walk,
-    descending for left extension).  Returns (matched, mm_add, premature),
-    each [B], reproducing src/pseudoaligner.rs:151-170 / :236-255 exactly.
-    """
-    L = meta.read_len
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    in_range = j < maxm[:, None]
-    pool_max = idx.seq_pool.shape[0] - 1
-    ref = jnp.take(idx.seq_pool, jnp.clip(ref_base_idx, 0, pool_max), axis=0)
-    red = jnp.take_along_axis(reads, jnp.clip(read_base_idx, 0, L - 1), axis=1)
-    cmp = ((ref != red) & in_range).astype(jnp.int32)
-    c = jnp.cumsum(cmp, axis=1)
-    c_total = c[:, -1]
-    premature = c_total > allowed
-    matched_prem = jnp.sum((c <= allowed) & in_range, axis=1).astype(jnp.int32)
-    matched = jnp.where(premature, matched_prem, maxm)
-    mm_add = jnp.where(premature, jnp.int32(allowed + 1), c_total)
-    return matched, mm_add, premature
-
-
-def _push(nodes_buf, n_nodes, node, do_push):
-    """Masked append into the fixed-size per-lane node buffer."""
-    B, M = nodes_buf.shape
-    rows = jnp.arange(B)
-    slot = jnp.clip(n_nodes, 0, M - 1)
-    cur = nodes_buf[rows, slot]
-    ok = do_push & (n_nodes < M)
-    nodes_buf = nodes_buf.at[rows, slot].set(jnp.where(ok, node, cur))
-    return nodes_buf, n_nodes + do_push.astype(jnp.int32)
+# ---------------------------------------------------------------------------
+# packed windows
+# ---------------------------------------------------------------------------
 
 
 def unpack_reads(packed: jnp.ndarray, L: int) -> jnp.ndarray:
-    """[B, ceil(L/16)] uint32 2-bit-packed reads -> [B, L] int32 codes.
-
-    Host->HBM read transfer is 2-bit packed (the DnaString wire format,
-    16 bases/word) — 16x less interconnect/HBM traffic than one int per
-    base; unpacking is a few VPU shift-ands.
-    """
+    """[B, ceil(L/16)] uint32 2-bit-packed reads -> [B, L] int32 codes."""
     B, nw = packed.shape
     shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
     codes = (packed[:, :, None] >> shifts) & jnp.uint32(3)
@@ -186,34 +133,235 @@ def pack_reads_host(codes: np.ndarray) -> np.ndarray:
     return np.bitwise_or.reduce(padded << shifts, axis=2).astype(np.uint32)
 
 
+def _select_words(wcat: jnp.ndarray, wo: jnp.ndarray, nw_out: int) -> jnp.ndarray:
+    """Per-lane word-granularity shift: out[:, i] = wcat[:, wo + i].
+
+    wcat: [B, NW], wo: [B] in [0, NW - nw_out].  Dense NW-way masked select
+    (no gathers)."""
+    B, NW = wcat.shape
+    out = jnp.zeros((B, nw_out), dtype=wcat.dtype)
+    for r in range(NW - nw_out + 1):
+        sel = (wo == r)[:, None]
+        out = jnp.where(sel, jax.lax.dynamic_slice_in_dim(wcat, r, nw_out, 1), out)
+    return out
+
+
+def _shift_words(sel: jnp.ndarray, s: jnp.ndarray, nw_out: int) -> jnp.ndarray:
+    """Per-lane sub-word bit shift: logical >> s across the word vector.
+
+    sel: [B, nw_out+1] uint32 little-endian words, s: [B] even bit counts in
+    [0, 30].  Returns [B, nw_out]."""
+    su = s.astype(jnp.uint32)[:, None]
+    lo = sel[:, :nw_out] >> su
+    hi = jnp.where(
+        su > 0, sel[:, 1 : nw_out + 1] << ((jnp.uint32(32) - su) & jnp.uint32(31)), 0
+    )
+    return lo | hi
+
+
+def _extract_pool_window(meta: MapMeta, idx: DeviceIndex, q: jnp.ndarray):
+    """Ascending packed window of L bases starting at padded-pool base q.
+
+    q: [B] int32 (must satisfy 0 <= q and q + L < pool end padding).
+    Returns [B, cmp_words] uint32 where base (q+t) sits at bits
+    [2*(t%16)] of word t//16.  Two-plus aligned row gathers + dense ops."""
+    NR = meta.pool_fetch_rows
+    r0 = (q >> 7).astype(jnp.int32)
+    rows = [jnp.take(idx.pool_rows, jnp.clip(r0 + i, 0, idx.pool_rows.shape[0] - 1), axis=0)
+            for i in range(NR)]
+    wcat = jnp.concatenate(rows, axis=1)  # [B, NR*8]
+    o = q & 127
+    wo = (o >> 4).astype(jnp.int32)  # word offset in row 0: 0..7
+    sel = _select_words(wcat, wo, meta.cmp_words + 1)
+    return _shift_words(sel, (o & 15) * 2, meta.cmp_words)
+
+
+def _extract_read_window(meta: MapMeta, rp: jnp.ndarray, q: jnp.ndarray):
+    """Ascending packed window of L bases starting at padded-read base q.
+
+    rp: [B, RW] uint32 padded packed reads (front pad = read_front_words
+    words of zeros); q includes the front pad offset."""
+    wo = (q >> 4).astype(jnp.int32)
+    sel = _select_words(rp, wo, meta.cmp_words + 1)
+    return _shift_words(sel, (q & 15) * 2, meta.cmp_words)
+
+
+def read_front_words(meta: MapMeta) -> int:
+    """Zero-pad words on each side of the packed read array: the left
+    extension looks back up to L-1 bases, and forward windows start as far
+    as base L; +2 words keep the word-select range in bounds."""
+    return (meta.read_len + 15) // 16 + 2
+
+
+def pad_packed_reads(meta: MapMeta, packed: jnp.ndarray) -> jnp.ndarray:
+    """[B, ceil(L/16)] -> [B, fw + ceil(L/16) + fw] zero-padded packed."""
+    B, nw = packed.shape
+    fw = read_front_words(meta)
+    z = jnp.zeros((B, fw), dtype=jnp.uint32)
+    return jnp.concatenate([z, packed, z], axis=1)
+
+
+def _mismatch_bits(meta: MapMeta, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Packed windows -> [B, L] int32 mismatch flags (static unpack)."""
+    x = a ^ b
+    L = meta.read_len
+    cols = []
+    for t in range(L):
+        w, s = t // 16, 2 * (t % 16)
+        cols.append((x[:, w] >> jnp.uint32(s)) & jnp.uint32(3))
+    u = jnp.stack(cols, axis=1)
+    return (u != 0).astype(jnp.int32)
+
+
+def _segment_math(meta: MapMeta, mm_flags, maxm, allowed):
+    """Per-segment SNP budget arithmetic (src/pseudoaligner.rs:151-170,
+    :236-255): returns (matched, mm_add, premature), each [B]."""
+    L = meta.read_len
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_range = j < maxm[:, None]
+    cmp = mm_flags * in_range.astype(jnp.int32)
+    c = jnp.cumsum(cmp, axis=1)
+    c_total = c[:, -1]
+    premature = c_total > allowed
+    matched_prem = jnp.sum((c <= allowed) & in_range, axis=1).astype(jnp.int32)
+    matched = jnp.where(premature, matched_prem, maxm)
+    mm_add = jnp.where(premature, jnp.int32(allowed + 1), c_total)
+    return matched, mm_add, premature
+
+
+# ---------------------------------------------------------------------------
+# seed lookup
+# ---------------------------------------------------------------------------
+
+
+def cuckoo_lookup(meta: MapMeta, idx: DeviceIndex, words: jnp.ndarray):
+    """[..., W] kmer words -> (node, offset) int32, -1 on miss.
+
+    Two row gathers (buckets h1, h2) + register key compares."""
+    from ..index.cuckoo import H1_SEED, H2_SEED
+
+    W = words.shape[-1]
+    mask = jnp.uint32(meta.cuckoo_mask)
+    node = jnp.full(words.shape[:-1], -1, dtype=jnp.int32)
+    off = jnp.full(words.shape[:-1], -1, dtype=jnp.int32)
+    for seed in (H1_SEED, H2_SEED):
+        h = hash_kmer_jnp(words, jnp.uint32(seed)) & mask
+        rows = jnp.take(idx.cuckoo, h.astype(jnp.int32), axis=0)
+        for s in range(CK_SLOTS):
+            base = s * (W + 2)
+            keym = jnp.ones(words.shape[:-1], dtype=bool)
+            for w in range(W):
+                keym &= rows[..., base + w] == words[..., w]
+            n = rows[..., base + W]
+            keym &= n != jnp.uint32(CK_EMPTY)
+            hit = keym & (node < 0)
+            node = jnp.where(hit, n.astype(jnp.int32), node)
+            off = jnp.where(hit, rows[..., base + W + 1].astype(jnp.int32), off)
+    return node, off
+
+
+def _seed_tables(meta: MapMeta, idx: DeviceIndex, reads, lens):
+    """All-position verified seed lookup + stride-3 next-hit table."""
+    P = meta.n_positions
+    kmers = all_kmers(reads, meta.k)  # [B, P, W]
+    if meta.seed_index == "cuckoo":
+        node, off = cuckoo_lookup(meta, idx, kmers)
+    else:
+        node, off = verified_lookup(
+            kmers,
+            idx.mphf_bits,
+            idx.mphf_ranks,
+            meta.mphf,
+            idx.kmer_keys,
+            idx.kmer_node,
+            idx.kmer_offset,
+        )
+    node, next_hit = next_hit_table(node, lens, meta.k, P)
+    return node, off, next_hit
+
+
+def next_hit_table(seed_node, lens, k: int, P: int):
+    """Mask invalid positions and build the stride-3 next-hit table."""
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    valid = (seed_node >= 0) & (pos <= (lens[:, None] - k))
+    node = jnp.where(valid, seed_node, -1)
+
+    cand = jnp.where(valid, pos, jnp.int32(P))
+    next_hit = jnp.full_like(cand, P)
+    for r in range(min(3, P)):
+        sub = cand[:, r::3]
+        nxt_sub = jax.lax.cummin(sub, axis=1, reverse=True)
+        next_hit = next_hit.at[:, r::3].set(nxt_sub)
+    return node, next_hit
+
+
+# ---------------------------------------------------------------------------
+# the walk
+# ---------------------------------------------------------------------------
+
+
+def _push(nodes_buf, ec_buf, n_nodes, node, ec, do_push):
+    """Masked append into the fixed-size per-lane node/ec buffers."""
+    B, M = nodes_buf.shape
+    rows = jnp.arange(B)
+    slot = jnp.clip(n_nodes, 0, M - 1)
+    ok = do_push & (n_nodes < M)
+    cur_n = nodes_buf[rows, slot]
+    cur_e = ec_buf[rows, slot]
+    nodes_buf = nodes_buf.at[rows, slot].set(jnp.where(ok, node, cur_n))
+    ec_buf = ec_buf.at[rows, slot].set(jnp.where(ok, ec, cur_e))
+    return nodes_buf, ec_buf, n_nodes + do_push.astype(jnp.int32)
+
+
 def map_batch_packed(meta: MapMeta, idx: DeviceIndex, packed, lens) -> MapResult:
-    """map_batch over 2-bit-packed reads (the production transfer path)."""
-    return map_batch(meta, idx, unpack_reads(packed, meta.read_len), lens)
+    """Map a batch of 2-bit-packed reads (the production transfer path)."""
+    reads = unpack_reads(packed, meta.read_len)
+    lens = lens.astype(jnp.int32)
+    seed_node, seed_off, next_hit = _seed_tables(meta, idx, reads, lens)
+    return _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit)
 
 
 def map_batch(meta: MapMeta, idx: DeviceIndex, reads, lens) -> MapResult:
-    """Map a [B, L] batch.  reads: int32 base codes, lens: int32."""
+    """Map a [B, L] batch of unpacked int codes."""
     reads = reads.astype(jnp.int32)
     lens = lens.astype(jnp.int32)
+    packed = pack_reads_device(reads)
     seed_node, seed_off, next_hit = _seed_tables(meta, idx, reads, lens)
-    return map_batch_with_seeds(meta, idx, reads, lens, seed_node, seed_off, next_hit)
+    return _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit)
 
 
 def map_batch_with_seeds(
     meta: MapMeta, idx: DeviceIndex, reads, lens, seed_node, seed_off, next_hit
 ) -> MapResult:
-    """The walk + EC stages, given precomputed all-position seed tables.
+    """Walk + EC given precomputed seed tables (k-mer-partitioned mode)."""
+    reads = reads.astype(jnp.int32)
+    packed = pack_reads_device(reads)
+    return _walk(meta, idx, packed, reads, lens.astype(jnp.int32),
+                 seed_node, seed_off, next_hit)
 
-    Split out so the k-mer-partitioned (sharded-lookup) mode can supply
-    seed tables produced by an all-to-all routed probe
-    (parallel/sharded_index.py) while sharing the walk bit-for-bit.
-    """
+
+def pack_reads_device(reads: jnp.ndarray) -> jnp.ndarray:
+    """[B, L] int codes -> [B, ceil(L/16)] uint32 (device-side)."""
+    B, L = reads.shape
+    nw = (L + 15) // 16
+    pad = nw * 16 - L
+    r = reads.astype(jnp.uint32)
+    if pad:
+        r = jnp.concatenate([r, jnp.zeros((B, pad), jnp.uint32)], axis=1)
+    r = r.reshape(B, nw, 16)
+    acc = jnp.zeros((B, nw), jnp.uint32)
+    for i in range(16):
+        acc = acc | (r[:, :, i] << jnp.uint32(2 * i))
+    return acc
+
+
+def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapResult:
     B, L = reads.shape
     k = meta.k
     P = meta.n_positions
     allowed = meta.allowed_mismatches
-    reads = reads.astype(jnp.int32)
-    lens = lens.astype(jnp.int32)
+    fw_bases = read_front_words(meta) * 16
+    rp = pad_packed_reads(meta, packed)
 
     rows = jnp.arange(B)
     q0 = next_hit[:, 0] if P > 0 else jnp.full((B,), 0, jnp.int32)
@@ -225,10 +373,14 @@ def map_batch_with_seeds(
     cov = jnp.zeros(B, jnp.int32)
     mm = jnp.zeros(B, jnp.int32)
     nodes_buf = jnp.full((B, meta.max_nodes), -1, jnp.int32)
+    ec_buf = jnp.full((B, meta.max_nodes), -1, jnp.int32)
     n_nodes = jnp.zeros(B, jnp.int32)
 
+    def node_meta(n):
+        r = jnp.take(idx.node_row, jnp.clip(n, 0, None), axis=0)
+        return r  # [B, 12]
+
     # left-extension gate: kmer_pos >= (LEFT_EXTEND_FRACTION * L) as usize
-    # (src/pseudoaligner.rs:77,126)
     thresh = jnp.floor(
         jnp.float32(meta.left_extend_fraction) * lens.astype(jnp.float32)
     ).astype(jnp.int32)
@@ -242,24 +394,37 @@ def map_batch_with_seeds(
         lnode = s["node"]
         pko = s["pko"]
         last_pos = s["last_pos"]
+        nrow = node_meta(lnode)
+        nstart = nrow[:, 0]
         maxm = jnp.minimum(last_pos + 1, pko + 1)
-        jj = jnp.arange(L, dtype=jnp.int32)[None, :]
-        ref_idx = idx.node_start[jnp.clip(lnode, 0, None)][:, None] + pko[:, None] - jj
-        read_idx = last_pos[:, None] - jj
-        matched, mm_add, prem = _segment_compare(
-            meta, idx, reads, ref_idx, read_idx, maxm, allowed
-        )
+        # ref window: base (nstart + pko - j); extract ascending from
+        # (nstart + pko - (L-1)) then reverse
+        ref_q = nstart + pko - (L - 1)
+        ref_win = _extract_pool_window(meta, idx, ref_q)
+        # read window: base (last_pos - j) + front pad; ascending from
+        # last_pos - (L-1) + fw
+        read_q = last_pos - (L - 1) + fw_bases
+        read_win = _extract_read_window(meta, rp, read_q)
+        mmf = _mismatch_bits(meta, ref_win, read_win)
+        mmf = mmf[:, ::-1]  # out[j] = base (q - j)
+        matched, mm_add, prem = _segment_math(meta, mmf, maxm, allowed)
         cov2 = jnp.where(act, s["cov"] + matched, s["cov"])
         mm2 = jnp.where(act, s["mm"] + mm_add, s["mm"])
         stop = (last_pos + 1 - matched == 0) | prem
         lp2 = last_pos - matched
         nb = jnp.take_along_axis(reads, jnp.clip(lp2, 0, L - 1)[:, None], axis=1)[:, 0]
-        exts = idx.node_exts[jnp.clip(lnode, 0, None)]
+        exts = nrow[:, 2]
         has = ((exts >> (4 + nb)) & 1) == 1
         follow = act & ~stop & has
-        new_node = idx.l_edge[jnp.clip(lnode, 0, None), jnp.clip(nb, 0, 3)]
-        nbuf, ncnt = _push(s["nodes_buf"], s["n_nodes"], new_node, follow)
-        new_pko = idx.node_len[jnp.clip(new_node, 0, None)] - k
+        # l_edge at columns 4..7 (dense 4-way select, no gather)
+        new_node = jnp.full((B,), -1, jnp.int32)
+        for b4 in range(4):
+            new_node = jnp.where(nb == b4, nrow[:, 4 + b4], new_node)
+        new_row = node_meta(new_node)
+        nbuf, ebuf, ncnt = _push(
+            s["nodes_buf"], s["ec_buf"], s["n_nodes"], new_node, new_row[:, 3], follow
+        )
+        new_pko = new_row[:, 1] - k
         return {
             "active": follow,
             "node": jnp.where(follow, new_node, lnode),
@@ -268,6 +433,7 @@ def map_batch_with_seeds(
             "cov": cov2,
             "mm": mm2,
             "nodes_buf": nbuf,
+            "ec_buf": ebuf,
             "n_nodes": ncnt,
         }
 
@@ -279,6 +445,7 @@ def map_batch_with_seeds(
         "cov": cov,
         "mm": mm,
         "nodes_buf": nodes_buf,
+        "ec_buf": ec_buf,
         "n_nodes": n_nodes,
     }
     l_state = jax.lax.while_loop(l_cond, l_body, l_state)
@@ -293,28 +460,32 @@ def map_batch_with_seeds(
         koff = s["koff"]
         kpos = s["kpos"] + k
         cov2 = jnp.where(act, s["cov"] + k, s["cov"])
-        nbuf, ncnt = _push(s["nodes_buf"], s["n_nodes"], fnode, act)
+        nrow = node_meta(fnode)
+        nbuf, ebuf, ncnt = _push(
+            s["nodes_buf"], s["ec_buf"], s["n_nodes"], fnode, nrow[:, 3], act
+        )
 
+        nstart, nlen, exts = nrow[:, 0], nrow[:, 1], nrow[:, 2]
         ref_off = koff + k
-        informative = idx.node_len[fnode] - ref_off
+        informative = nlen - ref_off
         remaining = lens - kpos
         maxm = jnp.maximum(jnp.minimum(remaining, informative), 0)
-        jj = jnp.arange(L, dtype=jnp.int32)[None, :]
-        ref_idx = idx.node_start[fnode][:, None] + ref_off[:, None] + jj
-        read_idx = kpos[:, None] + jj
-        matched, mm_add, prem = _segment_compare(
-            meta, idx, reads, ref_idx, read_idx, maxm, allowed
-        )
+        ref_win = _extract_pool_window(meta, idx, nstart + ref_off)
+        read_win = _extract_read_window(meta, rp, kpos + fw_bases)
+        mmf = _mismatch_bits(meta, ref_win, read_win)
+        matched, mm_add, prem = _segment_math(meta, mmf, maxm, allowed)
         kpos = kpos + matched
         cov2 = jnp.where(act, cov2 + matched, cov2)
         mm2 = jnp.where(act, s["mm"] + mm_add, s["mm"])
 
         at_end = kpos >= lens
         nb = jnp.take_along_axis(reads, jnp.clip(kpos, 0, L - 1)[:, None], axis=1)[:, 0]
-        exts = idx.node_exts[fnode]
         hasr = ~prem & (((exts >> nb) & 1) == 1)
         follow = act & ~at_end & hasr
-        nxt_node = idx.r_edge[fnode, jnp.clip(nb, 0, 3)]
+        # r_edge at columns 8..11 (dense 4-way select, no gather)
+        nxt_node = jnp.full((B,), -1, jnp.int32)
+        for b4 in range(4):
+            nxt_node = jnp.where(nb == b4, nrow[:, 8 + b4], nxt_node)
 
         # re-seed path (src/pseudoaligner.rs:285-299)
         can_seek = act & ~at_end & ~hasr & (kpos <= lens - k)
@@ -337,6 +508,7 @@ def map_batch_with_seeds(
             "cov": cov2,
             "mm": mm2,
             "nodes_buf": nbuf,
+            "ec_buf": ebuf,
             "n_nodes": ncnt,
         }
 
@@ -348,11 +520,13 @@ def map_batch_with_seeds(
         "cov": l_state["cov"],
         "mm": l_state["mm"],
         "nodes_buf": l_state["nodes_buf"],
+        "ec_buf": l_state["ec_buf"],
         "n_nodes": l_state["n_nodes"],
     }
     f_state = jax.lax.while_loop(f_cond, f_body, f_state)
 
     nodes_buf = f_state["nodes_buf"]
+    ec_buf = f_state["ec_buf"]
     n_nodes = f_state["n_nodes"]
     mapped = n_nodes > 0
 
@@ -360,14 +534,20 @@ def map_batch_with_seeds(
     if meta.tx_words > 0:
         TW = meta.tx_words
         ones = jnp.full((B, TW), 0xFFFFFFFF, jnp.uint32)
+        max_n = jnp.minimum(jnp.max(n_nodes), meta.max_nodes)
 
-        def ec_body(j, bits):
-            nid = jnp.clip(nodes_buf[:, j], 0, None)
-            row = idx.ec_bits[idx.node_ec[nid]]  # [B, TW]
+        def ec_cond(c):
+            j, _ = c
+            return j < max_n
+
+        def ec_body(c):
+            j, bits = c
+            ecid = jnp.clip(ec_buf[:, j], 0, None)
+            row = jnp.take(idx.ec_bits, ecid, axis=0)
             row = jnp.where((j < n_nodes)[:, None], row, jnp.uint32(0xFFFFFFFF))
-            return bits & row
+            return j + 1, bits & row
 
-        ec_bits = jax.lax.fori_loop(0, meta.max_nodes, ec_body, ones)
+        _, ec_bits = jax.lax.while_loop(ec_cond, ec_body, (jnp.int32(0), ones))
         ec_bits = jnp.where(mapped[:, None], ec_bits, jnp.uint32(0))
     else:
         ec_bits = jnp.zeros((B, 0), jnp.uint32)
@@ -401,12 +581,20 @@ def build_ec_bitsets(ec_offsets: np.ndarray, ec_txs: np.ndarray, n_tx: int) -> n
     return bits
 
 
-def device_index_from_image(image, config: AlignerConfig):
-    """IndexImage -> (DeviceIndex of numpy arrays, MapMeta).
+def _pack_pool_rows(seq_pool: np.ndarray, pad_front: int, pad_back: int) -> np.ndarray:
+    """uint8 base codes -> [R, 8] uint32 rows (128 bases/row), zero padded."""
+    from .. import dna
 
-    The caller `jax.device_put`s the DeviceIndex (or shards it via
-    parallel/mesh.py).
-    """
+    total = pad_front + len(seq_pool) + pad_back
+    total = (total + 127) // 128 * 128
+    codes = np.zeros(total, dtype=np.uint8)
+    codes[pad_front : pad_front + len(seq_pool)] = seq_pool
+    words = dna.pack_codes_2bit(codes)
+    return words.reshape(-1, 8)
+
+
+def device_index_from_image(image, config: AlignerConfig):
+    """IndexImage -> (DeviceIndex of numpy arrays, MapMeta)."""
     use_bitset = len(image.tx_names) <= config.bitset_tx_threshold
     tx_words = (len(image.tx_names) + 31) // 32 if use_bitset else 0
     ec_bits = (
@@ -414,14 +602,35 @@ def device_index_from_image(image, config: AlignerConfig):
         if use_bitset
         else np.zeros((1, 0), np.uint32)
     )
+
+    L = config.max_read_len
+    pool_pad = ((L + 127) // 128 + 1) * 128
+    pool_rows = _pack_pool_rows(image.seq_pool, pool_pad, pool_pad)
+
+    N = image.n_nodes
+    node_row = np.zeros((N, 12), dtype=np.int32)
+    node_row[:, 0] = image.node_start.astype(np.int64) + pool_pad
+    node_row[:, 1] = image.node_len
+    node_row[:, 2] = image.node_exts
+    node_row[:, 3] = image.node_ec
+    node_row[:, 4:8] = image.l_edge
+    node_row[:, 8:12] = image.r_edge
+
+    if config.seed_index == "cuckoo":
+        ck = build_cuckoo(
+            image.kmer_keys, image.kmer_node, image.kmer_offset
+        )
+        cuckoo_rows = ck.buckets
+        cuckoo_mask = ck.mask
+    else:
+        cuckoo_rows = np.zeros((1, CK_SLOTS * (image.kmer_keys.shape[1] + 2)),
+                               np.uint32)
+        cuckoo_mask = 0
+
     dev = DeviceIndex(
-        seq_pool=image.seq_pool.astype(np.int32),
-        node_start=image.node_start.astype(np.int32),
-        node_len=image.node_len.astype(np.int32),
-        node_exts=image.node_exts.astype(np.int32),
-        node_ec=image.node_ec.astype(np.int32),
-        l_edge=image.l_edge.astype(np.int32),
-        r_edge=image.r_edge.astype(np.int32),
+        pool_rows=pool_rows,
+        node_row=node_row,
+        cuckoo=cuckoo_rows,
         mphf_bits=image.mphf.bits,
         mphf_ranks=image.mphf.ranks,
         kmer_keys=image.kmer_keys,
@@ -442,5 +651,8 @@ def device_index_from_image(image, config: AlignerConfig):
             key_offsets=tuple(int(x) for x in image.mphf.key_offsets),
         ),
         tx_words=tx_words,
+        seed_index=config.seed_index,
+        cuckoo_mask=cuckoo_mask,
+        pool_pad=pool_pad,
     )
     return dev, meta

@@ -304,7 +304,10 @@ class KmerPartitionedAligner:
         shrd = NamedSharding(mesh, P(READS_AXIS))
         # graph replicated; the sharded lookup's leading axis = mesh axis
         graph = dev._replace(
-            mphf_bits=np.zeros(1, np.uint32),  # replicated MPHF unused here
+            # the replicated seed structures are unused in this mode — the
+            # sharded lookup replaces them
+            cuckoo=np.zeros((1, dev.cuckoo.shape[1]), np.uint32),
+            mphf_bits=np.zeros(1, np.uint32),
             mphf_ranks=np.zeros(1, np.uint32),
             kmer_keys=np.zeros((1, image.kmer_keys.shape[1]), np.uint32),
             kmer_node=np.zeros(1, np.int32),
