@@ -110,13 +110,65 @@ class Pseudoaligner:
         self._ec_memo[ec_ids] = out
         return out
 
+    def _ec_from_distinct(self, ids: tuple[int, ...]) -> list[int]:
+        """Materialize the EC list from distinct interned class ids
+        (memoized host CSR intersection)."""
+        hit = self._ec_memo.get(ids)
+        if hit is not None:
+            return hit
+        img = self.image
+        lists = sorted((img.ec_list(e) for e in ids), key=len)
+        acc = lists[0]
+        for other in lists[1:]:
+            acc = np.intersect1d(acc, other, assume_unique=True)
+            if len(acc) == 0:
+                break
+        out = [int(x) for x in acc]
+        self._ec_memo[ids] = out
+        return out
+
     def records_from_result(
         self, result: MapResult, batch: ReadBatch
     ) -> list[ReadRecord]:
         mapped = np.asarray(result.mapped)
         cov = np.asarray(result.coverage)
-        use_bits = self.meta.tx_words > 0
-        if use_bits:
+        compact = self.meta.distinct_cap > 0
+        n = len(batch.ids)
+        thresh = self.config.read_coverage_threshold
+
+        if compact:
+            # vectorized: materialize each distinct EC signature once (the
+            # signature cardinality per batch is tiny vs the batch size)
+            dist = np.asarray(result.ec_distinct)[:n]
+            uniq, inv = np.unique(dist, axis=0, return_inverse=True)
+            eq_of_sig: list = []
+            for row in uniq:
+                if row[0] < 0:
+                    eq_of_sig.append([])
+                elif row[-1] == -2:
+                    eq_of_sig.append(None)  # overflow -> exact host re-map
+                else:
+                    ids = tuple(int(x) for x in row[row >= 0])
+                    eq_of_sig.append(
+                        self.image.ec_list(ids[0]).tolist()
+                        if len(ids) == 1
+                        else self._ec_from_distinct(ids)
+                    )
+            covl = cov.tolist()
+            mappedl = mapped.tolist()
+            out = []
+            for i, rid in enumerate(batch.ids):
+                if not mappedl[i]:
+                    out.append(ReadRecord(False, rid, [], 0))
+                    continue
+                eq = eq_of_sig[inv[i]]
+                if eq is None:
+                    eq = self._remap_exact(batch.codes[i, : batch.lens[i]])
+                c = covl[i]
+                out.append(ReadRecord(c >= thresh and not eq, rid, eq, c))
+            return out
+
+        if self.meta.tx_words > 0:
             bits = np.asarray(result.ec_bits)
         else:
             nodes = np.asarray(result.nodes)
@@ -126,14 +178,25 @@ class Pseudoaligner:
             if not mapped[i]:
                 out.append(ReadRecord(False, rid, [], 0))
                 continue
-            if use_bits:
+            if self.meta.tx_words > 0:
                 eq = self._ec_from_bits(bits[i])
             else:
                 eq = self._ec_from_nodes(nodes[i, : n_nodes[i]])
             c = int(cov[i])
-            flag = c >= self.config.read_coverage_threshold and len(eq) == 0
+            flag = c >= thresh and len(eq) == 0
             out.append(ReadRecord(flag, rid, eq, c))
         return out
+
+    def _remap_exact(self, read_codes: np.ndarray) -> list[int]:
+        """Host golden re-map for rare device-capped reads (bit-exact)."""
+        if not hasattr(self, "_golden"):
+            from ..golden import GoldenAligner
+
+            self._golden = GoldenAligner(self.image)
+        r = self._golden.map_read_with_mismatch(
+            read_codes, self.config.allowed_mismatches
+        )
+        return r[0] if r is not None else []
 
     # ------------------------------------------------------------------
     # end-to-end streaming

@@ -82,6 +82,12 @@ class MapMeta:
     seed_index: str = "cuckoo"  # "cuckoo" | "mphf"
     cuckoo_mask: int = 0
     pool_pad: int = 256  # zero bases padded at pool front (and >= back)
+    # Compact serving outputs: per-read distinct EC ids [B, distinct_cap]
+    # instead of node lists + EC bitsets — host->device transfer drops from
+    # ~360B to ~34B per read (the tunnel/PCIe link is the serving
+    # bottleneck; EC list materialization moves to a memoized host CSR
+    # intersection).  0 disables (full debug outputs).
+    distinct_cap: int = 0
 
     @property
     def n_positions(self) -> int:
@@ -99,7 +105,12 @@ class MapMeta:
 
 
 class MapResult(NamedTuple):
-    """Per-read outputs of one device mapping step."""
+    """Per-read outputs of one device mapping step.
+
+    In compact mode (meta.distinct_cap > 0) `nodes`/`ec_bits` are empty and
+    `ec_distinct` carries each read's distinct EC ids (-1 padded; the last
+    slot is -2 when more than distinct_cap classes were visited, signalling
+    the host to re-map that read exactly)."""
 
     mapped: jnp.ndarray  # [B] bool — any node visited
     coverage: jnp.ndarray  # [B] int32
@@ -107,6 +118,7 @@ class MapResult(NamedTuple):
     nodes: jnp.ndarray  # [B, max_nodes] int32 (-1 padded)
     n_nodes: jnp.ndarray  # [B] int32
     ec_bits: jnp.ndarray  # [B, TW] uint32 (intersected; zeros if disabled)
+    ec_distinct: jnp.ndarray  # [B, DC] int32 (compact mode; else [B, 0])
 
 
 # ---------------------------------------------------------------------------
@@ -300,17 +312,29 @@ def next_hit_table(seed_node, lens, k: int, P: int):
 # ---------------------------------------------------------------------------
 
 
-def _push(nodes_buf, ec_buf, n_nodes, node, ec, do_push):
-    """Masked append into the fixed-size per-lane node/ec buffers."""
-    B, M = nodes_buf.shape
+def _push(buf, n_nodes, node, ec, do_push):
+    """Masked append into the fused [B, M, 2] (node, ec) buffer.
+
+    One drop-mode scatter, no gathers: lanes not pushing get an
+    out-of-range slot that the scatter drops."""
+    B, M, _ = buf.shape
     rows = jnp.arange(B)
-    slot = jnp.clip(n_nodes, 0, M - 1)
     ok = do_push & (n_nodes < M)
-    cur_n = nodes_buf[rows, slot]
-    cur_e = ec_buf[rows, slot]
-    nodes_buf = nodes_buf.at[rows, slot].set(jnp.where(ok, node, cur_n))
-    ec_buf = ec_buf.at[rows, slot].set(jnp.where(ok, ec, cur_e))
-    return nodes_buf, ec_buf, n_nodes + do_push.astype(jnp.int32)
+    slot = jnp.where(ok, jnp.clip(n_nodes, 0, M - 1), M)
+    val = jnp.stack([node, ec], axis=-1)
+    buf = buf.at[rows, slot].set(val, mode="drop")
+    return buf, n_nodes + do_push.astype(jnp.int32)
+
+
+def _base_at(meta: MapMeta, win_words: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Base code at position t of a packed ascending window (dense select)."""
+    out = jnp.zeros_like(t)
+    tw = (t >> 4).astype(jnp.int32)
+    sh = ((t & 15) * 2).astype(jnp.uint32)
+    for w in range(win_words.shape[1]):
+        v = ((win_words[:, w] >> sh) & jnp.uint32(3)).astype(jnp.int32)
+        out = jnp.where(tw == w, v, out)
+    return out
 
 
 def map_batch_packed(meta: MapMeta, idx: DeviceIndex, packed, lens) -> MapResult:
@@ -372,8 +396,7 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
 
     cov = jnp.zeros(B, jnp.int32)
     mm = jnp.zeros(B, jnp.int32)
-    nodes_buf = jnp.full((B, meta.max_nodes), -1, jnp.int32)
-    ec_buf = jnp.full((B, meta.max_nodes), -1, jnp.int32)
+    buf = jnp.full((B, meta.max_nodes, 2), -1, jnp.int32)  # (node, ec)
     n_nodes = jnp.zeros(B, jnp.int32)
 
     def node_meta(n):
@@ -412,7 +435,8 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         mm2 = jnp.where(act, s["mm"] + mm_add, s["mm"])
         stop = (last_pos + 1 - matched == 0) | prem
         lp2 = last_pos - matched
-        nb = jnp.take_along_axis(reads, jnp.clip(lp2, 0, L - 1)[:, None], axis=1)[:, 0]
+        # next base read[lp2] = ascending-window position L-1-matched
+        nb = _base_at(meta, read_win, jnp.clip(L - 1 - matched, 0, L - 1))
         exts = nrow[:, 2]
         has = ((exts >> (4 + nb)) & 1) == 1
         follow = act & ~stop & has
@@ -421,8 +445,8 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         for b4 in range(4):
             new_node = jnp.where(nb == b4, nrow[:, 4 + b4], new_node)
         new_row = node_meta(new_node)
-        nbuf, ebuf, ncnt = _push(
-            s["nodes_buf"], s["ec_buf"], s["n_nodes"], new_node, new_row[:, 3], follow
+        nbuf, ncnt = _push(
+            s["buf"], s["n_nodes"], new_node, new_row[:, 3], follow
         )
         new_pko = new_row[:, 1] - k
         return {
@@ -432,8 +456,7 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
             "last_pos": jnp.where(act, lp2, last_pos),
             "cov": cov2,
             "mm": mm2,
-            "nodes_buf": nbuf,
-            "ec_buf": ebuf,
+            "buf": nbuf,
             "n_nodes": ncnt,
         }
 
@@ -444,8 +467,7 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         "last_pos": q0 - 1,
         "cov": cov,
         "mm": mm,
-        "nodes_buf": nodes_buf,
-        "ec_buf": ec_buf,
+        "buf": buf,
         "n_nodes": n_nodes,
     }
     l_state = jax.lax.while_loop(l_cond, l_body, l_state)
@@ -461,9 +483,7 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         kpos = s["kpos"] + k
         cov2 = jnp.where(act, s["cov"] + k, s["cov"])
         nrow = node_meta(fnode)
-        nbuf, ebuf, ncnt = _push(
-            s["nodes_buf"], s["ec_buf"], s["n_nodes"], fnode, nrow[:, 3], act
-        )
+        nbuf, ncnt = _push(s["buf"], s["n_nodes"], fnode, nrow[:, 3], act)
 
         nstart, nlen, exts = nrow[:, 0], nrow[:, 1], nrow[:, 2]
         ref_off = koff + k
@@ -479,7 +499,8 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         mm2 = jnp.where(act, s["mm"] + mm_add, s["mm"])
 
         at_end = kpos >= lens
-        nb = jnp.take_along_axis(reads, jnp.clip(kpos, 0, L - 1)[:, None], axis=1)[:, 0]
+        # next base read[kpos+matched] = window position `matched`
+        nb = _base_at(meta, read_win, jnp.clip(matched, 0, L - 1))
         hasr = ~prem & (((exts >> nb) & 1) == 1)
         follow = act & ~at_end & hasr
         # r_edge at columns 8..11 (dense 4-way select, no gather)
@@ -507,8 +528,7 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
             "kpos": kpos2,
             "cov": cov2,
             "mm": mm2,
-            "nodes_buf": nbuf,
-            "ec_buf": ebuf,
+            "buf": nbuf,
             "n_nodes": ncnt,
         }
 
@@ -519,36 +539,89 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         "kpos": q0,
         "cov": l_state["cov"],
         "mm": l_state["mm"],
-        "nodes_buf": l_state["nodes_buf"],
-        "ec_buf": l_state["ec_buf"],
+        "buf": l_state["buf"],
         "n_nodes": l_state["n_nodes"],
     }
     f_state = jax.lax.while_loop(f_cond, f_body, f_state)
 
-    nodes_buf = f_state["nodes_buf"]
-    ec_buf = f_state["ec_buf"]
+    buf = f_state["buf"]
+    nodes_buf = buf[:, :, 0]
+    ec_buf = buf[:, :, 1]
     n_nodes = f_state["n_nodes"]
     mapped = n_nodes > 0
 
+    # ---- compact serving output: distinct EC ids per read ----
+    if meta.distinct_cap > 0:
+        DC = meta.distinct_cap
+        v = ec_buf
+        # sort-based dedup (compact HLO; a quadratic compare network is
+        # slightly faster at runtime but explodes compile time)
+        SENT = jnp.int32(2**31 - 1)
+        v = jnp.sort(jnp.where(v >= 0, v, SENT), axis=1)
+        prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), v[:, :-1]], axis=1)
+        distinct = (v != prev) & (v != SENT)
+        pos = jnp.cumsum(distinct.astype(jnp.int32), axis=1) - 1
+        n_distinct = jnp.sum(distinct.astype(jnp.int32), axis=1)
+        out_cols = []
+        for d in range(DC):
+            sel = distinct & (pos == d)
+            val = jnp.sum(jnp.where(sel, v, 0), axis=1)
+            out_cols.append(jnp.where(jnp.any(sel, axis=1), val, -1))
+        ec_distinct = jnp.stack(out_cols, axis=1)
+        # mark truncation so the host re-maps those (rare) reads exactly
+        trunc = n_distinct > DC
+        ec_distinct = ec_distinct.at[:, DC - 1].set(
+            jnp.where(trunc, jnp.int32(-2), ec_distinct[:, DC - 1])
+        )
+        return MapResult(
+            mapped=mapped,
+            coverage=f_state["cov"],
+            mismatches=f_state["mm"],
+            nodes=jnp.zeros((B, 0), jnp.int32),
+            n_nodes=n_nodes,
+            ec_bits=jnp.zeros((B, 0), jnp.uint32),
+            ec_distinct=ec_distinct,
+        )
+
     # ---- EC intersection via bitsets (small transcriptomes) ----
+    # Intersection is idempotent, so AND only each lane's *distinct* EC ids
+    # (mean visited-node count is ~1.3, p99 ~4 on the bundled workload):
+    # sort + unique-compact the [B, M] id buffer densely, then CAP unrolled
+    # row gathers; a while-loop tail covers the rare lanes with more
+    # distinct classes than CAP.
     if meta.tx_words > 0:
         TW = meta.tx_words
-        ones = jnp.full((B, TW), 0xFFFFFFFF, jnp.uint32)
-        max_n = jnp.minimum(jnp.max(n_nodes), meta.max_nodes)
+        SENT = jnp.int32(2**31 - 1)
+        vals = jnp.sort(jnp.where(ec_buf >= 0, ec_buf, SENT), axis=1)
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), -1, jnp.int32), vals[:, :-1]], axis=1
+        )
+        distinct = (vals != prev) & (vals != SENT)
+        pos = jnp.cumsum(distinct.astype(jnp.int32), axis=1) - 1
+        n_distinct = jnp.sum(distinct.astype(jnp.int32), axis=1)
 
-        def ec_cond(c):
-            j, _ = c
-            return j < max_n
-
-        def ec_body(c):
-            j, bits = c
-            ecid = jnp.clip(ec_buf[:, j], 0, None)
+        def ec_slice(j, bits):
+            sel = distinct & (pos == j)
+            ecid = jnp.sum(jnp.where(sel, vals, 0), axis=1)
+            have = jnp.any(sel, axis=1)
             row = jnp.take(idx.ec_bits, ecid, axis=0)
-            row = jnp.where((j < n_nodes)[:, None], row, jnp.uint32(0xFFFFFFFF))
-            return j + 1, bits & row
+            return bits & jnp.where(have[:, None], row, jnp.uint32(0xFFFFFFFF))
 
-        _, ec_bits = jax.lax.while_loop(ec_cond, ec_body, (jnp.int32(0), ones))
-        ec_bits = jnp.where(mapped[:, None], ec_bits, jnp.uint32(0))
+        CAP = min(4, meta.max_nodes)
+        bits = jnp.full((B, TW), 0xFFFFFFFF, jnp.uint32)
+        for j in range(CAP):
+            bits = ec_slice(j, bits)
+
+        def t_cond(c):
+            j, _ = c
+            return j < jnp.max(n_distinct)
+
+        def t_body(c):
+            j, b = c
+            return j + 1, ec_slice(j, b)
+
+        _, bits = jax.lax.while_loop(t_cond, t_body, (jnp.int32(CAP), bits))
+        ec_bits = jnp.where(mapped[:, None], bits, jnp.uint32(0))
     else:
         ec_bits = jnp.zeros((B, 0), jnp.uint32)
 
@@ -559,6 +632,7 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         nodes=nodes_buf,
         n_nodes=n_nodes,
         ec_bits=ec_bits,
+        ec_distinct=jnp.zeros((B, 0), jnp.int32),
     )
 
 
@@ -654,5 +728,6 @@ def device_index_from_image(image, config: AlignerConfig):
         seed_index=config.seed_index,
         cuckoo_mask=cuckoo_mask,
         pool_pad=pool_pad,
+        distinct_cap=config.distinct_cap,
     )
     return dev, meta

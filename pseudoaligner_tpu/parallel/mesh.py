@@ -80,6 +80,7 @@ def make_sharded_step(meta: MapMeta, mesh: Mesh, n_tx: int, axis: str = READS_AX
             nodes=P(axis),
             n_nodes=P(axis),
             ec_bits=P(axis),
+            ec_distinct=P(axis),
         ),
         P(),
     )
@@ -111,7 +112,11 @@ class ShardedAligner:
         from ..ops.map_kernel import device_index_from_image
 
         self.mesh = mesh if mesh is not None else make_mesh()
+        import dataclasses
+
         dev, meta = device_index_from_image(image, config)
+        # the psum TCC-count path consumes EC bitsets on device
+        meta = dataclasses.replace(meta, distinct_cap=0)
         self.meta = meta
         self.config = config
         self.n_tx = len(image.tx_names)

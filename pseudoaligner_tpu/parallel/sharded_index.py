@@ -257,6 +257,7 @@ def make_kpart_step(
         MapResult(
             mapped=P(axis), coverage=P(axis), mismatches=P(axis),
             nodes=P(axis), n_nodes=P(axis), ec_bits=P(axis),
+            ec_distinct=P(axis),
         ),
         P(),
         P(),
@@ -287,7 +288,10 @@ class KmerPartitionedAligner:
         S = int(mesh.devices.size)
         if S & (S - 1):
             raise ValueError("mesh size must be a power of two")
+        import dataclasses
+
         dev, meta = device_index_from_image(image, config)
+        meta = dataclasses.replace(meta, distinct_cap=0)
         self.meta = meta
         self.config = config
         self.n_tx = len(image.tx_names)

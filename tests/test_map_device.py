@@ -30,6 +30,7 @@ def _check_parity(image, reads, use_bitset=True):
         max_read_len=64,
         max_nodes=64,
         bitset_tx_threshold=1 << 20 if use_bitset else 0,
+        distinct_cap=0,  # full debug outputs for node-level parity
     )
     al = Pseudoaligner(image, cfg)
     golden = GoldenAligner(image)
@@ -98,3 +99,21 @@ def test_device_handles_short_and_padded_reads(small_index):
     assert not mapped[1]
     assert not mapped[2:].any()
     assert np.asarray(res.coverage)[0] == 40
+
+
+def test_compact_output_parity(small_index, small_reads):
+    """Compact serving outputs (distinct EC ids + host CSR materialization)
+    must produce identical records to the full debug path."""
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    base = AlignerConfig(k=20, batch_size=256, max_read_len=64, max_nodes=64,
+                         distinct_cap=0)
+    compact = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                            max_nodes=64, distinct_cap=4)
+    a1 = Pseudoaligner(small_index, base)
+    a2 = Pseudoaligner(small_index, compact)
+    for batch in _make_batches(small_reads[:512], 256, 64):
+        r1 = a1.records_from_result(a1.map_batch_device(batch.codes, batch.lens), batch)
+        r2 = a2.records_from_result(a2.map_batch_device(batch.codes, batch.lens), batch)
+        for x, y in zip(r1, r2):
+            assert x == y, (x, y)

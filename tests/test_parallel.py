@@ -9,7 +9,8 @@ from pseudoaligner_tpu.parallel.mesh import ShardedAligner, make_mesh
 
 def test_sharded_matches_single_device(small_index, small_reads):
     assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
-    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=64)
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=64,
+                    distinct_cap=0)
 
     B, L = 64, 64
     codes = np.zeros((B, L), dtype=np.uint8)
@@ -43,7 +44,8 @@ def test_sharded_matches_single_device(small_index, small_reads):
 
 
 def test_mesh_sizes(small_index, small_reads):
-    cfg = AlignerConfig(k=20, batch_size=32, max_read_len=64, max_nodes=64)
+    cfg = AlignerConfig(k=20, batch_size=32, max_read_len=64, max_nodes=64,
+                    distinct_cap=0)
     B, L = 32, 64
     codes = np.zeros((B, L), dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)

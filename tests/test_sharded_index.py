@@ -39,7 +39,8 @@ def test_sharded_lookup_partition_covers_all_keys(small_index):
 
 @pytest.mark.parametrize("nd", [2, 8])
 def test_kpart_matches_replicated(small_index, small_reads, nd):
-    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=64)
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=64,
+                    distinct_cap=0)
     B, L = 64, 64
     codes, lens = _batch(small_reads, B, L)
 
