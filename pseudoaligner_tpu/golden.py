@@ -33,21 +33,48 @@ from .dna import kmer_to_pyint, pack_kmers
 from .index.image import IndexImage
 
 
-class GoldenAligner:
-    """Scalar oracle aligner over an IndexImage."""
+class _MphfBackedMap:
+    """Lazy exact kmer map: per-lookup MPHF probe + key verification —
+    skips the up-front dict build (used by the serving host fallback,
+    where only a handful of lookups ever happen)."""
 
     def __init__(self, image: IndexImage):
+        self._image = image
+        self._k = image.k
+
+    def get(self, key: int):
+        from .dna import pyint_to_kmer
+
+        img = self._image
+        kw = pyint_to_kmer(key, self._k)
+        slot = img.mphf.lookup(kw[None, :])[0]
+        if slot < 0 or not np.array_equal(img.kmer_keys[slot], kw):
+            return None
+        return int(img.kmer_node[slot]), int(img.kmer_offset[slot])
+
+
+class GoldenAligner:
+    """Scalar oracle aligner over an IndexImage.
+
+    lazy=True skips the up-front exact-map build and probes the MPHF per
+    lookup instead (same results; right tradeoff when only a few reads
+    will be mapped)."""
+
+    def __init__(self, image: IndexImage, lazy: bool = False):
         self.image = image
         self.k = image.k
-        # exact kmer -> (node, offset) map (MPHF probe + verification is
-        # semantically an exact lookup; see module docstring)
-        self._kmer_map: dict[int, tuple[int, int]] = {}
-        keys = image.kmer_keys
-        for slot in range(len(keys)):
-            self._kmer_map[kmer_to_pyint(keys[slot])] = (
-                int(image.kmer_node[slot]),
-                int(image.kmer_offset[slot]),
-            )
+        if lazy:
+            self._kmer_map = _MphfBackedMap(image)
+        else:
+            # exact kmer -> (node, offset) map (MPHF probe + verification is
+            # semantically an exact lookup; see module docstring)
+            self._kmer_map: dict[int, tuple[int, int]] = {}
+            keys = image.kmer_keys
+            for slot in range(len(keys)):
+                self._kmer_map[kmer_to_pyint(keys[slot])] = (
+                    int(image.kmer_node[slot]),
+                    int(image.kmer_offset[slot]),
+                )
 
     # -- graph accessors ---------------------------------------------------
 

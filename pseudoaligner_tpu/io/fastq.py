@@ -82,21 +82,137 @@ class FastqReader:
         max_len: int,
         segment_long: bool = False,
         window_overlap: int = 19,
+        use_native: bool = True,
     ):
-        self._records = read_fastq_records(path)
         self.batch_size = batch_size
         self.max_len = max_len
         self.segment_long = segment_long
         self.window_overlap = window_overlap
         self._read_index = 0
-        self._pending: list[tuple[str, np.ndarray, int]] = []
+        self._pending: list[tuple[str, np.ndarray, int, int]] = []
+        self._native = None
+        if use_native and not path.endswith(".gz"):
+            try:
+                from . import native as _native_mod
+                import mmap
+
+                f = open(path, "rb")
+                self._buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                self._file = f
+                self._off = 0
+                self._native = _native_mod
+            except Exception:
+                self._native = None
+        if self._native is None:
+            self._records = read_fastq_records(path)
 
     def __iter__(self) -> Iterator[ReadBatch]:
         while True:
-            batch = self._next_batch()
+            batch = (
+                self._next_batch_native()
+                if self._native is not None
+                else self._next_batch()
+            )
             if batch is None:
                 return
             yield batch
+
+    def _next_batch_native(self) -> ReadBatch | None:
+        """Bulk batch fill via the C scanner (pseudoaligner_tpu/io/native):
+        base codes are written directly in batch layout; long reads fall
+        back to the python windowing path."""
+        b, L = self.batch_size, self.max_len
+        codes = np.zeros((b, L), dtype=np.uint8)
+        lens = np.zeros(b, dtype=np.int32)
+        ids: list[str] = []
+        group: list[int] = []
+        offset: list[int] = []
+
+        # carried long-read windows first (group continuity across batches)
+        while len(ids) < b and self._pending:
+            rid, enc, g, off = self._pending.pop(0)
+            i = len(ids)
+            codes[i, : len(enc)] = enc
+            lens[i] = len(enc)
+            ids.append(rid)
+            group.append(g)
+            offset.append(off)
+
+        k = len(ids)
+        if k < b:
+            n, scodes, slens, id_spans, seq_off, resume = self._native.fastq_scan(
+                self._buf, self._off, b - k, L
+            )
+            if n == 0 and resume < len(self._buf) and self._off < len(self._buf):
+                raise ValueError("truncated FASTQ record")
+            self._off = resume
+            buf = self._buf
+            long_mask = slens > L
+            if not long_mask.any():
+                # fast path: bulk placement, no per-row python work beyond ids
+                codes[k : k + n] = scodes[:n]
+                lens[k : k + n] = slens
+                base_g = self._read_index
+                self._read_index += n
+                for j in range(n):
+                    ids.append(
+                        bytes(
+                            buf[id_spans[j, 0] : id_spans[j, 0] + id_spans[j, 1]]
+                        ).decode()
+                    )
+                group.extend(range(base_g, base_g + n))
+                offset.extend([0] * n)
+            else:
+                # slow path: expand long reads into window rows IN ORDER so
+                # a read's windows stay adjacent in the stream (the merge
+                # stage relies on group contiguity); overflow rows spill to
+                # the pending queue for the next batch
+                rows: list[tuple[str, np.ndarray, int, int]] = []
+                for j in range(n):
+                    rid = bytes(
+                        buf[id_spans[j, 0] : id_spans[j, 0] + id_spans[j, 1]]
+                    ).decode()
+                    g = self._read_index
+                    self._read_index += 1
+                    slen = int(slens[j])
+                    if slen <= L:
+                        rows.append((rid, scodes[j, :slen], g, 0))
+                        continue
+                    if not self.segment_long:
+                        raise ValueError(
+                            f"read {rid!r} length {slen} exceeds "
+                            f"max_read_len={L} (enable segment_long)"
+                        )
+                    raw = bytes(buf[seq_off[j] : seq_off[j] + slen])
+                    enc = _ENCODE_LUT[np.frombuffer(raw, dtype=np.uint8)]
+                    enc = np.where(enc == 255, 0, enc).astype(np.uint8)
+                    stride = L - self.window_overlap
+                    p = 0
+                    while True:
+                        rows.append((rid, enc[p : p + L], g, p))
+                        if p + L >= slen:
+                            break
+                        p = min(p + stride, slen - L)
+                for row in rows:
+                    if len(ids) < b:
+                        rid, enc, g, off = row
+                        i = len(ids)
+                        codes[i, : len(enc)] = enc
+                        lens[i] = len(enc)
+                        ids.append(rid)
+                        group.append(g)
+                        offset.append(off)
+                    else:
+                        self._pending.append(row)
+        if not ids:
+            return None
+        return ReadBatch(
+            codes=codes,
+            lens=lens,
+            ids=ids,
+            group=np.asarray(group, dtype=np.int32),
+            offset=np.asarray(offset, dtype=np.int32),
+        )
 
     def _rows_for(self, rid: str, seq: bytes) -> list[tuple[str, np.ndarray, int]]:
         raw = np.frombuffer(seq, dtype=np.uint8)

@@ -1,0 +1,77 @@
+"""ctypes bridge to the native FASTQ scanner (see parser.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libpaparser.so")
+_SRC = os.path.join(_DIR, "parser.cpp")
+_lock = threading.Lock()
+_lib = None
+
+
+def _ensure_built() -> str:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    try:
+        subprocess.run(["make", "-C", _DIR, "libpaparser.so"],
+                       check=True, capture_output=True)
+    except Exception:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+             _SRC, "-o", _SO],
+            check=True, capture_output=True)
+    return _SO
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_ensure_built())
+            lib.pa_fastq_scan.restype = ctypes.c_int64
+            lib.pa_fastq_scan.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            _lib = lib
+    return _lib
+
+
+def fastq_scan(buf, start: int, max_reads: int, L: int):
+    """Scan up to max_reads records from buf[start:] (bytes or mmap).
+
+    Returns (n, codes [max,L] u8, lens [n], id_spans [n,2], seq_off [n],
+    resume_off).  Raises on malformed records."""
+    lib = _load()
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    codes = np.zeros((max_reads, L), dtype=np.uint8)
+    lens = np.zeros(max_reads, dtype=np.int32)
+    id_off = np.zeros(2 * max_reads, dtype=np.int64)
+    seq_off = np.zeros(max_reads, dtype=np.int64)
+    resume = ctypes.c_int64(0)
+    n = lib.pa_fastq_scan(
+        arr.ctypes.data, len(arr), start, max_reads, L,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        id_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(resume),
+    )
+    if n < 0:
+        raise ValueError("malformed FASTQ record")
+    return (
+        int(n), codes, lens[:n], id_off[: 2 * n].reshape(-1, 2),
+        seq_off[:n], int(resume.value),
+    )

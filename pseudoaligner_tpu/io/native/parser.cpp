@@ -1,0 +1,100 @@
+// Native FASTQ scanner — the host data-loader hot path.
+//
+// TPU-native equivalent of the reference's rust-bio FASTQ reader + worker
+// threads pulling records off a mutex (reference: src/pseudoaligner.rs:
+// 430-450, src/utils.rs:152-157 [dep]): here the parse feeds fixed-shape
+// device batches, so the scanner writes base codes straight into the
+// [B, L] batch buffer (A=0,C=1,G=2,T=3; other bytes -> 0, matching
+// DnaString::from_dna_string's handling) and reports id/sequence spans so
+// Python materializes names lazily.
+//
+// Input is a caller-provided buffer (Python mmaps the file, or feeds
+// decompressed gzip chunks); records split across the buffer end are left
+// for the next call via the returned resume offset.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+inline const char* find_nl(const char* p, const char* end) {
+  const void* q = memchr(p, '\n', (size_t)(end - p));
+  return q ? (const char*)q : nullptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of parsed reads (>= 0), or -1 on malformed input.
+// Outputs per read i:
+//   lens[i]      — sequence length (bases)
+//   id_off[2i]   — offset of the id (after '@', first token), id_off[2i+1] length
+//   seq_off[i]   — offset of the sequence line in buf
+//   codes[i*L..] — base codes for the first min(len, L) bases
+// *resume_off    — buffer offset of the first unconsumed byte (start of the
+//                  first incomplete record)
+int64_t pa_fastq_scan(const char* buf, int64_t n, int64_t start,
+                      int64_t max_reads, int32_t L, uint8_t* codes,
+                      int32_t* lens, int64_t* id_off, int64_t* seq_off,
+                      int64_t* resume_off) {
+  static uint8_t lut[256];
+  static bool init = false;
+  if (!init) {
+    memset(lut, 0, sizeof(lut));
+    lut['A'] = 0; lut['C'] = 1; lut['G'] = 2; lut['T'] = 3;
+    lut['a'] = 0; lut['c'] = 1; lut['g'] = 2; lut['t'] = 3;
+    init = true;
+  }
+  const char* base = buf;
+  const char* end = buf + n;
+  const char* p = buf + start;
+  int64_t count = 0;
+
+  while (count < max_reads) {
+    const char* rec_start = p;
+    if (p >= end) break;
+    if (*p != '@') return -1;
+    const char* h_end = find_nl(p, end);
+    if (!h_end) break;
+    // id = first whitespace-delimited token after '@'
+    const char* id_s = p + 1;
+    const char* id_e = id_s;
+    const char* h_stop = (h_end > id_s && h_end[-1] == '\r') ? h_end - 1 : h_end;
+    while (id_e < h_stop && *id_e != ' ' && *id_e != '\t') id_e++;
+
+    const char* s = h_end + 1;
+    const char* s_end = find_nl(s, end);
+    if (!s_end) { p = rec_start; break; }
+    const char* s_stop = (s_end > s && s_end[-1] == '\r') ? s_end - 1 : s_end;
+
+    const char* plus = s_end + 1;
+    const char* plus_end = find_nl(plus, end);
+    if (!plus_end) { p = rec_start; break; }
+    if (plus >= end || *plus != '+') return -1;
+
+    const char* q = plus_end + 1;
+    const char* q_end = find_nl(q, end);
+    if (!q_end) {
+      // final record may lack a trailing newline: accept if the qual line
+      // is complete (same length as seq) at buffer end
+      if (end - q >= s_stop - s) q_end = end - 1; else { p = rec_start; break; }
+    }
+
+    int64_t slen = s_stop - s;
+    lens[count] = (int32_t)slen;
+    id_off[2 * count] = id_s - base;
+    id_off[2 * count + 1] = id_e - id_s;
+    seq_off[count] = s - base;
+    int64_t ncopy = slen < L ? slen : L;
+    uint8_t* dst = codes + count * (int64_t)L;
+    for (int64_t i = 0; i < ncopy; i++) dst[i] = lut[(uint8_t)s[i]];
+    if (ncopy < L) memset(dst + ncopy, 0, (size_t)(L - ncopy));
+    count++;
+    p = q_end + 1;
+  }
+  *resume_off = p - base;
+  return count;
+}
+
+}  // extern "C"

@@ -192,7 +192,7 @@ class Pseudoaligner:
         if not hasattr(self, "_golden"):
             from ..golden import GoldenAligner
 
-            self._golden = GoldenAligner(self.image)
+            self._golden = GoldenAligner(self.image, lazy=True)
         r = self._golden.map_read_with_mismatch(
             read_codes, self.config.allowed_mismatches
         )

@@ -1,0 +1,63 @@
+"""Native FASTQ scanner vs the python reader — identical batches."""
+
+import numpy as np
+import pytest
+
+from pseudoaligner_tpu.io.fastq import FastqReader
+
+native = pytest.importorskip("pseudoaligner_tpu.io.native")
+
+REF_FASTQ = "/root/reference/test/small.fq"
+
+
+def _collect(reader):
+    out = []
+    for b in reader:
+        for i, rid in enumerate(b.ids):
+            g = int(b.group[i]) if b.group is not None else i
+            off = int(b.offset[i]) if b.offset is not None else 0
+            out.append((rid, b.codes[i, : b.lens[i]].tolist(), g, off))
+    return out
+
+
+def test_native_matches_python_on_bundled_fastq():
+    a = _collect(FastqReader(REF_FASTQ, 257, 64, use_native=False))
+    b = _collect(FastqReader(REF_FASTQ, 257, 64, use_native=True))
+    assert len(a) == len(b) == 9309
+    assert a == b
+
+
+def test_native_long_read_segmentation(tmp_path):
+    seq = "ACGT" * 60  # 240 bases
+    fq = tmp_path / "long.fq"
+    fq.write_text(
+        f"@long1 extra tokens\n{seq}\n+\n{'I'*240}\n"
+        f"@short\nACGTACGTACGTACGTACGTACGT\n+\n{'I'*24}\n"
+    )
+    a = _collect(FastqReader(str(fq), 8, 64, segment_long=True, use_native=False))
+    b = _collect(FastqReader(str(fq), 8, 64, segment_long=True, use_native=True))
+    assert a == b
+    assert a[0][0] == "long1"  # id is first token only
+    groups = {g for _, _, g, _ in a}
+    assert len(groups) == 2
+
+
+def test_native_crlf_and_final_record_no_newline(tmp_path):
+    fq = tmp_path / "crlf.fq"
+    fq.write_bytes(b"@r1\r\nACGT\r\n+\r\nIIII\r\n@r2\nGGCC\n+\nIIII")
+    a = _collect(FastqReader(str(fq), 8, 64, use_native=False))
+    b = _collect(FastqReader(str(fq), 8, 64, use_native=True))
+    assert a == b
+    assert [x[0] for x in a] == ["r1", "r2"]
+    assert a[0][1] == [0, 1, 2, 3]
+
+
+def test_native_malformed(tmp_path):
+    fq = tmp_path / "bad.fq"
+    fq.write_text("@r1\nACGT\nOOPS\nIIII\n")
+    with pytest.raises(ValueError):
+        _collect(FastqReader(str(fq), 8, 64, use_native=True))
+    fq2 = tmp_path / "trunc.fq"
+    fq2.write_text("@r1\nACGT\n+\nIIII\n@r2\nACGT\n")
+    with pytest.raises(ValueError):
+        _collect(FastqReader(str(fq2), 8, 64, use_native=True))
