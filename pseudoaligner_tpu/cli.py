@@ -70,6 +70,12 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tcc", action="store_true",
                     help="also write kallisto-style output.ec/output.tsv "
                          "TCC files to the output directory")
+    sp.add_argument("--skip-reads", type=int, default=0,
+                    help="resume: skip the first N reads (append records "
+                         "for the remainder)")
+    sp.add_argument("--progress-file", default=None,
+                    help="write the running emitted-read count here after "
+                         "every batch (for restartable streaming)")
 
     sp = sub.add_parser(
         "count",
@@ -147,17 +153,26 @@ def cmd_map(args, outdir: str) -> int:
         tcc = TccCounter()
 
     if args.reads_fastq2:
+        if args.skip_reads:
+            print("--skip-reads is not supported in paired mode")
+            return 1
         records = aligner.map_fastq_paired(args.reads_fastq, args.reads_fastq2)
     else:
-        records = aligner.map_fastq(args.reads_fastq)
+        records = aligner.map_fastq(args.reads_fastq, skip_reads=args.skip_reads)
 
     read_counter = 0
     mapped_read_counter = 0
+    emitted = args.skip_reads
+    progress_every = max(1, args.batch_size)
     out = sys.stdout
     for rec in records:
         out.write(rec.format_reference_style() + "\n")
         if tcc is not None:
             tcc.add(rec.eq_class, mapped=rec.coverage > 0)
+        emitted += 1
+        if args.progress_file and emitted % progress_every == 0:
+            with open(args.progress_file, "w") as pf:
+                pf.write(str(emitted))
         if rec.flag:
             mapped_read_counter += 1
         read_counter += 1

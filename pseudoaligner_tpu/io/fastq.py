@@ -83,6 +83,7 @@ class FastqReader:
         segment_long: bool = False,
         window_overlap: int = 19,
         use_native: bool = True,
+        skip_reads: int = 0,
     ):
         self.batch_size = batch_size
         self.max_len = max_len
@@ -90,6 +91,7 @@ class FastqReader:
         self.window_overlap = window_overlap
         self._read_index = 0
         self._pending: list[tuple[str, np.ndarray, int, int]] = []
+        self._skip = skip_reads
         self._native = None
         if use_native and not path.endswith(".gz"):
             try:
@@ -105,6 +107,27 @@ class FastqReader:
                 self._native = None
         if self._native is None:
             self._records = read_fastq_records(path)
+        if self._skip:
+            self._do_skip(self._skip)
+
+    def _do_skip(self, n: int) -> None:
+        """Skip the first n reads (restartable streaming / resume)."""
+        if self._native is not None:
+            left = n
+            while left > 0:
+                got, _, _, _, _, resume = self._native.fastq_scan(
+                    self._buf, self._off, min(left, 65536), 1
+                )
+                if got == 0:
+                    break
+                self._off = resume
+                self._read_index += got
+                left -= got
+        else:
+            for _ in range(n):
+                if next(self._records, None) is None:
+                    break
+                self._read_index += 1
 
     def __iter__(self) -> Iterator[ReadBatch]:
         while True:

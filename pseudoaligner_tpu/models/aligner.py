@@ -202,20 +202,25 @@ class Pseudoaligner:
     # end-to-end streaming
     # ------------------------------------------------------------------
 
-    def map_fastq(self, path: str):
+    def map_fastq(self, path: str, skip_reads: int = 0):
         """Stream a FASTQ file; yields ReadRecord per read, in file order.
 
         Reads longer than the compiled batch width are segmented into
         overlapping windows on the host and their window results merged
         (EC = intersection of mapped windows' classes; coverage = summed,
         capped at read length — an approximation of the reference's
-        single-pass coverage for reads beyond the kernel width)."""
+        single-pass coverage for reads beyond the kernel width).
+
+        skip_reads: resume support — skip the first N reads (restartable
+        streaming; the reference has no mid-stream resume, SURVEY.md §5.4).
+        """
         reader = FastqReader(
             path,
             batch_size=self.config.batch_size,
             max_len=self.config.max_read_len,
             segment_long=True,
             window_overlap=self.config.k - 1,
+            skip_reads=skip_reads,
         )
         yield from self._merge_windows(self._stream_batches(reader))
 

@@ -108,3 +108,20 @@ def test_inspect(cli_index):
     r = run_cli(["inspect", "-i", cli_index])
     assert r.returncode == 0, r.stderr
     assert "n_kmers" in r.stdout
+
+
+def test_map_resume_skip_reads(cli_index, tmp_path):
+    fq = tmp_path / "reads.fq"
+    with open("/root/reference/test/small.fq") as f:
+        head = [next(f) for _ in range(800)]
+    fq.write_text("".join(head))
+    full = run_cli(["map", "-i", cli_index, str(fq), "--batch-size", "64",
+                    "--max-read-len", "64"])
+    part = run_cli(["map", "-i", cli_index, str(fq), "--batch-size", "64",
+                    "--max-read-len", "64", "--skip-reads", "120",
+                    "--progress-file", str(tmp_path / "prog")])
+    assert part.returncode == 0, part.stderr
+    flines = full.stdout.strip().splitlines()
+    plines = part.stdout.strip().splitlines()
+    assert plines == flines[120:]
+    assert int((tmp_path / "prog").read_text()) >= 120
