@@ -99,25 +99,39 @@ def main():
     aligner.records_from_result(r0, rb0)
     setup_s = time.time() - t_setup
 
-    # pipelined end-to-end: dispatch batch k+1, then materialize records
-    # for batch k while the device works (the map_fastq serving pattern)
+    # pipelined end-to-end: dispatch batch k+1, then emit batch k's records
+    # natively while the device works (the emit_fastq serving pattern)
+    devnull = open(os.devnull, "wb")
+
+    try:
+        from pseudoaligner_tpu.io import native  # noqa: F401
+
+        def consume(res, rb):
+            data = aligner.emit_batch(res, rb)
+            devnull.write(data)
+            return len(rb.ids), data.count(b", [], ")
+    except Exception:
+
+        def consume(res, rb):
+            recs = aligner.records_from_result(jax.device_get(res), rb)
+            return len(recs), sum(1 for r in recs if not r.eq_class)
+
     t0 = time.time()
     n_done = 0
-    n_mapped = 0
+    n_unmapped = 0
     pending = None
     for codes, ls in batches[1:]:
         fut = aligner.map_batch_device(codes, ls)
         if pending is not None:
-            res, rb = pending
-            recs = aligner.records_from_result(jax.device_get(res), rb)
-            n_done += len(recs)
-            n_mapped += sum(1 for r in recs if r.coverage > 0)
+            n, u = consume(*pending)
+            n_done += n
+            n_unmapped += u
         pending = (fut, make_rb(codes, ls))
-    res, rb = pending
-    recs = aligner.records_from_result(jax.device_get(res), rb)
-    n_done += len(recs)
-    n_mapped += sum(1 for r in recs if r.coverage > 0)
+    n, u = consume(*pending)
+    n_done += n
+    n_unmapped += u
     dt = time.time() - t0
+    n_mapped = n_done - n_unmapped
 
     rps = n_done / dt
     sys.stderr.write(

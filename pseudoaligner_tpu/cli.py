@@ -158,6 +158,33 @@ def cmd_map(args, outdir: str) -> int:
             return 1
         records = aligner.map_fastq_paired(args.reads_fastq, args.reads_fastq2)
     else:
+        # single-end fast path: whole-batch native record emission
+        try:
+            from .io import native  # noqa: F401
+
+            have_native = True
+        except Exception:
+            have_native = False
+        if have_native and not args.reads_fastq.endswith(".gz"):
+            def progress(n):
+                if args.progress_file:
+                    with open(args.progress_file, "w") as pf:
+                        pf.write(str(args.skip_reads + n))
+
+            n_reads, n_flagged = aligner.emit_fastq(
+                args.reads_fastq, sys.stdout.buffer,
+                skip_reads=args.skip_reads, tcc=tcc, progress_cb=progress,
+            )
+            sys.stdout.buffer.flush()
+            sys.stderr.write("\n")
+            if tcc is not None:
+                ec_path, tsv_path = tcc.write(outdir)
+                log.info("TCC written: %s, %s (%d classes, %d/%d reads mapped)",
+                         ec_path, tsv_path, len(tcc.counts), tcc.n_mapped,
+                         tcc.n_reads)
+            log.info("Done Mapping Reads (%d reads, %d flagged)",
+                     n_reads, n_flagged)
+            return 0
         records = aligner.map_fastq(args.reads_fastq, skip_reads=args.skip_reads)
 
     read_counter = 0

@@ -75,3 +75,50 @@ def fastq_scan(buf, start: int, max_reads: int, L: int):
         int(n), codes, lens[:n], id_off[: 2 * n].reshape(-1, 2),
         seq_off[:n], int(resume.value),
     )
+
+
+def _load_emit():
+    lib = _load()
+    if not hasattr(lib, "_emit_ready"):
+        lib.pa_emit_records.restype = ctypes.c_int64
+        lib.pa_emit_records.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_char_p),
+        ]
+        lib.pa_free_buf.restype = None
+        lib.pa_free_buf.argtypes = [ctypes.c_char_p]
+        lib._emit_ready = True
+    return lib
+
+
+def emit_records(flags, covs, ids_concat: bytes, id_offs, eq_offsets, eq_ids) -> bytes:
+    """Format a batch of records reference-style -> bytes (one line/read)."""
+    lib = _load_emit()
+    flags = np.ascontiguousarray(flags, dtype=np.uint8)
+    covs = np.ascontiguousarray(covs, dtype=np.int32)
+    id_offs = np.ascontiguousarray(id_offs, dtype=np.int64)
+    eq_offsets = np.ascontiguousarray(eq_offsets, dtype=np.int64)
+    eq_ids = np.ascontiguousarray(eq_ids, dtype=np.uint32)
+    out = ctypes.c_char_p()
+    n = len(flags)
+    ln = lib.pa_emit_records(
+        n,
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        covs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ids_concat,
+        id_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        eq_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        eq_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(out),
+    )
+    if ln < 0:
+        raise MemoryError("pa_emit_records allocation failed")
+    data = ctypes.string_at(out, ln)
+    lib.pa_free_buf(out)
+    return data

@@ -14,6 +14,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 
 namespace {
 
@@ -96,5 +97,56 @@ int64_t pa_fastq_scan(const char* buf, int64_t n, int64_t start,
   *resume_off = p - base;
   return count;
 }
+
+}  // extern "C"
+
+extern "C" {
+
+// Format a batch of mapping records in the reference's output style:
+//   (flag, "read_id", [e1, e2], cov)\n     (src/pseudoaligner.rs:490)
+// ids_concat: newline-free concatenated id bytes with id_offs[n+1] bounds;
+// eq_offsets[n+1] bounds into eq_ids.  Returns a malloc'd buffer in *out
+// (caller frees via pa_free_buf) and its length, or -1 on alloc failure.
+int64_t pa_emit_records(int64_t n, const uint8_t* flags, const int32_t* covs,
+                        const char* ids_concat, const int64_t* id_offs,
+                        const int64_t* eq_offsets, const uint32_t* eq_ids,
+                        char** out) {
+  // worst-case sizing: fixed parts + id lengths + 11 bytes per eq id + cov
+  int64_t cap = 0;
+  for (int64_t i = 0; i < n; i++) {
+    cap += 24 + (id_offs[i + 1] - id_offs[i]) +
+           12 * (eq_offsets[i + 1] - eq_offsets[i]) + 12;
+  }
+  char* buf = (char*)malloc((size_t)cap + 16);
+  if (!buf) return -1;
+  char* p = buf;
+
+  auto put_u32 = [&p](uint64_t v) {
+    char tmp[20];
+    int t = 0;
+    do { tmp[t++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (t) *p++ = tmp[--t];
+  };
+
+  for (int64_t i = 0; i < n; i++) {
+    if (flags[i]) { memcpy(p, "(true, \"", 8); p += 8; }
+    else { memcpy(p, "(false, \"", 9); p += 9; }
+    int64_t il = id_offs[i + 1] - id_offs[i];
+    memcpy(p, ids_concat + id_offs[i], (size_t)il); p += il;
+    memcpy(p, "\", [", 4); p += 4;
+    for (int64_t j = eq_offsets[i]; j < eq_offsets[i + 1]; j++) {
+      if (j > eq_offsets[i]) { *p++ = ','; *p++ = ' '; }
+      put_u32(eq_ids[j]);
+    }
+    memcpy(p, "], ", 3); p += 3;
+    put_u32((uint32_t)covs[i]);
+    *p++ = ')';
+    *p++ = '\n';
+  }
+  *out = buf;
+  return p - buf;
+}
+
+void pa_free_buf(char* p) { free(p); }
 
 }  // extern "C"

@@ -148,7 +148,8 @@ class Pseudoaligner:
                 elif row[-1] == -2:
                     eq_of_sig.append(None)  # overflow -> exact host re-map
                 else:
-                    ids = tuple(int(x) for x in row[row >= 0])
+                    # device emits raw push-order ids; dedup here
+                    ids = tuple(sorted({int(x) for x in row if x >= 0}))
                     eq_of_sig.append(
                         self.image.ec_list(ids[0]).tolist()
                         if len(ids) == 1
@@ -186,6 +187,173 @@ class Pseudoaligner:
             flag = c >= thresh and len(eq) == 0
             out.append(ReadRecord(flag, rid, eq, c))
         return out
+
+    # ------------------------------------------------------------------
+    # native batch emit (the serving fast path)
+    # ------------------------------------------------------------------
+
+    def emit_batch(self, result: MapResult, batch: ReadBatch, tcc=None) -> bytes:
+        """Format a whole batch's records reference-style via the native
+        emitter — no per-read python objects.  Compact mode, no window
+        groups (caller routes long-read batches through the record path).
+        Returns the formatted bytes; updates `tcc` counts if given."""
+        from ..io import native as _native
+
+        n = len(batch.ids)
+        cov = np.asarray(result.coverage)[:n].astype(np.int32)
+        dist = np.asarray(result.ec_distinct)[:n]
+        uniq, inv = np.unique(dist, axis=0, return_inverse=True)
+
+        sig_lists: list[np.ndarray] = []
+        for row in uniq:
+            if row[0] < 0:
+                sig_lists.append(np.zeros(0, np.uint32))
+            elif row[-1] == -2:
+                sig_lists.append(None)  # per-read overflow, patched below
+            else:
+                ids = tuple(sorted({int(x) for x in row if x >= 0}))
+                eq = (
+                    self.image.ec_list(ids[0]).tolist()
+                    if len(ids) == 1
+                    else self._ec_from_distinct(ids)
+                )
+                sig_lists.append(np.asarray(eq, dtype=np.uint32))
+
+        sig_lens = np.array(
+            [len(x) if x is not None else 0 for x in sig_lists], dtype=np.int64
+        )
+        sig_start = np.zeros(len(sig_lists) + 1, dtype=np.int64)
+        np.cumsum(sig_lens, out=sig_start[1:])
+        sig_flat = (
+            np.concatenate([x if x is not None else np.zeros(0, np.uint32)
+                            for x in sig_lists])
+            if sig_lists else np.zeros(0, np.uint32)
+        )
+
+        lens_per_read = sig_lens[inv]
+        overflow_rows = [i for i in range(n) if sig_lists[inv[i]] is None]
+        overflow_eq = {}
+        for i in overflow_rows:
+            eq = self._remap_exact(batch.codes[i, : batch.lens[i]])
+            overflow_eq[i] = np.asarray(eq, dtype=np.uint32)
+            lens_per_read[i] = len(eq)
+
+        eq_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens_per_read, out=eq_offsets[1:])
+        total = int(eq_offsets[-1])
+        eq_ids = np.zeros(total, dtype=np.uint32)
+        # vectorized expansion of signature lists into per-read ranges
+        src = np.repeat(sig_start[inv], lens_per_read) + (
+            np.arange(total) - np.repeat(eq_offsets[:-1], lens_per_read)
+        )
+        normal = np.repeat(
+            np.array([sig_lists[s] is not None for s in inv]), lens_per_read
+        )
+        eq_ids[normal] = sig_flat[src[normal].astype(np.int64)]
+        for i in overflow_rows:
+            eq_ids[eq_offsets[i] : eq_offsets[i + 1]] = overflow_eq[i]
+
+        flags = (
+            (cov >= self.config.read_coverage_threshold) & (lens_per_read == 0)
+        ).astype(np.uint8)
+
+        id_lens = np.array([len(s) for s in batch.ids], dtype=np.int64)
+        id_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(id_lens, out=id_offs[1:])
+        ids_concat = "".join(batch.ids).encode()
+
+        if tcc is not None:
+            tcc.n_reads += n
+            for si in np.bincount(inv, minlength=len(sig_lists)).nonzero()[0]:
+                cnt = int((inv == si).sum())
+                lst = sig_lists[si]
+                if lst is None or len(lst) == 0:
+                    continue
+                key = tuple(int(x) for x in lst)
+                j = tcc.classes.get(key)
+                if j is None:
+                    j = len(tcc.counts)
+                    tcc.classes[key] = j
+                    tcc.counts.append(0)
+                tcc.counts[j] += cnt
+                tcc.n_mapped += cnt
+            for i in overflow_rows:
+                if len(overflow_eq[i]):
+                    tcc.add(overflow_eq[i].tolist())
+                    tcc.n_reads -= 1  # add() already counted the read
+
+        return _native.emit_records(flags, cov, ids_concat, id_offs,
+                                    eq_offsets, eq_ids)
+
+    def emit_fastq(self, path: str, out, skip_reads: int = 0, tcc=None,
+                   progress_cb=None):
+        """Stream a FASTQ and write reference-style records to `out` (a
+        binary stream) via the native emitter.  Falls back to the record
+        path for batches containing segmented long reads.  Returns
+        (n_reads, n_flagged)."""
+        reader = FastqReader(
+            path,
+            batch_size=self.config.batch_size,
+            max_len=self.config.max_read_len,
+            segment_long=True,
+            window_overlap=self.config.k - 1,
+            skip_reads=skip_reads,
+        )
+        n_reads = 0
+        n_flagged = 0
+        pending = None
+        merge_state = None  # incremental window-merge carry across batches
+
+        def put_record(rec):
+            nonlocal n_reads, n_flagged
+            out.write(rec.format_reference_style().encode() + b"\n")
+            if tcc is not None:
+                tcc.add(rec.eq_class, mapped=rec.coverage > 0)
+            n_reads += 1
+            n_flagged += rec.flag
+
+        def flush(res, batch, next_first_group):
+            nonlocal n_reads, n_flagged, merge_state
+            grp = batch.group
+            n = len(batch.ids)
+            simple = (
+                self.meta.distinct_cap > 0
+                and merge_state is None
+                and grp is not None
+                and len(np.unique(grp)) == n
+                and (next_first_group is None or int(grp[n - 1]) != next_first_group)
+            )
+            if simple:
+                data = self.emit_batch(res, batch, tcc=tcc)
+                out.write(data)
+                n_reads += n
+                n_flagged += int(data.count(b"(true"))
+            else:
+                for rec, g, end in self._batch_rows(res, batch):
+                    merge_state, done = self._merge_push(merge_state, rec, g, end)
+                    if done is not None:
+                        put_record(done)
+                if next_first_group is None or (
+                    merge_state is not None and merge_state[0] != next_first_group
+                ):
+                    if merge_state is not None:
+                        put_record(
+                            self._finalize_merged(merge_state[1], merge_state[2])
+                        )
+                        merge_state = None
+
+        for batch in reader:
+            res = self.map_batch_device(batch.codes, batch.lens)
+            if pending is not None:
+                flush(*pending, int(batch.group[0]) if batch.group is not None else None)
+                if progress_cb is not None:
+                    progress_cb(n_reads)
+            pending = (res, batch)
+        if pending is not None:
+            flush(*pending, None)
+            if progress_cb is not None:
+                progress_cb(n_reads)
+        return n_reads, n_flagged
 
     def _remap_exact(self, read_codes: np.ndarray) -> list[int]:
         """Host golden re-map for rare device-capped reads (bit-exact)."""
@@ -244,34 +412,34 @@ class Pseudoaligner:
             off = int(offset[i]) if offset is not None else 0
             yield rec, g, off + int(batch.lens[i])
 
-    def _merge_windows(self, rows):
-        """Merge per-window records of segmented long reads."""
+    def _merge_push(self, state, rec, g, end):
+        """Incremental window merger: push one row, return (state, done)
+        where done is a finalized ReadRecord or None."""
         from ..golden import intersect
 
-        cur = None  # (group, ReadRecord, read_end = max(offset+len))
+        if state is None:
+            return (g, rec, end), None
+        cg, crec, cend = state
+        if g != cg:
+            return (g, rec, end), self._finalize_merged(crec, cend)
+        if rec.coverage and crec.coverage:
+            eq = intersect(list(crec.eq_class), rec.eq_class)
+        elif rec.coverage:
+            eq = rec.eq_class
+        else:
+            eq = crec.eq_class
+        merged = ReadRecord(False, crec.read_id, eq, crec.coverage + rec.coverage)
+        return (cg, merged, max(cend, end)), None
+
+    def _merge_windows(self, rows):
+        """Merge per-window records of segmented long reads."""
+        state = None
         for rec, g, end in rows:
-            if cur is None:
-                cur = (g, rec, end)
-                continue
-            cg, crec, cend = cur
-            if g != cg:
-                yield self._finalize_merged(crec, cend)
-                cur = (g, rec, end)
-                continue
-            # same source read: merge this window in
-            if rec.coverage and crec.coverage:
-                eq = intersect(list(crec.eq_class), rec.eq_class)
-            elif rec.coverage:
-                eq = rec.eq_class
-            else:
-                eq = crec.eq_class
-            cur = (
-                cg,
-                ReadRecord(False, crec.read_id, eq, crec.coverage + rec.coverage),
-                max(cend, end),
-            )
-        if cur is not None:
-            yield self._finalize_merged(cur[1], cur[2])
+            state, done = self._merge_push(state, rec, g, end)
+            if done is not None:
+                yield done
+        if state is not None:
+            yield self._finalize_merged(state[1], state[2])
 
     def _finalize_merged(self, rec: ReadRecord, total_len: int) -> ReadRecord:
         cov = min(rec.coverage, total_len)

@@ -550,28 +550,28 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
     n_nodes = f_state["n_nodes"]
     mapped = n_nodes > 0
 
-    # ---- compact serving output: distinct EC ids per read ----
+    # ---- compact serving output: EC ids per read ----
     if meta.distinct_cap > 0:
         DC = meta.distinct_cap
+        M = meta.max_nodes
         v = ec_buf
-        # sort-based dedup (compact HLO; a quadratic compare network is
-        # slightly faster at runtime but explodes compile time)
-        SENT = jnp.int32(2**31 - 1)
-        v = jnp.sort(jnp.where(v >= 0, v, SENT), axis=1)
-        prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), v[:, :-1]], axis=1)
-        distinct = (v != prev) & (v != SENT)
-        pos = jnp.cumsum(distinct.astype(jnp.int32), axis=1) - 1
-        n_distinct = jnp.sum(distinct.astype(jnp.int32), axis=1)
-        out_cols = []
-        for d in range(DC):
-            sel = distinct & (pos == d)
-            val = jnp.sum(jnp.where(sel, v, 0), axis=1)
-            out_cols.append(jnp.where(jnp.any(sel, axis=1), val, -1))
-        ec_distinct = jnp.stack(out_cols, axis=1)
-        # mark truncation so the host re-maps those (rare) reads exactly
-        trunc = n_distinct > DC
+        # Emit the first DC visited-class ids RAW (push order, duplicates
+        # possible) — the host dedups per unique signature, which is
+        # cheaper than any on-device dedup (an in-graph sort of the loop
+        # buffer measured ~60ms; see PERF.md).  Flag lanes where a class
+        # id beyond column DC-1 is absent from the first DC columns: only
+        # those need an exact host re-map.
+        head = v[:, :DC]
+        extra = jnp.zeros((B,), bool)
+        for j in range(DC, M):
+            vj = v[:, j]
+            seen = jnp.zeros((B,), bool)
+            for i in range(DC):
+                seen |= head[:, i] == vj
+            extra |= (vj >= 0) & ~seen
+        ec_distinct = head
         ec_distinct = ec_distinct.at[:, DC - 1].set(
-            jnp.where(trunc, jnp.int32(-2), ec_distinct[:, DC - 1])
+            jnp.where(extra, jnp.int32(-2), ec_distinct[:, DC - 1])
         )
         return MapResult(
             mapped=mapped,

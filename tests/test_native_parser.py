@@ -61,3 +61,35 @@ def test_native_malformed(tmp_path):
     fq2.write_text("@r1\nACGT\n+\nIIII\n@r2\nACGT\n")
     with pytest.raises(ValueError):
         _collect(FastqReader(str(fq2), 8, 64, use_native=True))
+
+
+def test_emit_fastq_matches_record_path(small_index, tmp_path, small_reads):
+    """Native whole-batch emission == python record path, byte for byte,
+    including a segmented long read mid-stream."""
+    import io as _io
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.dna import decode_bases
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    seqs_src = [decode_bases(c) for _, c in small_reads[:150]]
+    long_seq = seqs_src[0] + seqs_src[1] + seqs_src[2]  # 180bp long read
+    fq = tmp_path / "mix.fq"
+    with open(fq, "w") as f:
+        for i, s in enumerate(seqs_src[:70]):
+            f.write(f"@r{i}\n{s}\n+\n{'I'*len(s)}\n")
+        f.write(f"@long\n{long_seq}\n+\n{'I'*len(long_seq)}\n")
+        for i, s in enumerate(seqs_src[70:]):
+            f.write(f"@s{i}\n{s}\n+\n{'I'*len(s)}\n")
+
+    cfg = AlignerConfig(k=20, batch_size=32, max_read_len=64, max_nodes=64)
+    al = Pseudoaligner(small_index, cfg)
+
+    buf = _io.BytesIO()
+    n_reads, n_flagged = al.emit_fastq(str(fq), buf)
+    emitted = buf.getvalue().decode().splitlines()
+
+    expected = [r.format_reference_style()
+                for r in al.map_fastq(str(fq))]
+    assert emitted == expected
+    assert n_reads == len(expected) == 151
