@@ -46,15 +46,44 @@ def build_or_load_index():
     return image
 
 
+_SEQ_CACHE = {}
+
+
+def _transcript_pool(read_len):
+    """Concatenated transcript windows source: every window lies within a
+    single transcript, as in the bundled small.fq recipe."""
+    if read_len not in _SEQ_CACHE:
+        from pseudoaligner_tpu.io.fasta import read_transcripts
+
+        seqs, _, _ = read_transcripts(REF_FASTA)
+        starts = []
+        base = 0
+        chunks = []
+        for s in seqs:
+            if len(s) >= read_len:
+                starts.append((base, len(s) - read_len + 1))
+            chunks.append(s)
+            base += len(s)
+        _SEQ_CACHE[read_len] = (np.concatenate(chunks), starts)
+    return _SEQ_CACHE[read_len]
+
+
 def synth_reads(image, n_reads, read_len=60, seed=0):
-    """Deterministic reads: 1/3 exact windows, 1/3 one-SNP, 1/3 reversed
-    (negative controls) — the bundled small.fq recipe at scale."""
+    """Deterministic reads: 1/3 exact transcript windows, 1/3 one-SNP,
+    1/3 reversed (negative controls) — the bundled small.fq recipe at
+    scale (each window lies within one transcript)."""
     rng = np.random.default_rng(seed)
-    # windows from the graph's own sequence pool for realistic locality
-    pool = image.seq_pool
-    starts = rng.integers(0, len(pool) - read_len, size=n_reads)
+    flat, startable = _transcript_pool(read_len)
+    # choose (transcript, offset) pairs weighted by windows available
+    bases = np.array([b for b, _ in startable], dtype=np.int64)
+    counts = np.array([c for _, c in startable], dtype=np.int64)
+    cum = np.cumsum(counts)
+    pick = rng.integers(0, cum[-1], size=n_reads)
+    tx = np.searchsorted(cum, pick, side="right")
+    off = pick - (cum[tx] - counts[tx])
+    starts = bases[tx] + off
     idx = starts[:, None] + np.arange(read_len)[None, :]
-    reads = pool[idx].astype(np.int32)
+    reads = flat[idx].astype(np.int32)
     third = n_reads // 3
     # SNPs in the middle third
     pos = rng.integers(0, read_len, size=third)

@@ -80,10 +80,12 @@ class AlignerConfig:
     # (BBHash bitvectors; ~8x more gathers per probe but ~2x less probe
     # memory, mirroring the reference's NoKeyBoomHashMap tradeoff).
     seed_index: str = "cuckoo"
-    # Compact device outputs for serving: per-read distinct-EC id lists
-    # (host CSR materialization) instead of node buffers + EC bitsets.
-    # Cuts result transfer ~10x; 0 = full debug outputs.
-    distinct_cap: int = 8
+    # Compact device outputs for serving: per-read run-compacted EC id
+    # lists (host CSR materialization) instead of node buffers + EC
+    # bitsets.  Cuts result transfer ~6x; 0 = full debug outputs.  Reads
+    # with more class runs than the cap are re-mapped exactly on the
+    # overflow path (~0.1% at 16 on the bundled workload).
+    distinct_cap: int = 16
 
     def __post_init__(self):
         if self.k < 4 or self.k > 64:

@@ -157,6 +157,10 @@ class Pseudoaligner:
                     )
             covl = cov.tolist()
             mappedl = mapped.tolist()
+            overflow_rows = [
+                i for i in range(n) if mappedl[i] and eq_of_sig[inv[i]] is None
+            ]
+            overflow_eq = self._remap_rows(batch, overflow_rows)
             out = []
             for i, rid in enumerate(batch.ids):
                 if not mappedl[i]:
@@ -164,7 +168,7 @@ class Pseudoaligner:
                     continue
                 eq = eq_of_sig[inv[i]]
                 if eq is None:
-                    eq = self._remap_exact(batch.codes[i, : batch.lens[i]])
+                    eq = [int(x) for x in overflow_eq[i]]
                 c = covl[i]
                 out.append(ReadRecord(c >= thresh and not eq, rid, eq, c))
             return out
@@ -232,11 +236,9 @@ class Pseudoaligner:
 
         lens_per_read = sig_lens[inv]
         overflow_rows = [i for i in range(n) if sig_lists[inv[i]] is None]
-        overflow_eq = {}
+        overflow_eq = self._remap_rows(batch, overflow_rows)
         for i in overflow_rows:
-            eq = self._remap_exact(batch.codes[i, : batch.lens[i]])
-            overflow_eq[i] = np.asarray(eq, dtype=np.uint32)
-            lens_per_read[i] = len(eq)
+            lens_per_read[i] = len(overflow_eq[i])
 
         eq_offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens_per_read, out=eq_offsets[1:])
@@ -365,6 +367,44 @@ class Pseudoaligner:
             read_codes, self.config.allowed_mismatches
         )
         return r[0] if r is not None else []
+
+    def _remap_rows(self, batch: ReadBatch, rows: list[int]) -> dict:
+        """Exact re-map of distinct-cap overflow reads via a small device
+        batch in full-output mode (node lists -> host CSR intersection) —
+        far cheaper than the scalar golden walk when dozens of reads
+        overflow in one batch."""
+        if not rows:
+            return {}
+        B2 = 1024
+        if not hasattr(self, "_remap_step"):
+            import dataclasses
+            from functools import partial
+
+            from ..ops.map_kernel import map_batch_packed
+
+            meta_full = dataclasses.replace(
+                self.meta, distinct_cap=0, tx_words=0
+            )
+            self._remap_step = jax.jit(partial(map_batch_packed, meta_full))
+        out: dict[int, np.ndarray] = {}
+        L = self.meta.read_len
+        for c0 in range(0, len(rows), B2):
+            chunk = rows[c0 : c0 + B2]
+            codes = np.zeros((B2, L), dtype=np.uint8)
+            lens = np.zeros(B2, dtype=np.int32)
+            for j, i in enumerate(chunk):
+                codes[j] = batch.codes[i]
+                lens[j] = batch.lens[i]
+            packed = pack_reads_host(codes)
+            res = jax.device_get(self._remap_step(self.dev, packed, lens))
+            nodes = np.asarray(res.nodes)
+            nn = np.asarray(res.n_nodes)
+            for j, i in enumerate(chunk):
+                eq = (
+                    self._ec_from_nodes(nodes[j, : nn[j]]) if nn[j] else []
+                )
+                out[i] = np.asarray(eq, dtype=np.uint32)
+        return out
 
     # ------------------------------------------------------------------
     # end-to-end streaming

@@ -553,23 +553,25 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
     # ---- compact serving output: EC ids per read ----
     if meta.distinct_cap > 0:
         DC = meta.distinct_cap
-        M = meta.max_nodes
         v = ec_buf
-        # Emit the first DC visited-class ids RAW (push order, duplicates
-        # possible) — the host dedups per unique signature, which is
-        # cheaper than any on-device dedup (an in-graph sort of the loop
-        # buffer measured ~60ms; see PERF.md).  Flag lanes where a class
-        # id beyond column DC-1 is absent from the first DC columns: only
-        # those need an exact host re-map.
-        head = v[:, :DC]
-        extra = jnp.zeros((B,), bool)
-        for j in range(DC, M):
-            vj = v[:, j]
-            seen = jnp.zeros((B,), bool)
-            for i in range(DC):
-                seen |= head[:, i] == vj
-            extra |= (vj >= 0) & ~seen
-        ec_distinct = head
+        # Run-length compact the visited-class ids with dense ops (an
+        # in-graph sort of the loop buffer measured ~60ms; see PERF.md):
+        # consecutive equal ids collapse, which covers the dominant
+        # same-class node chains; the host set-dedups the rest per unique
+        # signature.  Lanes with more than DC runs carry the -2 marker and
+        # get an exact host re-map (rare: p99 distinct classes ~4).
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), -1, jnp.int32), v[:, :-1]], axis=1
+        )
+        newrun = (v >= 0) & (v != prev)
+        pos = jnp.cumsum(newrun.astype(jnp.int32), axis=1) - 1
+        out_cols = []
+        for d in range(DC):
+            sel = newrun & (pos == d)
+            val = jnp.sum(jnp.where(sel, v, 0), axis=1)
+            out_cols.append(jnp.where(jnp.any(sel, axis=1), val, -1))
+        ec_distinct = jnp.stack(out_cols, axis=1)
+        extra = jnp.any(newrun & (pos >= DC), axis=1)
         ec_distinct = ec_distinct.at[:, DC - 1].set(
             jnp.where(extra, jnp.int32(-2), ec_distinct[:, DC - 1])
         )
