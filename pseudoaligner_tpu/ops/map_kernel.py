@@ -565,13 +565,16 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         )
         newrun = (v >= 0) & (v != prev)
         pos = jnp.cumsum(newrun.astype(jnp.int32), axis=1) - 1
-        out_cols = []
-        for d in range(DC):
-            sel = newrun & (pos == d)
-            val = jnp.sum(jnp.where(sel, v, 0), axis=1)
-            out_cols.append(jnp.where(jnp.any(sel, axis=1), val, -1))
-        ec_distinct = jnp.stack(out_cols, axis=1)
+        # single drop-mode scatter compacts run heads into DC slots (a
+        # per-slot select loop is ~30 unfused tiny kernels at ~1.3ms
+        # dispatch each on this backend; see PERF.md)
+        M = v.shape[1]
+        rows2 = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
+        slot = jnp.where(newrun, jnp.minimum(pos, DC), DC)
+        out = jnp.full((B, DC + 1), -1, jnp.int32)
+        out = out.at[rows2, slot].set(v, mode="drop")
         extra = jnp.any(newrun & (pos >= DC), axis=1)
+        ec_distinct = out[:, :DC]
         ec_distinct = ec_distinct.at[:, DC - 1].set(
             jnp.where(extra, jnp.int32(-2), ec_distinct[:, DC - 1])
         )
