@@ -206,6 +206,9 @@ class Pseudoaligner:
         n = len(batch.ids)
         cov = np.asarray(result.coverage)[:n].astype(np.int32)
         dist = np.asarray(result.ec_distinct)[:n]
+        # dispatch the overflow re-map first so it overlaps the host work
+        overflow_rows = np.nonzero(dist[:, -1] == -2)[0].tolist()
+        remap_fut = self._remap_dispatch(batch, overflow_rows)
         uniq, inv = np.unique(dist, axis=0, return_inverse=True)
 
         sig_lists: list[np.ndarray] = []
@@ -235,8 +238,7 @@ class Pseudoaligner:
         )
 
         lens_per_read = sig_lens[inv]
-        overflow_rows = [i for i in range(n) if sig_lists[inv[i]] is None]
-        overflow_eq = self._remap_rows(batch, overflow_rows)
+        overflow_eq = self._remap_collect(remap_fut)
         for i in overflow_rows:
             lens_per_read[i] = len(overflow_eq[i])
 
@@ -368,13 +370,13 @@ class Pseudoaligner:
         )
         return r[0] if r is not None else []
 
-    def _remap_rows(self, batch: ReadBatch, rows: list[int]) -> dict:
-        """Exact re-map of distinct-cap overflow reads via a small device
-        batch in full-output mode (node lists -> host CSR intersection) —
-        far cheaper than the scalar golden walk when dozens of reads
-        overflow in one batch."""
+    def _remap_dispatch(self, batch: ReadBatch, rows: list[int]):
+        """Start the exact re-map of distinct-cap overflow reads: one small
+        device batch in full-output mode, dispatched asynchronously so the
+        host's signature work overlaps it.  Returns an opaque handle for
+        _remap_collect."""
         if not rows:
-            return {}
+            return None
         B2 = 1024
         if not hasattr(self, "_remap_step"):
             import dataclasses
@@ -386,8 +388,8 @@ class Pseudoaligner:
                 self.meta, distinct_cap=0, tx_words=0
             )
             self._remap_step = jax.jit(partial(map_batch_packed, meta_full))
-        out: dict[int, np.ndarray] = {}
         L = self.meta.read_len
+        futures = []
         for c0 in range(0, len(rows), B2):
             chunk = rows[c0 : c0 + B2]
             codes = np.zeros((B2, L), dtype=np.uint8)
@@ -396,15 +398,26 @@ class Pseudoaligner:
                 codes[j] = batch.codes[i]
                 lens[j] = batch.lens[i]
             packed = pack_reads_host(codes)
-            res = jax.device_get(self._remap_step(self.dev, packed, lens))
+            futures.append((chunk, self._remap_step(self.dev, packed, lens)))
+        return futures
+
+    def _remap_collect(self, futures) -> dict:
+        """Harvest _remap_dispatch results -> {row: eq array}."""
+        out: dict[int, np.ndarray] = {}
+        if not futures:
+            return out
+        for chunk, fut in futures:
+            res = jax.device_get(fut)
             nodes = np.asarray(res.nodes)
             nn = np.asarray(res.n_nodes)
             for j, i in enumerate(chunk):
-                eq = (
-                    self._ec_from_nodes(nodes[j, : nn[j]]) if nn[j] else []
-                )
+                eq = self._ec_from_nodes(nodes[j, : nn[j]]) if nn[j] else []
                 out[i] = np.asarray(eq, dtype=np.uint32)
         return out
+
+    def _remap_rows(self, batch: ReadBatch, rows: list[int]) -> dict:
+        """Synchronous exact re-map (dispatch + collect)."""
+        return self._remap_collect(self._remap_dispatch(batch, rows))
 
     # ------------------------------------------------------------------
     # end-to-end streaming
