@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import numpy as np
 
-from ..config import AlignerConfig, READ_COVERAGE_THRESHOLD
+from ..config import AlignerConfig
 from ..index.image import IndexImage
 from ..io.fastq import FastqReader, ReadBatch
 from ..ops.map_kernel import (
@@ -358,17 +358,6 @@ class Pseudoaligner:
             if progress_cb is not None:
                 progress_cb(n_reads)
         return n_reads, n_flagged
-
-    def _remap_exact(self, read_codes: np.ndarray) -> list[int]:
-        """Host golden re-map for rare device-capped reads (bit-exact)."""
-        if not hasattr(self, "_golden"):
-            from ..golden import GoldenAligner
-
-            self._golden = GoldenAligner(self.image, lazy=True)
-        r = self._golden.map_read_with_mismatch(
-            read_codes, self.config.allowed_mismatches
-        )
-        return r[0] if r is not None else []
 
     def _remap_dispatch(self, batch: ReadBatch, rows: list[int]):
         """Start the exact re-map of distinct-cap overflow reads: one small

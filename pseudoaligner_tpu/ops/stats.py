@@ -17,8 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kmers import all_kmers
-from .map_kernel import DeviceIndex, MapMeta, unpack_reads
-from .mphf_lookup import mphf_probe, verified_lookup
+from .map_kernel import DeviceIndex, MapMeta, unpack_reads  # noqa: F401
+from .mphf_lookup import mphf_probe
 
 
 @dataclass

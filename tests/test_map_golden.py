@@ -47,3 +47,10 @@ def test_random_read_unmapped(small_index):
     r = al.map_read(read)
     # random 60-mer almost surely finds no 20-mer seed
     assert r is None or r[1] < 60
+
+
+def test_lazy_golden_matches_eager(small_index, small_reads):
+    eager = GoldenAligner(small_index)
+    lazy = GoldenAligner(small_index, lazy=True)
+    for rid, read in small_reads[:20]:
+        assert eager.map_read(read) == lazy.map_read(read), rid
