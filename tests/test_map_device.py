@@ -23,11 +23,11 @@ def _make_batches(reads, B, L):
         yield ReadBatch(codes=codes, lens=lens, ids=ids)
 
 
-def _check_parity(image, reads, use_bitset=True):
+def _check_parity(image, reads, use_bitset=True, max_read_len=64):
     cfg = AlignerConfig(
         k=image.k,
         batch_size=256,
-        max_read_len=64,
+        max_read_len=max_read_len,
         max_nodes=64,
         bitset_tx_threshold=1 << 20 if use_bitset else 0,
         distinct_cap=0,  # full debug outputs for node-level parity
@@ -117,3 +117,65 @@ def test_compact_output_parity(small_index, small_reads):
         r2 = a2.records_from_result(a2.map_batch_device(batch.codes, batch.lens), batch)
         for x, y in zip(r1, r2):
             assert x == y, (x, y)
+
+
+def _k64_reads(small_transcripts, n=300, L=90, seed=17):
+    """Transcript windows >= k=64 long, with SNP and reversed variants."""
+    seqs, _, _ = small_transcripts
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        s = seqs[int(rng.integers(0, len(seqs)))]
+        if len(s) < L:
+            continue
+        st = int(rng.integers(0, len(s) - L + 1))
+        w = s[st : st + L].copy()
+        kind = i % 3
+        if kind == 1:  # SNP
+            p = int(rng.integers(0, L))
+            w[p] = (w[p] + 1 + rng.integers(0, 3)) % 4
+        elif kind == 2:  # reversed negative
+            w = w[::-1].copy()
+        out.append((f"k64r{i}", w))
+    return out
+
+
+def test_device_parity_k64(small_transcripts):
+    """Device engine parity at k=64 (4-word k-mers) — exercises the wide
+    kmer packing, hashing, cuckoo rows, and window compares."""
+    from pseudoaligner_tpu.index.builder import build_index
+
+    seqs, names, gene_map = small_transcripts
+    image = build_index(seqs, names, gene_map, k=64)
+    reads = _k64_reads(small_transcripts)
+    assert len(reads) > 200
+    _check_parity(image, reads, max_read_len=96)
+
+
+def test_device_parity_k64_mphf(small_transcripts):
+    """Same at k=64 through the MPHF seed-index mode."""
+    from pseudoaligner_tpu.index.builder import build_index
+
+    seqs, names, gene_map = small_transcripts
+    image = build_index(seqs, names, gene_map, k=64)
+    cfg = AlignerConfig(
+        k=64, batch_size=128, max_read_len=96, max_nodes=64,
+        seed_index="mphf", distinct_cap=0,
+    )
+    al = Pseudoaligner(image, cfg)
+    golden = GoldenAligner(image)
+    reads = _k64_reads(small_transcripts, n=256, seed=23)
+    checked = 0
+    for batch in _make_batches(reads, 128, 96):
+        res = al.map_batch_device(batch.codes, batch.lens)
+        recs = al.records_from_result(res, batch)
+        for i, rid in enumerate(batch.ids):
+            read = batch.codes[i, : batch.lens[i]]
+            g = golden.map_read(read)
+            rec = recs[i]
+            if g is None:
+                assert rec.coverage == 0 and rec.eq_class == []
+            else:
+                assert rec.eq_class == g[0] and rec.coverage == g[1], rid
+            checked += 1
+    assert checked == len(reads)
