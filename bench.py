@@ -21,6 +21,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent XLA compilation cache: the mapping kernel's first compile costs
+# minutes on this backend; cached artifacts make repeat bench runs start in
+# seconds (must be set before the first jax backend use)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import numpy as np
 
 BASELINE_READS_PER_SEC = 100_000.0
@@ -106,7 +114,7 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", 32768))
     L = 60
-    n_batches = int(os.environ.get("BENCH_BATCHES", 32))
+    n_batches = int(os.environ.get("BENCH_BATCHES", 16))
     cfg = AlignerConfig(k=20, batch_size=B, max_read_len=L, max_nodes=32)
     aligner = Pseudoaligner(image, cfg)
 

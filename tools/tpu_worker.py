@@ -18,9 +18,17 @@ import time
 import traceback
 
 SPOOL = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_spool"
+IDLE_TIMEOUT_S = float(os.environ.get("TPU_WORKER_IDLE_TIMEOUT", 1800))
 os.makedirs(SPOOL, exist_ok=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# share the persistent XLA compilation cache with bench/CLI runs
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
 
 t0 = time.time()
 import jax  # noqa: E402
@@ -33,11 +41,19 @@ namespace: dict = {"jax": jax}
 done_marker = os.path.join(SPOOL, "_ready")
 open(done_marker, "w").write(str(devs))
 
+last_work = time.time()
 while True:
+    # auto-release the (single-tenant) chip if idle: a forgotten worker
+    # must never block another claimant
+    if time.time() - last_work > IDLE_TIMEOUT_S:
+        print("[worker] idle timeout — releasing TPU", flush=True)
+        break
     scripts = sorted(
         f for f in os.listdir(SPOOL)
         if f.endswith(".py") and not os.path.exists(os.path.join(SPOOL, f + ".out"))
     )
+    if scripts:
+        last_work = time.time()
     for name in scripts:
         path = os.path.join(SPOOL, name)
         outpath = path + ".out"
