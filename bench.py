@@ -112,7 +112,7 @@ def main():
 
     image = build_or_load_index()
 
-    B = int(os.environ.get("BENCH_BATCH", 32768))
+    B = int(os.environ.get("BENCH_BATCH", 65536))
     L = 60
     n_batches = int(os.environ.get("BENCH_BATCHES", 16))
     cfg = AlignerConfig(k=20, batch_size=B, max_read_len=L, max_nodes=32)

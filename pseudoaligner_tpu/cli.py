@@ -64,7 +64,7 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("reads_fastq")
     sp.add_argument("reads_fastq2", nargs="?", default=None,
                     help="optional mate FASTQ — paired-end EC intersection")
-    sp.add_argument("--batch-size", type=int, default=8192)
+    sp.add_argument("--batch-size", type=int, default=32768)
     sp.add_argument("--max-read-len", type=int, default=160)
     sp.add_argument("-o", "--outdir", default=None)
     sp.add_argument("--tcc", action="store_true",
@@ -88,7 +88,7 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-o", "--outdir", default=None)
     sp.add_argument("--bc-len", type=int, default=16)
     sp.add_argument("--umi-len", type=int, default=12)
-    sp.add_argument("--batch-size", type=int, default=8192)
+    sp.add_argument("--batch-size", type=int, default=32768)
     sp.add_argument("--max-read-len", type=int, default=160)
 
     sp = sub.add_parser("mappability", help="per-transcript mappability report")
