@@ -80,6 +80,10 @@ class AlignerConfig:
     # (BBHash bitvectors; ~8x more gathers per probe but ~2x less probe
     # memory, mirroring the reference's NoKeyBoomHashMap tradeoff).
     seed_index: str = "cuckoo"
+    # Lazy stride-3 seeding: eager probes only at residue-0 positions
+    # (3x fewer seed gathers); re-seeds at other residues probe inside
+    # the walk loop (cuckoo mode only; ignored for mphf).
+    lazy_seeds: bool = True
     # Compact device outputs for serving: per-read run-compacted EC id
     # lists (host CSR materialization) instead of node buffers + EC
     # bitsets.  Cuts result transfer ~6x; 0 = full debug outputs.  Reads

@@ -21,7 +21,7 @@ are stored alongside for one-gather verification).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -88,6 +88,11 @@ class MapMeta:
     # bottleneck; EC list materialization moves to a memoized host CSR
     # intersection).  0 disables (full debug outputs).
     distinct_cap: int = 0
+    # Lazy seeding: eagerly probe only the stride-3 residue-0 positions
+    # (the initial scan's entire search space — 3x fewer probe gathers);
+    # re-seeds at other residues probe lazily inside the walk loop
+    # (cuckoo seed index only).
+    lazy_seeds: bool = False
 
     @property
     def n_positions(self) -> int:
@@ -213,6 +218,47 @@ def pad_packed_reads(meta: MapMeta, packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([z, packed, z], axis=1)
 
 
+def _rev2bit(x: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the sixteen 2-bit groups of each uint32 lane."""
+    x = ((x & jnp.uint32(0x0000FFFF)) << 16) | (x >> 16)
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+    return x
+
+
+def _kmer_at(meta: MapMeta, rp: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """k-mer words (dna.pack_kmers layout) at per-lane read position q.
+
+    The ascending packed window puts base (q+t) at bit 2t; the k-mer
+    layout wants the leftmost base most significant — so reverse each
+    16-base group and place groups at their static bit offsets.  Dense ops
+    only; used by the lazy re-seed probe inside the walk loop."""
+    from ..dna import kmer_words
+
+    k = meta.k
+    W = kmer_words(k)
+    fw_bases = read_front_words(meta) * 16
+    win = _extract_read_window(meta, rp, q + fw_bases)
+    n_groups = (k + 15) // 16
+    out = [jnp.zeros_like(win[:, 0]) for _ in range(W)]
+    for g in range(n_groups):
+        wg = win[:, g]
+        rem = k - 16 * g
+        if rem < 16:  # mask bases beyond k before reversing
+            wg = wg & jnp.uint32((1 << (2 * rem)) - 1)
+        rg = _rev2bit(wg)
+        s = 2 * k - 32 - 32 * g  # bit offset of this group's LSB
+        if s >= 0:
+            j0, sh = s // 32, s % 32
+            out[j0] = out[j0] | (rg << jnp.uint32(sh))
+            if sh and j0 + 1 < W:
+                out[j0 + 1] = out[j0 + 1] | (rg >> jnp.uint32(32 - sh))
+        else:
+            out[0] = out[0] | (rg >> jnp.uint32(-s))
+    return jnp.stack(out, axis=-1)
+
+
 def _mismatch_bits(meta: MapMeta, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Packed windows -> [B, L] int32 mismatch flags (static unpack)."""
     x = a ^ b
@@ -273,10 +319,22 @@ def cuckoo_lookup(meta: MapMeta, idx: DeviceIndex, words: jnp.ndarray):
 
 
 def _seed_tables(meta: MapMeta, idx: DeviceIndex, reads, lens):
-    """All-position verified seed lookup + stride-3 next-hit table."""
+    """All-position verified seed lookup + stride-3 next-hit table.
+
+    With meta.lazy_seeds, only the residue-0 positions (the initial
+    stride-3 scan's entire search space) are probed eagerly; other
+    residues stay misses in the table and are probed lazily inside the
+    walk loop when a re-seed lands there."""
     P = meta.n_positions
     kmers = all_kmers(reads, meta.k)  # [B, P, W]
-    if meta.seed_index == "cuckoo":
+    if meta.seed_index == "cuckoo" and meta.lazy_seeds:
+        B = reads.shape[0]
+        node3, off3 = cuckoo_lookup(meta, idx, kmers[:, ::3])
+        node = jnp.full((B, P), -1, jnp.int32)
+        off = jnp.full((B, P), -1, jnp.int32)
+        node = node.at[:, ::3].set(node3)
+        off = off.at[:, ::3].set(off3)
+    elif meta.seed_index == "cuckoo":
         node, off = cuckoo_lookup(meta, idx, kmers)
     else:
         node, off = verified_lookup(
@@ -476,8 +534,11 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
     def f_cond(s):
         return jnp.any(s["active"])
 
+    lazy = meta.lazy_seeds and meta.seed_index == "cuckoo"
+
     def f_body(s):
-        act = s["active"]
+        seeking = s["seeking"]
+        act = s["active"] & ~seeking  # lanes in walk mode this iteration
         fnode = jnp.clip(s["node"], 0, None)
         koff = s["koff"]
         kpos = s["kpos"] + k
@@ -508,21 +569,48 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         for b4 in range(4):
             nxt_node = jnp.where(nb == b4, nrow[:, 8 + b4], nxt_node)
 
-        # re-seed path (src/pseudoaligner.rs:285-299)
+        # re-seed path (src/pseudoaligner.rs:285-299): residue-0 positions
+        # resolve via the precomputed next-hit table; in lazy mode the
+        # other residues enter seek mode and probe in-loop
         can_seek = act & ~at_end & ~hasr & (kpos <= lens - k)
+        if lazy:
+            on_grid = (kpos % 3) == 0
+            tbl = can_seek & on_grid
+            enter_seek = can_seek & ~on_grid
+        else:
+            tbl = can_seek
+            enter_seek = jnp.zeros_like(can_seek)
         q = next_hit[rows, jnp.clip(kpos, 0, P - 1)]
-        found = can_seek & (q < P)
+        found = tbl & (q < P)
         qc = jnp.clip(q, 0, P - 1)
         rs_node = seed_node[rows, qc]
         rs_off = seed_off[rows, qc]
 
-        active2 = follow | found
         node2 = jnp.where(follow, nxt_node, jnp.where(found, rs_node, s["node"]))
         koff2 = jnp.where(follow, 0, jnp.where(found, rs_off, koff))
         kpos2 = jnp.where(follow, kpos - (k - 1), jnp.where(found, q, kpos))
         cov2 = jnp.where(follow, cov2 - (k - 1), cov2)
+        active2 = follow | found | enter_seek
+        seeking2 = enter_seek
+
+        if lazy:
+            # seek lanes: one exact probe at their current position
+            skp = s["kpos"]
+            kmw = _kmer_at(meta, rp, jnp.clip(skp, 0, L - k))
+            pn, po = cuckoo_lookup(meta, idx, kmw)
+            hit = seeking & (pn >= 0)
+            miss = seeking & (pn < 0)
+            skp_next = skp + 3
+            keep_seeking = miss & (skp_next <= lens - k)
+            node2 = jnp.where(hit, pn, node2)
+            koff2 = jnp.where(hit, po, koff2)
+            kpos2 = jnp.where(seeking, jnp.where(hit, skp, skp_next), kpos2)
+            active2 = active2 | hit | keep_seeking
+            seeking2 = seeking2 | keep_seeking
+
         return {
             "active": active2,
+            "seeking": seeking2,
             "node": node2,
             "koff": koff2,
             "kpos": kpos2,
@@ -534,6 +622,7 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
 
     f_state = {
         "active": seeded,
+        "seeking": jnp.zeros_like(seeded),
         "node": node0,
         "koff": off0,
         "kpos": q0,
@@ -734,5 +823,6 @@ def device_index_from_image(image, config: AlignerConfig):
         cuckoo_mask=cuckoo_mask,
         pool_pad=pool_pad,
         distinct_cap=config.distinct_cap,
+        lazy_seeds=config.lazy_seeds and config.seed_index == "cuckoo",
     )
     return dev, meta

@@ -18,7 +18,6 @@ the planned config-5 extension (SURVEY.md §7.2 step 6).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ scale beyond one chip's HBM.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 from typing import NamedTuple
 
 import jax

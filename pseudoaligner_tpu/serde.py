@@ -15,7 +15,6 @@ dtypes of IndexImage.
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 

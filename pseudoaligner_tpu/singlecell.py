@@ -18,8 +18,6 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-import numpy as np
-
 from .io.fastq import read_fastq_records
 from .models.aligner import Pseudoaligner
 
