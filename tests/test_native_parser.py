@@ -93,3 +93,29 @@ def test_emit_fastq_matches_record_path(small_index, tmp_path, small_reads):
                 for r in al.map_fastq(str(fq))]
     assert emitted == expected
     assert n_reads == len(expected) == 151
+
+
+def test_gzip_falls_back_to_python_reader(small_index, small_reads, tmp_path):
+    """Gzipped FASTQ takes the python reader path and yields identical
+    records through the full pipeline."""
+    import gzip
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.dna import decode_bases
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    reads = small_reads[:60]
+    plain = tmp_path / "r.fq"
+    with open(plain, "w") as f:
+        for rid, c in reads:
+            s = decode_bases(c)
+            f.write(f"@{rid}\n{s}\n+\n{'I' * len(s)}\n")
+    gz = tmp_path / "r.fq.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(open(plain, "rb").read())
+
+    cfg = AlignerConfig(k=20, batch_size=16, max_read_len=64, max_nodes=64)
+    al = Pseudoaligner(small_index, cfg)
+    a = [r.format_reference_style() for r in al.map_fastq(str(plain))]
+    b = [r.format_reference_style() for r in al.map_fastq(str(gz))]
+    assert a == b and len(a) == 60
