@@ -118,7 +118,8 @@ def cmd_index(args) -> int:
 
     log.info("Building index from fasta")
     seqs, tx_names, tx_gene_map = read_transcripts(args.ref_fasta)
-    index = build_index(seqs, tx_names, tx_gene_map, k=args.kmer_size)
+    index = build_index(seqs, tx_names, tx_gene_map, k=args.kmer_size,
+                        n_threads=args.num_threads)
     log.info("Finished building index!")
     log.info("Writing index to disk")
     save_index(index, args.index)

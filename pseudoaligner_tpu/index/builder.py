@@ -250,6 +250,7 @@ def build_index(
     tx_gene_map: dict[str, str],
     k: int = 20,
     native: str = "auto",
+    n_threads: int | None = None,
 ) -> IndexImage:
     """Build the full index image.  See module docstring.
 
@@ -265,7 +266,7 @@ def build_index(
         try:
             from .native import census_native
 
-            census = census_native(seqs, k)
+            census = census_native(seqs, k, n_threads=n_threads)
             log.info("native census: %d distinct k-mers", len(census.kmer_exts))
         except Exception as e:  # pragma: no cover - environment dependent
             if native == "require":
@@ -313,7 +314,22 @@ def census_numpy(seqs: list[np.ndarray], k: int) -> CensusProduct:
     n_ecs = len(ec_offsets) - 1
     log.info("%d equivalence classes", n_ecs)
 
-    # --- unitig compression (ScmapCompress join rule) ---
+    nxt = _join_successors(kmer_words_arr, kmer_exts, ec_of_kmer, k)
+
+    return CensusProduct(
+        kmer_words=kmer_words_arr,
+        kmer_exts=kmer_exts.astype(np.uint8),
+        ec_of_kmer=ec_of_kmer,
+        ec_offsets=ec_offsets,
+        ec_txs=ec_txs,
+        nxt=nxt,
+    )
+
+
+def _join_successors(kmer_words_arr, kmer_exts, ec_of_kmer, k):
+    """ScmapCompress join successors with self-loops/cycles broken
+    (see module docstring point 4)."""
+    nk = len(kmer_exts)
     log.info("compressing unitigs")
     rext = kmer_exts & np.uint8(0x0F)
     lext = kmer_exts >> np.uint8(4)
@@ -371,6 +387,92 @@ def census_numpy(seqs: list[np.ndarray], k: int) -> CensusProduct:
         brk = cyc[nxt[cyc] == m]  # the unique x per cycle with nxt[x] == min
         nxt[brk] = -1
 
+    return nxt
+
+
+def census_sharded(seqs: list[np.ndarray], k: int) -> CensusProduct:
+    """Stage A via the reference's MSP shard decomposition — the unit of
+    the distributed build (reference: src/build_index.rs:44-71; SURVEY.md
+    section 2.3 "Sharding").  Super-k-mers are bucketed by minimizer,
+    buckets grouped into shards (`group_by_slices`), each shard summarized
+    independently (a distinct k-mer lands wholly in one shard), and shard
+    summaries merged.  Produces a CensusProduct bit-identical to the
+    global paths — each shard's summary can equally be computed on a
+    different host."""
+    from ..config import MIN_SHARD_SEQUENCES
+    from .msp import group_by_slices, partition_contigs
+
+    W = dna.kmer_words(k)
+
+    # per-contig occurrence exts (identical to the flank+interior union)
+    runs = []  # (bucket, tx, start, end)
+    for tx, codes in enumerate(seqs):
+        for b, _, (s0, e0), _ in partition_contigs(codes, tx, k):
+            runs.append((b, tx, s0, e0))
+    runs.sort(key=lambda r: r[0])
+    shards = group_by_slices(runs, lambda r: r[0], MIN_SHARD_SEQUENCES)
+    log.info("sharded census: %d super-kmer runs in %d shards",
+             len(runs), len(shards))
+
+    sh_words, sh_exts, sh_ptx, sh_plen = [], [], [], []
+    for shard in shards:
+        w_parts, t_parts, e_parts = [], [], []
+        for b, tx, s0, e0 in shard:
+            codes = seqs[tx]
+            num = e0 - s0 - k + 1
+            kw = dna.pack_kmers(codes[s0:e0], k)
+            ext = np.zeros(num, dtype=np.uint8)
+            c = codes.astype(np.uint8)
+            # occurrence exts come from the FULL contig neighborhood
+            pos = np.arange(s0, s0 + num)
+            has_l = pos > 0
+            ext[has_l] |= np.uint8(1) << (c[pos[has_l] - 1] + np.uint8(4))
+            has_r = pos + k < len(codes)
+            ext[has_r] |= np.uint8(1) << c[pos[has_r] + k]
+            w_parts.append(kw)
+            t_parts.append(np.full(num, tx, dtype=np.uint32))
+            e_parts.append(ext)
+        ow = np.concatenate(w_parts)
+        ot = np.concatenate(t_parts)
+        oe = np.concatenate(e_parts)
+        order = _lexsort_words(ow, ot)
+        sw, st, se = ow[order], ot[order], oe[order]
+        new_kmer = np.ones(len(sw), dtype=bool)
+        new_kmer[1:] = np.any(sw[1:] != sw[:-1], axis=1)
+        starts = np.nonzero(new_kmer)[0]
+        gid = np.cumsum(new_kmer) - 1
+        keep = new_kmer.copy()
+        keep[1:] |= st[1:] != st[:-1]
+        sh_words.append(sw[starts])
+        sh_exts.append(np.bitwise_or.reduceat(se, starts))
+        sh_ptx.append(st[keep])
+        counts = np.bincount(gid[keep], minlength=len(starts))
+        sh_plen.append(counts.astype(np.int64))
+
+    # merge shard summaries: distinct k-mers are shard-exclusive
+    all_words = np.concatenate(sh_words)
+    all_exts = np.concatenate(sh_exts)
+    all_plen = np.concatenate(sh_plen)
+    all_ptx = np.concatenate(sh_ptx)
+    nk = len(all_words)
+    order = _lexsort_words(all_words)
+    kmer_words_arr = all_words[order]
+    kmer_exts = all_exts[order]
+
+    # reorder the variable-length tx lists to the merged kmer order
+    starts_in = np.zeros(nk, dtype=np.int64)
+    np.cumsum(all_plen[:-1], out=starts_in[1:])
+    lens_o = all_plen[order]
+    total = int(all_plen.sum())
+    src = np.repeat(starts_in[order], lens_o) + (
+        np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(lens_o[:-1])]),
+                                     lens_o)
+    )
+    pair_tx = all_ptx[src]
+    pair_gid = np.repeat(np.arange(nk), lens_o)
+
+    ec_of_kmer, ec_offsets, ec_txs = _intern_eq_classes(pair_gid, pair_tx, nk)
+    nxt = _join_successors(kmer_words_arr, kmer_exts, ec_of_kmer, k)
     return CensusProduct(
         kmer_words=kmer_words_arr,
         kmer_exts=kmer_exts.astype(np.uint8),

@@ -171,3 +171,16 @@ def test_validate_dbg_full_k20(full_index, transcripts):
 def test_self_mapping_full_k20(full_index, transcripts):
     seqs, _, _ = transcripts
     _check_self_mapping(full_index, seqs)
+
+
+def test_sharded_census_matches_global(small_transcripts):
+    """MSP-sharded census (the distributed-build unit) is bit-identical to
+    the global census — each shard could equally run on another host."""
+    from pseudoaligner_tpu.index.builder import census_numpy, census_sharded
+
+    seqs, _, _ = small_transcripts
+    a = census_numpy(seqs, 20)
+    b = census_sharded(seqs, 20)
+    for f in ("kmer_words", "kmer_exts", "ec_of_kmer", "ec_offsets",
+              "ec_txs", "nxt"):
+        assert np.array_equal(getattr(a, f), getattr(b, f)), f
