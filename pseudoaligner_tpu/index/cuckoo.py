@@ -60,9 +60,9 @@ def build_cuckoo(
     nb = 1 << max(1, (need // SLOTS - 1).bit_length())
     mask = nb - 1
 
-    slot_key = np.zeros((nb, SLOTS, W), dtype=np.uint32)
-    slot_node = np.full((nb, SLOTS), EMPTY, dtype=np.uint32)
-    slot_off = np.zeros((nb, SLOTS), dtype=np.uint32)
+    # slots hold key INDICES during construction (so evictions reuse the
+    # precomputed hashes); materialized into rows at the end
+    slot_idx = np.full((nb, SLOTS), -1, dtype=np.int64)
     used = np.zeros(nb, dtype=np.int8)
 
     h1, h2 = _bucket_hashes(keys, mask)
@@ -87,48 +87,45 @@ def build_cuckoo(
         fits = used[wt] < SLOTS
         winners, wt = winners[fits], wt[fits]
         s = used[wt].astype(np.int64)
-        slot_key[wt, s] = keys[winners]
-        slot_node[wt, s] = nodes[winners]
-        slot_off[wt, s] = offsets[winners]
+        slot_idx[wt, s] = winners
         used[wt] += 1
         placed = np.zeros(n, dtype=bool)
         placed[winners] = True
         pending = pending[~placed[pending]]
 
-    # scalar cuckoo for the tail
+    # scalar cuckoo for the tail (hashes looked up, never recomputed)
     for i in pending:
-        cur = (keys[i].copy(), int(nodes[i]), int(offsets[i]))
-        b = int(h1[i])
+        cur = int(i)
+        b = int(h1[cur])
         ok = False
         for _kick in range(MAX_KICKS):
             if used[b] < SLOTS:
-                s = used[b]
-                slot_key[b, s] = cur[0]
-                slot_node[b, s] = cur[1]
-                slot_off[b, s] = cur[2]
+                slot_idx[b, used[b]] = cur
                 used[b] += 1
                 ok = True
                 break
-            # evict a random slot
             s = int(rng.integers(0, SLOTS))
-            vk = slot_key[b, s].copy()
-            vn, vo = int(slot_node[b, s]), int(slot_off[b, s])
-            slot_key[b, s] = cur[0]
-            slot_node[b, s] = cur[1]
-            slot_off[b, s] = cur[2]
-            cur = (vk, vn, vo)
-            a1, a2 = _bucket_hashes(cur[0][None, :], mask)
-            b = int(a2[0]) if b == int(a1[0]) else int(a1[0])
+            victim = int(slot_idx[b, s])
+            slot_idx[b, s] = cur
+            cur = victim
+            b = int(h2[cur]) if b == int(h1[cur]) else int(h1[cur])
         if not ok:
             # extremely unlikely at load<=0.85; grow and rebuild
             return build_cuckoo(keys, nodes, offsets, load=load / 2)
 
-    rows = np.concatenate(
-        [slot_key.reshape(nb, SLOTS, W),
-         slot_node.reshape(nb, SLOTS, 1),
-         slot_off.reshape(nb, SLOTS, 1)],
-        axis=2,
-    ).reshape(nb, SLOTS * (W + 2))
+    flat = slot_idx.reshape(-1)
+    filled = flat >= 0
+    safe = np.where(filled, flat, 0)
+    slot_key = np.where(filled[:, None], keys[safe], 0).reshape(nb, SLOTS, W)
+    slot_node = np.where(filled, nodes[safe].astype(np.uint32), EMPTY).reshape(
+        nb, SLOTS, 1
+    )
+    slot_off = np.where(filled, offsets[safe].astype(np.uint32), 0).reshape(
+        nb, SLOTS, 1
+    )
+    rows = np.concatenate([slot_key, slot_node, slot_off], axis=2).reshape(
+        nb, SLOTS * (W + 2)
+    )
     return CuckooIndex(buckets=rows.astype(np.uint32), mask=mask, W=W)
 
 
