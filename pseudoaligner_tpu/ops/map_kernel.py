@@ -260,15 +260,12 @@ def _kmer_at(meta: MapMeta, rp: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mismatch_bits(meta: MapMeta, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Packed windows -> [B, L] int32 mismatch flags (static unpack)."""
+    """Packed windows -> [B, L] int32 mismatch flags (vector unpack)."""
     x = a ^ b
-    L = meta.read_len
-    cols = []
-    for t in range(L):
-        w, s = t // 16, 2 * (t % 16)
-        cols.append((x[:, w] >> jnp.uint32(s)) & jnp.uint32(3))
-    u = jnp.stack(cols, axis=1)
-    return (u != 0).astype(jnp.int32)
+    B, CW = x.shape
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    u = (x[:, :, None] >> shifts) & jnp.uint32(3)
+    return (u.reshape(B, CW * 16)[:, : meta.read_len] != 0).astype(jnp.int32)
 
 
 def _segment_math(meta: MapMeta, mm_flags, maxm, allowed):
