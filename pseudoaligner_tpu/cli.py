@@ -70,6 +70,10 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tcc", action="store_true",
                     help="also write kallisto-style output.ec/output.tsv "
                          "TCC files to the output directory")
+    sp.add_argument("--seed-index", choices=["cuckoo", "mphf"],
+                    default="cuckoo",
+                    help="device seed structure: cuckoo (speed) or mphf "
+                         "(memory-lean BBHash)")
     sp.add_argument("--skip-reads", type=int, default=0,
                     help="resume: skip the first N reads (append records "
                          "for the remainder)")
@@ -144,6 +148,7 @@ def cmd_map(args, outdir: str) -> int:
         k=image.k,
         batch_size=args.batch_size,
         max_read_len=args.max_read_len,
+        seed_index=args.seed_index,
     )
     aligner = Pseudoaligner(image, cfg)
 

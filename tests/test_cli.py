@@ -125,3 +125,16 @@ def test_map_resume_skip_reads(cli_index, tmp_path):
     plines = part.stdout.strip().splitlines()
     assert plines == flines[120:]
     assert int((tmp_path / "prog").read_text()) >= 120
+
+
+def test_map_mphf_seed_index(cli_index, tmp_path):
+    fq = tmp_path / "r.fq"
+    with open("/root/reference/test/small.fq") as f:
+        head = [next(f) for _ in range(200)]
+    fq.write_text("".join(head))
+    a = run_cli(["map", "-i", cli_index, str(fq), "--batch-size", "64",
+                 "--max-read-len", "64"])
+    b = run_cli(["map", "-i", cli_index, str(fq), "--batch-size", "64",
+                 "--max-read-len", "64", "--seed-index", "mphf"])
+    assert b.returncode == 0, b.stderr
+    assert a.stdout == b.stdout
