@@ -119,6 +119,12 @@ def vector_lookup(sorted_keys: np.ndarray, queries: np.ndarray) -> np.ndarray:
     nk, nq = len(sorted_keys), len(queries)
     if nq == 0:
         return np.zeros(0, dtype=np.int64)
+    try:
+        from .native import lookup_native
+
+        return lookup_native(sorted_keys, queries)
+    except Exception:
+        pass
     comb = np.concatenate([sorted_keys, queries], axis=0)
     tag = np.concatenate(
         [np.zeros(nk, dtype=np.uint8), np.ones(nq, dtype=np.uint8)]

@@ -77,6 +77,33 @@ def _load():
     return _lib
 
 
+def lookup_native(sorted_keys: np.ndarray, queries: np.ndarray,
+                  n_threads: int | None = None) -> np.ndarray:
+    """Parallel binary-search lookup in sorted unique keys -> idx or -1."""
+    lib = _load()
+    if not hasattr(lib, "_lookup_ready"):
+        lib.pa_lookup.restype = None
+        lib.pa_lookup.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._lookup_ready = True
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 2)
+    sorted_keys = np.ascontiguousarray(sorted_keys, dtype=np.uint32)
+    queries = np.ascontiguousarray(queries, dtype=np.uint32)
+    out = np.empty(len(queries), dtype=np.int64)
+    lib.pa_lookup(
+        sorted_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(sorted_keys), sorted_keys.shape[1],
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(queries), n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
+
+
 def census_native(seqs: list[np.ndarray], k: int, n_threads: int | None = None):
     """Run the C++ census; returns a builder.CensusProduct."""
     from ..builder import CensusProduct

@@ -333,3 +333,45 @@ int pa_census(const uint8_t* codes, const int64_t* offsets, int64_t n_seqs,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Parallel exact lookup of queries in a sorted unique key array
+// (little-endian uint32 words, numeric order == lexicographic from the
+// most significant word).  out[i] = index or -1.
+void pa_lookup(const uint32_t* keys, int64_t nk, int32_t W,
+               const uint32_t* queries, int64_t nq, int32_t n_threads,
+               int64_t* out) {
+  auto cmp_lt = [W](const uint32_t* a, const uint32_t* b) {
+    for (int j = W - 1; j >= 0; j--) {
+      if (a[j] != b[j]) return a[j] < b[j];
+    }
+    return false;
+  };
+  auto eq = [W](const uint32_t* a, const uint32_t* b) {
+    for (int j = 0; j < W; j++)
+      if (a[j] != b[j]) return false;
+    return true;
+  };
+  auto work = [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; i++) {
+      const uint32_t* q = queries + i * W;
+      int64_t lo = 0, hi = nk;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (cmp_lt(keys + mid * W, q)) lo = mid + 1; else hi = mid;
+      }
+      out[i] = (lo < nk && eq(keys + lo * W, q)) ? lo : -1;
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> ths;
+  int64_t chunk = (nq + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    int64_t b = t * chunk, e = std::min(nq, b + chunk);
+    if (b < e) ths.emplace_back(work, b, e);
+  }
+  for (auto& th : ths) th.join();
+}
+
+}  // extern "C"
