@@ -209,7 +209,29 @@ class Pseudoaligner:
         # dispatch the overflow re-map first so it overlaps the host work
         overflow_rows = np.nonzero(dist[:, -1] == -2)[0].tolist()
         remap_fut = self._remap_dispatch(batch, overflow_rows)
-        uniq, inv = np.unique(dist, axis=0, return_inverse=True)
+        # signature grouping: most rows are single-class ([e, -1, ...]) —
+        # group those on one int column (fast) and only the multi-class
+        # minority by full rows
+        single = dist[:, 1] == -1 if dist.shape[1] >= 2 else np.zeros(n, bool)
+        u1, inv1 = np.unique(dist[single, 0], return_inverse=True)
+        u2, inv2 = (
+            np.unique(dist[~single], axis=0, return_inverse=True)
+            if (~single).any()
+            else (np.zeros((0, dist.shape[1]), dist.dtype), np.zeros(0, np.int64))
+        )
+        DCW = dist.shape[1]
+        uniq = np.concatenate(
+            [
+                np.concatenate(
+                    [u1[:, None], np.full((len(u1), DCW - 1), -1, dist.dtype)],
+                    axis=1,
+                ),
+                u2,
+            ]
+        )
+        inv = np.empty(n, dtype=np.int64)
+        inv[single] = inv1
+        inv[~single] = inv2 + len(u1)
 
         sig_lists: list[np.ndarray] = []
         for row in uniq:
