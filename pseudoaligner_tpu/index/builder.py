@@ -268,19 +268,63 @@ def build_index(
         raise ValueError(f"Too many ({len(seqs)}) sequences to handle.")
 
     census = None
+    graph = None
     if native in ("auto", "require"):
         try:
-            from .native import census_native
+            from .native import census_native, graph_native_k
 
             census = census_native(seqs, k, n_threads=n_threads)
             log.info("native census: %d distinct k-mers", len(census.kmer_exts))
+            graph = graph_native_k(census, k)
+            log.info("native graph: %d nodes", len(graph["node_len"]))
         except Exception as e:  # pragma: no cover - environment dependent
             if native == "require":
                 raise
             log.info("native builder unavailable (%s); using NumPy path", e)
     if census is None:
         census = census_numpy(seqs, k)
+    if graph is not None:
+        return assemble_native(census, graph, k, tx_names, tx_gene_map)
     return assemble(census, k, tx_names, tx_gene_map)
+
+
+def assemble_native(
+    census: CensusProduct,
+    graph: dict,
+    k: int,
+    tx_names: list[str],
+    tx_gene_map: dict[str, str],
+) -> IndexImage:
+    """Stage B when the native builder supplied the graph arrays: only the
+    MPHF build + slot scatter remain on the NumPy side."""
+    W = dna.kmer_words(k)
+    nk = len(census.kmer_exts)
+    log.info("building MPHF over %d k-mers", nk)
+    mphf, slot_of_key = build_mphf(census.kmer_words, gamma=1.7)
+    kmer_node = np.zeros(nk, dtype=np.uint32)
+    kmer_offset = np.zeros(nk, dtype=np.uint32)
+    kmer_keys = np.zeros((nk, W), dtype=np.uint32)
+    kmer_node[slot_of_key] = graph["kmer_node"]
+    kmer_offset[slot_of_key] = graph["kmer_offset"]
+    kmer_keys[slot_of_key] = census.kmer_words
+    return IndexImage(
+        k=k,
+        node_start=graph["node_start"],
+        node_len=graph["node_len"],
+        node_exts=graph["node_exts"],
+        node_ec=graph["node_ec"],
+        seq_pool=graph["seq_pool"],
+        l_edge=graph["l_edge"],
+        r_edge=graph["r_edge"],
+        ec_offsets=census.ec_offsets,
+        ec_txs=census.ec_txs,
+        mphf=mphf,
+        kmer_node=kmer_node,
+        kmer_offset=kmer_offset,
+        kmer_keys=kmer_keys,
+        tx_names=list(tx_names),
+        tx_gene_mapping=dict(tx_gene_map),
+    )
 
 
 def census_numpy(seqs: list[np.ndarray], k: int) -> CensusProduct:

@@ -152,3 +152,68 @@ def census_native(seqs: list[np.ndarray], k: int, n_threads: int | None = None):
         ec_txs=ec_txs,
         nxt=nxt,
     )
+
+
+class _PaGraph(ctypes.Structure):
+    _fields_ = [
+        ("n_nodes", ctypes.c_int64),
+        ("total_bases", ctypes.c_int64),
+        ("node_start", ctypes.POINTER(ctypes.c_uint32)),
+        ("node_len", ctypes.POINTER(ctypes.c_uint32)),
+        ("node_exts", ctypes.POINTER(ctypes.c_uint8)),
+        ("node_ec", ctypes.POINTER(ctypes.c_uint32)),
+        ("l_edge", ctypes.POINTER(ctypes.c_int32)),
+        ("r_edge", ctypes.POINTER(ctypes.c_int32)),
+        ("seq_pool", ctypes.POINTER(ctypes.c_uint8)),
+        ("kmer_node", ctypes.POINTER(ctypes.c_uint32)),
+        ("kmer_offset", ctypes.POINTER(ctypes.c_uint32)),
+    ]
+
+
+def graph_native_k(census, k: int):
+    """Native stage-B graph assembly (see graph_native)."""
+    lib = _load()
+    if not hasattr(lib, "_graph_ready"):
+        lib.pa_graph.restype = ctypes.c_int
+        lib.pa_graph.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(_PaGraph),
+        ]
+        lib.pa_graph_free.restype = None
+        lib.pa_graph_free.argtypes = [ctypes.POINTER(_PaGraph)]
+        lib._graph_ready = True
+
+    kw = np.ascontiguousarray(census.kmer_words, dtype=np.uint32)
+    ex = np.ascontiguousarray(census.kmer_exts, dtype=np.uint8)
+    ec = np.ascontiguousarray(census.ec_of_kmer, dtype=np.uint32)
+    nx = np.ascontiguousarray(census.nxt, dtype=np.int64)
+    nk = len(ex)
+    g = _PaGraph()
+    rc = lib.pa_graph(
+        kw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ex.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ec.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        nx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nk, k, ctypes.byref(g),
+    )
+    if rc != 0:
+        raise RuntimeError(f"pa_graph failed with code {rc}")
+    try:
+        N = g.n_nodes
+        out = {
+            "node_start": np.ctypeslib.as_array(g.node_start, (N,)).copy(),
+            "node_len": np.ctypeslib.as_array(g.node_len, (N,)).copy(),
+            "node_exts": np.ctypeslib.as_array(g.node_exts, (N,)).copy(),
+            "node_ec": np.ctypeslib.as_array(g.node_ec, (N,)).copy(),
+            "l_edge": np.ctypeslib.as_array(g.l_edge, (N, 4)).copy(),
+            "r_edge": np.ctypeslib.as_array(g.r_edge, (N, 4)).copy(),
+            "seq_pool": np.ctypeslib.as_array(
+                g.seq_pool, (max(1, g.total_bases),)
+            )[: g.total_bases].copy(),
+            "kmer_node": np.ctypeslib.as_array(g.kmer_node, (nk,)).copy(),
+            "kmer_offset": np.ctypeslib.as_array(g.kmer_offset, (nk,)).copy(),
+        }
+    finally:
+        lib.pa_graph_free(ctypes.byref(g))
+    return out

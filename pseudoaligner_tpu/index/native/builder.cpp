@@ -375,3 +375,161 @@ void pa_lookup(const uint32_t* keys, int64_t nk, int32_t W,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Stage B in native code: unitig chains, sequence pool, dense edge tables
+// — the graph-assembly equivalent of compress_kmers_with_hash +
+// BaseGraph::finish + edge resolution (reference: src/build_index.rs:
+// 171-179 [dep]), consuming pa_census outputs.
+typedef struct {
+  int64_t n_nodes;
+  int64_t total_bases;
+  uint32_t* node_start;
+  uint32_t* node_len;
+  uint8_t* node_exts;
+  uint32_t* node_ec;
+  int32_t* l_edge;  // n_nodes*4
+  int32_t* r_edge;  // n_nodes*4
+  uint8_t* seq_pool;
+  uint32_t* kmer_node;    // per census k-mer (ascending order)
+  uint32_t* kmer_offset;  // offset of the k-mer within its node
+} PaGraph;
+
+void pa_graph_free(PaGraph* g) {
+  std::free(g->node_start);
+  std::free(g->node_len);
+  std::free(g->node_exts);
+  std::free(g->node_ec);
+  std::free(g->l_edge);
+  std::free(g->r_edge);
+  std::free(g->seq_pool);
+  std::free(g->kmer_node);
+  std::free(g->kmer_offset);
+  std::memset(g, 0, sizeof(*g));
+}
+
+static inline U128 load_kmer(const uint32_t* w, int W) {
+  U128 v{0, 0};
+  for (int j = 0; j < W && j < 2; j++) v.lo |= (uint64_t)w[j] << (32 * j);
+  for (int j = 2; j < W; j++) v.hi |= (uint64_t)w[j] << (32 * (j - 2));
+  return v;
+}
+
+static inline unsigned base_at(U128 v, int k, int i) {
+  int shift = 2 * (k - 1 - i);
+  if (shift >= 64) return (unsigned)((v.hi >> (shift - 64)) & 3);
+  return (unsigned)((v.lo >> shift) & 3);
+}
+
+static inline U128 shr2_or_top(U128 v, uint64_t b, int k) {
+  U128 r;
+  r.lo = (v.lo >> 2) | (v.hi << 62);
+  r.hi = v.hi >> 2;
+  int hb = 2 * (k - 1);
+  if (hb >= 64) r.hi |= b << (hb - 64); else r.lo |= b << hb;
+  return r;
+}
+
+int pa_graph(const uint32_t* kmer_words, const uint8_t* exts,
+             const uint32_t* ec, const int64_t* nxt, int64_t nk, int32_t k,
+             PaGraph* out) {
+  int W = (2 * k + 31) / 32;
+  std::vector<U128> kmers(nk);
+  for (int64_t i = 0; i < nk; i++) kmers[i] = load_kmer(kmer_words + i * W, W);
+
+  std::vector<int64_t> prv(nk, -1);
+  for (int64_t i = 0; i < nk; i++)
+    if (nxt[i] >= 0) prv[nxt[i]] = i;
+
+  // chains: heads visited in ascending k-mer order -> ascending node ids
+  std::vector<uint32_t> node_of(nk), dist(nk);
+  std::vector<int64_t> head_of_node, tail_of_node, lenk_of_node;
+  for (int64_t i = 0; i < nk; i++) {
+    if (prv[i] >= 0) continue;
+    uint32_t nid = (uint32_t)head_of_node.size();
+    int64_t x = i, d = 0, last = i;
+    for (;;) {
+      node_of[x] = nid;
+      dist[x] = (uint32_t)d;
+      last = x;
+      if (nxt[x] < 0) break;
+      x = nxt[x];
+      d++;
+    }
+    head_of_node.push_back(i);
+    tail_of_node.push_back(last);
+    lenk_of_node.push_back(d + 1);
+  }
+  int64_t n_nodes = (int64_t)head_of_node.size();
+
+  int64_t total = 0;
+  std::vector<uint32_t> starts(n_nodes);
+  for (int64_t n = 0; n < n_nodes; n++) {
+    starts[n] = (uint32_t)total;
+    total += lenk_of_node[n] + k - 1;
+  }
+
+  out->n_nodes = n_nodes;
+  out->total_bases = total;
+  out->node_start = (uint32_t*)std::malloc(4 * n_nodes);
+  out->node_len = (uint32_t*)std::malloc(4 * n_nodes);
+  out->node_exts = (uint8_t*)std::malloc(n_nodes);
+  out->node_ec = (uint32_t*)std::malloc(4 * n_nodes);
+  out->l_edge = (int32_t*)std::malloc(4 * 4 * n_nodes);
+  out->r_edge = (int32_t*)std::malloc(4 * 4 * n_nodes);
+  out->seq_pool = (uint8_t*)std::malloc((size_t)std::max<int64_t>(1, total));
+  out->kmer_node = (uint32_t*)std::malloc(4 * nk);
+  out->kmer_offset = (uint32_t*)std::malloc(4 * nk);
+  if (!out->node_start || !out->node_len || !out->node_exts || !out->node_ec ||
+      !out->l_edge || !out->r_edge || !out->seq_pool || !out->kmer_node ||
+      !out->kmer_offset) {
+    pa_graph_free(out);
+    return 3;
+  }
+
+  std::memcpy(out->kmer_node, node_of.data(), 4 * nk);
+  std::memcpy(out->kmer_offset, dist.data(), 4 * nk);
+
+  auto find = [&](U128 v) -> int64_t {
+    auto it = std::lower_bound(kmers.begin(), kmers.end(), v);
+    if (it == kmers.end() || !(*it == v)) return -1;
+    return it - kmers.begin();
+  };
+
+  for (int64_t n = 0; n < n_nodes; n++) {
+    int64_t h = head_of_node[n], t = tail_of_node[n];
+    out->node_start[n] = starts[n];
+    out->node_len[n] = (uint32_t)(lenk_of_node[n] + k - 1);
+    out->node_exts[n] = (uint8_t)((exts[h] & 0xF0) | (exts[t] & 0x0F));
+    out->node_ec[n] = ec[h];
+    // sequence: head k-mer bases, then each member's last base
+    uint8_t* dst = out->seq_pool + starts[n];
+    for (int i = 0; i < k; i++) dst[i] = (uint8_t)base_at(kmers[h], k, i);
+    int64_t x = nxt[h];
+    int64_t p = k;
+    while (x >= 0) {
+      dst[p++] = (uint8_t)(kmers[x].lo & 3);
+      x = nxt[x];
+    }
+    // edges
+    for (int b = 0; b < 4; b++) {
+      int32_t le = -1, re = -1;
+      if ((exts[h] >> (4 + b)) & 1) {
+        int64_t j = find(shr2_or_top(kmers[h], (uint64_t)b, k));
+        if (j < 0) return 4;
+        le = (int32_t)node_of[j];
+      }
+      if ((exts[t] >> b) & 1) {
+        int64_t j = find(shl2_or(kmers[t], (uint64_t)b, k));
+        if (j < 0) return 4;
+        re = (int32_t)node_of[j];
+      }
+      out->l_edge[n * 4 + b] = le;
+      out->r_edge[n * 4 + b] = re;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

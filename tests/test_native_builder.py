@@ -45,8 +45,28 @@ def test_native_census_matches_numpy_transcripts(small_transcripts):
 
 
 def test_build_index_native_require(small_transcripts):
+    """native='require' now runs the C++ graph assembly too — the full
+    IndexImage must be bit-identical to the NumPy pipeline."""
     seqs, names, gene_map = small_transcripts
     img = build_index(seqs, names, gene_map, k=20, native="require")
     img2 = build_index(seqs, names, gene_map, k=20, native="never")
-    assert np.array_equal(img.node_ec, img2.node_ec)
-    assert np.array_equal(img.seq_pool, img2.seq_pool)
+    for f in ("node_start", "node_len", "node_exts", "node_ec", "seq_pool",
+              "l_edge", "r_edge", "ec_offsets", "ec_txs", "kmer_node",
+              "kmer_offset", "kmer_keys"):
+        assert np.array_equal(getattr(img, f), getattr(img2, f)), f
+    for f in ("seeds", "masks", "word_offsets", "key_offsets", "bits",
+              "ranks"):
+        assert np.array_equal(getattr(img.mphf, f), getattr(img2.mphf, f)), f
+
+
+def test_build_index_native_require_k64(small_transcripts):
+    seqs, names, gene_map = small_transcripts
+    img = build_index(seqs[:40], names[:40],
+                      {n: gene_map[n] for n in names[:40]},
+                      k=64, native="require")
+    img2 = build_index(seqs[:40], names[:40],
+                       {n: gene_map[n] for n in names[:40]},
+                       k=64, native="never")
+    for f in ("node_start", "node_len", "node_exts", "node_ec", "seq_pool",
+              "l_edge", "r_edge", "kmer_node", "kmer_offset", "kmer_keys"):
+        assert np.array_equal(getattr(img, f), getattr(img2, f)), f
