@@ -143,10 +143,10 @@ class Pseudoaligner:
             uniq, inv = np.unique(dist, axis=0, return_inverse=True)
             eq_of_sig: list = []
             for row in uniq:
-                if row[0] < 0:
+                if row[-1] in (-2, -3):
+                    eq_of_sig.append(None)  # overflow/capped -> exact re-map
+                elif row[0] < 0:
                     eq_of_sig.append([])
-                elif row[-1] == -2:
-                    eq_of_sig.append(None)  # overflow -> exact host re-map
                 else:
                     # device emits raw push-order ids; dedup here
                     ids = tuple(sorted({int(x) for x in row if x >= 0}))
@@ -160,16 +160,18 @@ class Pseudoaligner:
             overflow_rows = [
                 i for i in range(n) if mappedl[i] and eq_of_sig[inv[i]] is None
             ]
-            overflow_eq = self._remap_rows(batch, overflow_rows)
+            overflow_res = self._remap_rows(batch, overflow_rows)
             out = []
             for i, rid in enumerate(batch.ids):
                 if not mappedl[i]:
                     out.append(ReadRecord(False, rid, [], 0))
                     continue
                 eq = eq_of_sig[inv[i]]
-                if eq is None:
-                    eq = [int(x) for x in overflow_eq[i]]
                 c = covl[i]
+                if eq is None:
+                    req, rcov = overflow_res[i]
+                    eq = [int(x) for x in req]
+                    c = rcov  # iteration-capped lanes have partial coverage
                 out.append(ReadRecord(c >= thresh and not eq, rid, eq, c))
             return out
 
@@ -207,12 +209,18 @@ class Pseudoaligner:
         cov = np.asarray(result.coverage)[:n].astype(np.int32)
         dist = np.asarray(result.ec_distinct)[:n]
         # dispatch the overflow re-map first so it overlaps the host work
-        overflow_rows = np.nonzero(dist[:, -1] == -2)[0].tolist()
+        flagged = (dist[:, -1] == -2) | (dist[:, -1] == -3)
+        overflow_rows = np.nonzero(flagged)[0].tolist()
         remap_fut = self._remap_dispatch(batch, overflow_rows)
         # signature grouping: most rows are single-class ([e, -1, ...]) —
         # group those on one int column (fast) and only the multi-class
-        # minority by full rows
-        single = dist[:, 1] == -1 if dist.shape[1] >= 2 else np.zeros(n, bool)
+        # minority by full rows (flagged rows must stay in the full-row
+        # group so their markers survive)
+        single = (
+            (dist[:, 1] == -1) & ~flagged
+            if dist.shape[1] >= 2
+            else np.zeros(n, bool)
+        )
         u1, inv1 = np.unique(dist[single, 0], return_inverse=True)
         u2, inv2 = (
             np.unique(dist[~single], axis=0, return_inverse=True)
@@ -235,10 +243,10 @@ class Pseudoaligner:
 
         sig_lists: list[np.ndarray] = []
         for row in uniq:
-            if row[0] < 0:
-                sig_lists.append(np.zeros(0, np.uint32))
-            elif row[-1] == -2:
+            if row[-1] == -2 or row[-1] == -3:
                 sig_lists.append(None)  # per-read overflow, patched below
+            elif row[0] < 0:
+                sig_lists.append(np.zeros(0, np.uint32))
             else:
                 ids = tuple(sorted({int(x) for x in row if x >= 0}))
                 eq = (
@@ -260,9 +268,11 @@ class Pseudoaligner:
         )
 
         lens_per_read = sig_lens[inv]
-        overflow_eq = self._remap_collect(remap_fut)
+        overflow_res = self._remap_collect(remap_fut)
+        overflow_eq = {i: r[0] for i, r in overflow_res.items()}
         for i in overflow_rows:
             lens_per_read[i] = len(overflow_eq[i])
+            cov[i] = overflow_res[i][1]  # capped lanes: exact coverage
 
         eq_offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens_per_read, out=eq_offsets[1:])
@@ -396,7 +406,7 @@ class Pseudoaligner:
             from ..ops.map_kernel import map_batch_packed
 
             meta_full = dataclasses.replace(
-                self.meta, distinct_cap=0, tx_words=0
+                self.meta, distinct_cap=0, tx_words=0, max_walk_iters=0
             )
             self._remap_step = jax.jit(partial(map_batch_packed, meta_full))
         L = self.meta.read_len
@@ -413,17 +423,18 @@ class Pseudoaligner:
         return futures
 
     def _remap_collect(self, futures) -> dict:
-        """Harvest _remap_dispatch results -> {row: eq array}."""
-        out: dict[int, np.ndarray] = {}
+        """Harvest _remap_dispatch results -> {row: (eq array, coverage)}."""
+        out: dict[int, tuple] = {}
         if not futures:
             return out
         for chunk, fut in futures:
             res = jax.device_get(fut)
             nodes = np.asarray(res.nodes)
             nn = np.asarray(res.n_nodes)
+            cov = np.asarray(res.coverage)
             for j, i in enumerate(chunk):
                 eq = self._ec_from_nodes(nodes[j, : nn[j]]) if nn[j] else []
-                out[i] = np.asarray(eq, dtype=np.uint32)
+                out[i] = (np.asarray(eq, dtype=np.uint32), int(cov[j]))
         return out
 
     def _remap_rows(self, batch: ReadBatch, rows: list[int]) -> dict:

@@ -93,6 +93,12 @@ class MapMeta:
     # re-seeds at other residues probe lazily inside the walk loop
     # (cuckoo seed index only).
     lazy_seeds: bool = False
+    # Forward-walk iteration cap (0 = unbounded).  Lanes still active at
+    # the cap are flagged (-3 in the compact output) and re-run exactly
+    # through the uncapped fallback pass — the while_loop otherwise runs
+    # the whole batch to the worst lane's trip count (max ~23 vs mean ~1.3
+    # on the bundled workload).
+    max_walk_iters: int = 0
 
     @property
     def n_positions(self) -> int:
@@ -528,8 +534,13 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
     l_state = jax.lax.while_loop(l_cond, l_body, l_state)
 
     # ---- forward walk (src/pseudoaligner.rs:208-302) ----
+    cap = meta.max_walk_iters
+
     def f_cond(s):
-        return jnp.any(s["active"])
+        alive = jnp.any(s["active"])
+        if cap > 0:
+            return alive & (s["it"] < cap)
+        return alive
 
     lazy = meta.lazy_seeds and meta.seed_index == "cuckoo"
 
@@ -615,6 +626,7 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
             "mm": mm2,
             "buf": nbuf,
             "n_nodes": ncnt,
+            "it": s["it"] + 1,
         }
 
     f_state = {
@@ -627,8 +639,11 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         "mm": l_state["mm"],
         "buf": l_state["buf"],
         "n_nodes": l_state["n_nodes"],
+        "it": jnp.int32(0),
     }
     f_state = jax.lax.while_loop(f_cond, f_body, f_state)
+    # lanes cut off by the iteration cap need the exact fallback pass
+    capped = f_state["active"] if cap > 0 else jnp.zeros((B,), bool)
 
     buf = f_state["buf"]
     nodes_buf = buf[:, :, 0]
@@ -663,6 +678,11 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         ec_distinct = out[:, :DC]
         ec_distinct = ec_distinct.at[:, DC - 1].set(
             jnp.where(extra, jnp.int32(-2), ec_distinct[:, DC - 1])
+        )
+        # iteration-capped lanes: everything (EC, coverage) comes from the
+        # exact fallback re-run
+        ec_distinct = ec_distinct.at[:, DC - 1].set(
+            jnp.where(capped, jnp.int32(-3), ec_distinct[:, DC - 1])
         )
         return MapResult(
             mapped=mapped,
@@ -821,5 +841,9 @@ def device_index_from_image(image, config: AlignerConfig):
         pool_pad=pool_pad,
         distinct_cap=config.distinct_cap,
         lazy_seeds=config.lazy_seeds and config.seed_index == "cuckoo",
+        # the cap needs the compact -3 marker channel for exact fallback
+        max_walk_iters=(
+            config.max_walk_iters if config.distinct_cap > 0 else 0
+        ),
     )
     return dev, meta

@@ -179,3 +179,25 @@ def test_device_parity_k64_mphf(small_transcripts):
                 assert rec.eq_class == g[0] and rec.coverage == g[1], rid
             checked += 1
     assert checked == len(reads)
+
+
+def test_walk_iteration_cap_parity(small_index, small_reads):
+    """An aggressively capped walk (max_walk_iters=2) must still produce
+    records identical to the uncapped engine — capped lanes go through the
+    exact device fallback pass."""
+    uncapped = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                             max_nodes=64, distinct_cap=8, max_walk_iters=0)
+    capped = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                           max_nodes=64, distinct_cap=8, max_walk_iters=2)
+    a1 = Pseudoaligner(small_index, uncapped)
+    a2 = Pseudoaligner(small_index, capped)
+    n = 0
+    for batch in _make_batches(small_reads[:512], 256, 64):
+        r1 = a1.records_from_result(
+            a1.map_batch_device(batch.codes, batch.lens), batch)
+        r2 = a2.records_from_result(
+            a2.map_batch_device(batch.codes, batch.lens), batch)
+        for x, y in zip(r1, r2):
+            assert x == y, (x, y)
+            n += 1
+    assert n == 512
