@@ -115,7 +115,10 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", 65536))
     L = 60
     n_batches = int(os.environ.get("BENCH_BATCHES", 16))
-    cfg = AlignerConfig(k=20, batch_size=B, max_read_len=L, max_nodes=32)
+    cfg = AlignerConfig(
+        k=20, batch_size=B, max_read_len=L, max_nodes=32,
+        max_walk_iters=int(os.environ.get("BENCH_WALK_CAP", 16)),
+    )
     aligner = Pseudoaligner(image, cfg)
 
     reads, lens = synth_reads(image, B * (n_batches + 1))
