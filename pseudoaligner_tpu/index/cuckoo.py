@@ -129,6 +129,31 @@ def build_cuckoo(
     return CuckooIndex(buckets=rows.astype(np.uint32), mask=mask, W=W)
 
 
+def build_cuckoo_fast(
+    keys: np.ndarray, nodes: np.ndarray, offsets: np.ndarray, load: float = 0.75
+) -> CuckooIndex:
+    """Native (C++) cuckoo build with NumPy fallback.
+
+    The probe is placement-invariant (a present key matches in exactly one
+    slot of its two buckets, an absent key in none), so any valid placement
+    yields bit-identical lookups; the native build is deterministic but not
+    slot-identical to `build_cuckoo`.  At 27M keys: ~50s NumPy -> ~2s C++.
+    """
+    try:
+        from .native import cuckoo_native
+    except Exception:
+        return build_cuckoo(keys, nodes, offsets, load)
+    n, W = keys.shape
+    need = max(SLOTS * 2, int(np.ceil(n / load / SLOTS)) * SLOTS)
+    nb = 1 << max(1, (need // SLOTS - 1).bit_length())
+    while True:
+        try:
+            rows = cuckoo_native(keys, nodes, offsets, nb)
+            return CuckooIndex(buckets=rows, mask=nb - 1, W=W)
+        except RuntimeError:
+            nb *= 2  # placement failed (never seen at load<=0.75); grow
+
+
 def cuckoo_lookup_np(ci: CuckooIndex, queries: np.ndarray):
     """NumPy mirror of the device probe: [n, W] -> (node, offset) or -1."""
     n, W = queries.shape

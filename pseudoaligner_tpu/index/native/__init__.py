@@ -154,6 +154,42 @@ def census_native(seqs: list[np.ndarray], k: int, n_threads: int | None = None):
     )
 
 
+def cuckoo_native(keys: np.ndarray, nodes: np.ndarray, offsets: np.ndarray,
+                  n_buckets: int, n_threads: int | None = None) -> np.ndarray:
+    """Native cuckoo-table build -> rows [n_buckets, SLOTS*(W+2)] uint32.
+
+    Raises RuntimeError if placement fails (caller grows n_buckets).
+    """
+    lib = _load()
+    if not hasattr(lib, "_cuckoo_ready"):
+        lib.pa_cuckoo.restype = ctypes.c_int
+        lib.pa_cuckoo.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib._cuckoo_ready = True
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 2)
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    nodes = np.ascontiguousarray(nodes, dtype=np.uint32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.uint32)
+    n, W = keys.shape
+    rows = np.empty((n_buckets, 4 * (W + 2)), dtype=np.uint32)
+    rc = lib.pa_cuckoo(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n, W, n_buckets, n_threads,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    if rc == 1:
+        raise RuntimeError("cuckoo placement failed; grow the table")
+    if rc != 0:
+        raise ValueError(f"pa_cuckoo failed with code {rc}")
+    return rows
+
+
 class _PaGraph(ctypes.Structure):
     _fields_ = [
         ("n_nodes", ctypes.c_int64),

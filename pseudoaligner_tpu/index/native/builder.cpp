@@ -334,6 +334,140 @@ int pa_census(const uint8_t* codes, const int64_t* offsets, int64_t n_seqs,
 
 }  // extern "C"
 
+namespace {
+
+// murmur3 fmix32 — bit-identical to ops/hashing.py::mix32_np
+inline uint32_t mix32(uint32_t h) {
+  h ^= h >> 16;
+  h *= 0x85EBCA6Bu;
+  h ^= h >> 13;
+  h *= 0xC2B2AE35u;
+  h ^= h >> 16;
+  return h;
+}
+
+inline uint32_t hash_kmer(const uint32_t* w, int W, uint32_t seed) {
+  uint32_t h = seed;
+  for (int j = 0; j < W; j++) h = mix32(h ^ w[j]);
+  return h;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Native build of the 4-slot two-choice cuckoo seed table (the speed-mode
+// k-mer index; layout and hash spec shared with ../cuckoo.py — the probe is
+// placement-invariant, so this build only needs validity + determinism, not
+// bit-identity with the NumPy builder).  Serving-time equivalent of the
+// reference loading its NoKeyBoomHashMap (src/build_index.rs:220 [dep]);
+// here the table is rebuilt from the serialized flat arrays at load time.
+//
+// keys: n*W uint32 (distinct), rows out: n_buckets * SLOTS*(W+2) uint32,
+// caller-allocated and zeroed.  n_buckets must be a power of two.
+// Returns 0 on success, 1 if placement failed (caller grows the table).
+int pa_cuckoo(const uint32_t* keys, const uint32_t* nodes,
+              const uint32_t* offsets, int64_t n, int32_t W,
+              int64_t n_buckets, int32_t n_threads, uint32_t* rows) {
+  constexpr int SLOTS = 4;
+  constexpr uint32_t EMPTY = 0xFFFFFFFFu;
+  constexpr uint32_t H1_SEED = 0x13579BDFu;
+  constexpr uint32_t H2_SEED = 0x2468ACE0u;
+  constexpr int MAX_KICKS = 512;
+  if (n_buckets < 2 || (n_buckets & (n_buckets - 1)) != 0) return 2;
+  uint32_t mask = (uint32_t)(n_buckets - 1);
+  if (n_threads < 1) n_threads = 1;
+
+  std::vector<uint32_t> h1(n), h2(n);
+  {
+    auto work = [&](int64_t b, int64_t e) {
+      for (int64_t i = b; i < e; i++) {
+        h1[i] = hash_kmer(keys + i * W, W, H1_SEED) & mask;
+        h2[i] = hash_kmer(keys + i * W, W, H2_SEED) & mask;
+      }
+    };
+    std::vector<std::thread> ths;
+    int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t b = t * chunk, e = std::min(n, b + chunk);
+      if (b < e) ths.emplace_back(work, b, e);
+    }
+    for (auto& th : ths) th.join();
+  }
+
+  // slots hold key indices during construction (evictions reuse hashes)
+  std::vector<int64_t> slot_idx((size_t)n_buckets * SLOTS, -1);
+  std::vector<uint8_t> used(n_buckets, 0);
+  uint64_t rng = 0x9E3779B97F4A7C15ULL;  // deterministic xorshift64*
+  auto next_rng = [&rng]() {
+    rng ^= rng >> 12;
+    rng ^= rng << 25;
+    rng ^= rng >> 27;
+    return rng * 0x2545F4914F6CDD1DULL;
+  };
+
+  for (int64_t i = 0; i < n; i++) {
+    int64_t cur = i;
+    uint32_t b1 = h1[cur], b2 = h2[cur];
+    // two-choice: emptier bucket first
+    uint32_t b = used[b1] <= used[b2] ? b1 : b2;
+    if (used[b] < SLOTS) {
+      slot_idx[(size_t)b * SLOTS + used[b]] = cur;
+      used[b]++;
+      continue;
+    }
+    b = (b == b1) ? b2 : b1;
+    bool ok = false;
+    for (int kick = 0; kick < MAX_KICKS; kick++) {
+      if (used[b] < SLOTS) {
+        slot_idx[(size_t)b * SLOTS + used[b]] = cur;
+        used[b]++;
+        ok = true;
+        break;
+      }
+      int s = (int)(next_rng() >> 32) & (SLOTS - 1);
+      int64_t victim = slot_idx[(size_t)b * SLOTS + s];
+      slot_idx[(size_t)b * SLOTS + s] = cur;
+      cur = victim;
+      b = (b == h1[cur]) ? h2[cur] : h1[cur];
+    }
+    if (!ok) return 1;
+  }
+
+  // materialize rows (parallel): per slot [key words..., node, offset]
+  {
+    int RW = SLOTS * (W + 2);
+    auto work = [&](int64_t bb, int64_t be) {
+      for (int64_t b = bb; b < be; b++) {
+        uint32_t* row = rows + b * RW;
+        for (int s = 0; s < SLOTS; s++) {
+          uint32_t* slot = row + s * (W + 2);
+          int64_t ki = slot_idx[(size_t)b * SLOTS + s];
+          if (ki < 0) {
+            for (int j = 0; j < W; j++) slot[j] = 0;
+            slot[W] = EMPTY;
+            slot[W + 1] = 0;
+          } else {
+            for (int j = 0; j < W; j++) slot[j] = keys[ki * W + j];
+            slot[W] = nodes[ki];
+            slot[W + 1] = offsets[ki];
+          }
+        }
+      }
+    };
+    std::vector<std::thread> ths;
+    int64_t chunk = (n_buckets + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t b = t * chunk, e = std::min(n_buckets, b + chunk);
+      if (b < e) ths.emplace_back(work, b, e);
+    }
+    for (auto& th : ths) th.join();
+  }
+  return 0;
+}
+
+}  // extern "C"
+
 extern "C" {
 
 // Parallel exact lookup of queries in a sorted unique key array

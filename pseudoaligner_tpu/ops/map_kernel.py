@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AlignerConfig
-from ..index.cuckoo import SLOTS as CK_SLOTS, EMPTY as CK_EMPTY, build_cuckoo
+from ..index.cuckoo import SLOTS as CK_SLOTS, EMPTY as CK_EMPTY, build_cuckoo_fast
 from .hashing import hash_kmer_jnp
 from .kmers import all_kmers
 from .mphf_lookup import MphfMeta, verified_lookup
@@ -802,7 +802,7 @@ def device_index_from_image(image, config: AlignerConfig):
     node_row[:, 8:12] = image.r_edge
 
     if config.seed_index == "cuckoo":
-        ck = build_cuckoo(
+        ck = build_cuckoo_fast(
             image.kmer_keys, image.kmer_node, image.kmer_offset
         )
         cuckoo_rows = ck.buckets
