@@ -82,14 +82,40 @@ def _next_pow2(x: int) -> int:
     return 1 << max(6, (x - 1).bit_length())
 
 
-def build_mphf(keys: np.ndarray, gamma: float = 1.7) -> tuple[Mphf, np.ndarray]:
+def build_mphf(
+    keys: np.ndarray, gamma: float = 1.7, native: bool | None = None
+) -> tuple[Mphf, np.ndarray]:
     """Build the MPHF over unique keys.
 
     keys: [n, W] uint32 kmer words (must be distinct).
     Returns (mphf, slot_of_key): slot_of_key[i] is the MPHF slot assigned to
     keys[i] — the caller scatters its values (and the keys themselves, for
     probe verification) into slot order.
+
+    Prefers the native C++ build (pa_mphf; bit-identical by construction —
+    the level assignment is deterministic given the keys) and falls back to
+    the NumPy path below; `native=False` forces NumPy (tests diff the two).
     """
+    if native is not False and len(keys):
+        try:
+            from .native import mphf_native
+
+            r = mphf_native(np.asarray(keys, dtype=np.uint32), gamma)
+            return (
+                Mphf(
+                    n_keys=r["n_keys"],
+                    seeds=r["seeds"],
+                    masks=r["masks"],
+                    word_offsets=r["word_offsets"],
+                    key_offsets=r["key_offsets"],
+                    bits=r["bits"],
+                    ranks=r["ranks"],
+                ),
+                r["slot_of_key"],
+            )
+        except Exception:
+            if native:
+                raise
     keys = np.asarray(keys, dtype=np.uint32)
     n = keys.shape[0]
     slot_of_key = np.full(n, -1, dtype=np.int64)

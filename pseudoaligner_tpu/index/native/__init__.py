@@ -154,6 +154,63 @@ def census_native(seqs: list[np.ndarray], k: int, n_threads: int | None = None):
     )
 
 
+class _PaMphf(ctypes.Structure):
+    _fields_ = [
+        ("n_keys", ctypes.c_int64),
+        ("n_levels", ctypes.c_int32),
+        ("total_words", ctypes.c_int64),
+        ("seeds", ctypes.POINTER(ctypes.c_uint32)),
+        ("masks", ctypes.POINTER(ctypes.c_uint32)),
+        ("word_offsets", ctypes.POINTER(ctypes.c_uint32)),
+        ("key_offsets", ctypes.POINTER(ctypes.c_uint32)),
+        ("bits", ctypes.POINTER(ctypes.c_uint32)),
+        ("ranks", ctypes.POINTER(ctypes.c_uint32)),
+        ("slot_of_key", ctypes.POINTER(ctypes.c_int64)),
+    ]
+
+
+def mphf_native(keys: np.ndarray, gamma: float = 1.7,
+                n_threads: int | None = None):
+    """Native MPHF build; returns the same dict of arrays the NumPy build
+    assembles (bit-identical level structure by construction)."""
+    lib = _load()
+    if not hasattr(lib, "_mphf_ready"):
+        lib.pa_mphf.restype = ctypes.c_int
+        lib.pa_mphf.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_int32, ctypes.POINTER(_PaMphf),
+        ]
+        lib.pa_mphf_free.restype = None
+        lib.pa_mphf_free.argtypes = [ctypes.POINTER(_PaMphf)]
+        lib._mphf_ready = True
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 2)
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    n, W = keys.shape
+    out = _PaMphf()
+    rc = lib.pa_mphf(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n, W, gamma, n_threads, ctypes.byref(out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"pa_mphf failed with code {rc}")
+    try:
+        nl, tw = out.n_levels, out.total_words
+        res = {
+            "n_keys": n,
+            "seeds": np.ctypeslib.as_array(out.seeds, (nl,)).copy(),
+            "masks": np.ctypeslib.as_array(out.masks, (nl,)).copy(),
+            "word_offsets": np.ctypeslib.as_array(out.word_offsets, (nl,)).copy(),
+            "key_offsets": np.ctypeslib.as_array(out.key_offsets, (nl,)).copy(),
+            "bits": np.ctypeslib.as_array(out.bits, (max(1, tw),))[:tw].copy(),
+            "ranks": np.ctypeslib.as_array(out.ranks, (max(1, tw),))[:tw].copy(),
+            "slot_of_key": np.ctypeslib.as_array(out.slot_of_key, (n,)).copy(),
+        }
+    finally:
+        lib.pa_mphf_free(ctypes.byref(out))
+    return res
+
+
 def cuckoo_native(keys: np.ndarray, nodes: np.ndarray, offsets: np.ndarray,
                   n_buckets: int, n_threads: int | None = None) -> np.ndarray:
     """Native cuckoo-table build -> rows [n_buckets, SLOTS*(W+2)] uint32.

@@ -19,6 +19,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -462,6 +463,177 @@ int pa_cuckoo(const uint32_t* keys, const uint32_t* nodes,
       if (b < e) ths.emplace_back(work, b, e);
     }
     for (auto& th : ths) th.join();
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Native BBHash-style MPHF construction — bit-identical to the NumPy
+// builder in ../mphf.py (the level-assignment algorithm is deterministic
+// given the keys: per level, keys whose hash bucket has exactly one
+// occupant are placed; pow2 level sizes, gamma widening on tail levels).
+// TPU-native equivalent of boomphf::Mphf::from_chunked_iterator_parallel
+// (reference: src/build_index.rs:195-197 [dep]).
+typedef struct {
+  int64_t n_keys;
+  int32_t n_levels;
+  int64_t total_words;
+  uint32_t* seeds;         // n_levels
+  uint32_t* masks;         // n_levels
+  uint32_t* word_offsets;  // n_levels
+  uint32_t* key_offsets;   // n_levels
+  uint32_t* bits;          // total_words
+  uint32_t* ranks;         // total_words
+  int64_t* slot_of_key;    // n_keys
+} PaMphf;
+
+void pa_mphf_free(PaMphf* m) {
+  std::free(m->seeds);
+  std::free(m->masks);
+  std::free(m->word_offsets);
+  std::free(m->key_offsets);
+  std::free(m->bits);
+  std::free(m->ranks);
+  std::free(m->slot_of_key);
+  std::memset(m, 0, sizeof(*m));
+}
+
+int pa_mphf(const uint32_t* keys, int64_t n, int32_t W, double gamma,
+            int32_t n_threads, PaMphf* out) {
+  constexpr int MAX_LEVELS = 48;
+  constexpr uint32_t GOLDEN32 = 0x9E3779B9u;
+  if (n_threads < 1) n_threads = 1;
+  std::memset(out, 0, sizeof(*out));
+
+  out->slot_of_key = (int64_t*)std::malloc(sizeof(int64_t) * (size_t)n);
+  if (!out->slot_of_key) return 3;
+  for (int64_t i = 0; i < n; i++) out->slot_of_key[i] = -1;
+
+  std::vector<int64_t> remaining(n);
+  for (int64_t i = 0; i < n; i++) remaining[i] = i;
+
+  std::vector<uint32_t> seeds, masks, word_offsets, key_offsets;
+  std::vector<std::vector<uint32_t>> bits_parts, ranks_parts;
+  int64_t word_off = 0, key_off = 0;
+
+  auto parallel_for = [&](int64_t count, auto fn) {
+    std::vector<std::thread> ths;
+    int64_t chunk = (count + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t b = t * chunk, e = std::min(count, b + chunk);
+      if (b < e) ths.emplace_back(fn, b, e);
+    }
+    for (auto& th : ths) th.join();
+  };
+
+  int lv = 0;
+  for (; lv < MAX_LEVELS && !remaining.empty(); lv++) {
+    int64_t m = (int64_t)remaining.size();
+    double g = lv < 3 ? gamma : std::max(gamma, 8.0);
+    int64_t want = (int64_t)std::ceil(g * (double)m);
+    int bl = 6;
+    while ((1LL << bl) < want) bl++;
+    int64_t size = 1LL << bl;
+    uint32_t mask = (uint32_t)(size - 1);
+    uint32_t seed = mix32((uint32_t)((uint64_t)(lv + 1) * GOLDEN32));
+
+    std::vector<uint32_t> h(m);
+    std::vector<std::atomic<uint32_t>> counts(size);
+    parallel_for(m, [&](int64_t b, int64_t e) {
+      for (int64_t i = b; i < e; i++) {
+        uint32_t hv = hash_kmer(keys + remaining[i] * W, W, seed) & mask;
+        h[i] = hv;
+        counts[hv].fetch_add(1, std::memory_order_relaxed);
+      }
+    });
+
+    int64_t nwords = size / 32;
+    std::vector<uint32_t> bitvec(nwords, 0);
+    // set bits for singleton buckets (disjoint h values -> plain stores
+    // would race per word; use atomic fetch_or)
+    {
+      std::atomic<uint32_t>* bv =
+          reinterpret_cast<std::atomic<uint32_t>*>(bitvec.data());
+      parallel_for(m, [&](int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; i++) {
+          uint32_t hv = h[i];
+          if (counts[hv].load(std::memory_order_relaxed) == 1)
+            bv[hv >> 5].fetch_or(1u << (hv & 31), std::memory_order_relaxed);
+        }
+      });
+    }
+
+    std::vector<uint32_t> rank(nwords);
+    uint32_t acc = 0;
+    for (int64_t w = 0; w < nwords; w++) {
+      rank[w] = acc;
+      acc += (uint32_t)__builtin_popcount(bitvec[w]);
+    }
+
+    parallel_for(m, [&](int64_t b, int64_t e) {
+      for (int64_t i = b; i < e; i++) {
+        uint32_t hv = h[i];
+        if (counts[hv].load(std::memory_order_relaxed) != 1) continue;
+        uint32_t below = bitvec[hv >> 5] & ((1u << (hv & 31)) - 1u);
+        out->slot_of_key[remaining[i]] =
+            key_off + rank[hv >> 5] + __builtin_popcount(below);
+      }
+    });
+
+    // compact the non-unique tail (stable, ascending — matches NumPy)
+    std::vector<int64_t> next_remaining;
+    next_remaining.reserve(m / 2);
+    int64_t placed = 0;
+    for (int64_t i = 0; i < m; i++) {
+      if (counts[h[i]].load(std::memory_order_relaxed) == 1)
+        placed++;
+      else
+        next_remaining.push_back(remaining[i]);
+    }
+
+    seeds.push_back(seed);
+    masks.push_back(mask);
+    word_offsets.push_back((uint32_t)word_off);
+    key_offsets.push_back((uint32_t)key_off);
+    bits_parts.push_back(std::move(bitvec));
+    ranks_parts.push_back(std::move(rank));
+    word_off += nwords;
+    key_off += placed;
+    remaining.swap(next_remaining);
+  }
+  if (!remaining.empty()) {
+    pa_mphf_free(out);
+    return 1;  // did not converge (mirrors the NumPy RuntimeError)
+  }
+
+  out->n_keys = n;
+  out->n_levels = (int32_t)seeds.size();
+  out->total_words = word_off;
+  size_t nl = seeds.size();
+  out->seeds = (uint32_t*)std::malloc(4 * nl);
+  out->masks = (uint32_t*)std::malloc(4 * nl);
+  out->word_offsets = (uint32_t*)std::malloc(4 * nl);
+  out->key_offsets = (uint32_t*)std::malloc(4 * nl);
+  out->bits = (uint32_t*)std::malloc(4 * std::max<int64_t>(1, word_off));
+  out->ranks = (uint32_t*)std::malloc(4 * std::max<int64_t>(1, word_off));
+  if (!out->seeds || !out->masks || !out->word_offsets || !out->key_offsets ||
+      !out->bits || !out->ranks) {
+    pa_mphf_free(out);
+    return 3;
+  }
+  std::memcpy(out->seeds, seeds.data(), 4 * nl);
+  std::memcpy(out->masks, masks.data(), 4 * nl);
+  std::memcpy(out->word_offsets, word_offsets.data(), 4 * nl);
+  std::memcpy(out->key_offsets, key_offsets.data(), 4 * nl);
+  int64_t w = 0;
+  for (size_t p = 0; p < bits_parts.size(); p++) {
+    std::memcpy(out->bits + w, bits_parts[p].data(), 4 * bits_parts[p].size());
+    std::memcpy(out->ranks + w, ranks_parts[p].data(),
+                4 * ranks_parts[p].size());
+    w += (int64_t)bits_parts[p].size();
   }
   return 0;
 }
