@@ -92,6 +92,10 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-o", "--outdir", default=None)
     sp.add_argument("--bc-len", type=int, default=16)
     sp.add_argument("--umi-len", type=int, default=12)
+    sp.add_argument("--whitelist", default=None,
+                    help="known-barcode list (one per line, .gz ok): exact "
+                         "matches accepted, unique 1-Hamming corrections "
+                         "applied, others dropped")
     sp.add_argument("--batch-size", type=int, default=32768)
     sp.add_argument("--max-read-len", type=int, default=160)
 
@@ -228,7 +232,7 @@ def cmd_count(args, outdir: str) -> int:
     from .config import AlignerConfig
     from .models.aligner import Pseudoaligner
     from .serde import load_index
-    from .singlecell import Chemistry, count_single_cell
+    from .singlecell import Chemistry, Whitelist, count_single_cell
 
     log.info("Reading index from disk")
     image = load_index(args.index)
@@ -237,12 +241,17 @@ def cmd_count(args, outdir: str) -> int:
     )
     aligner = Pseudoaligner(image, cfg)
     chem = Chemistry(bc_len=args.bc_len, umi_len=args.umi_len)
-    counts = count_single_cell(aligner, args.r1_fastq, args.r2_fastq, chem)
+    wl = Whitelist.load(args.whitelist, args.bc_len) if args.whitelist else None
+    counts = count_single_cell(
+        aligner, args.r1_fastq, args.r2_fastq, chem, whitelist=wl
+    )
     counts.write(outdir)
     log.info(
-        "count: %d reads, %d mapped, %d cells, %d classes, %d bad R1",
+        "count: %d reads, %d mapped, %d cells, %d classes, %d bad R1, "
+        "%d corrected, %d dropped barcodes",
         counts.n_reads, counts.n_mapped, len(counts.cells),
-        len(counts.classes), counts.n_bad_r1,
+        len(counts.classes), counts.n_bad_r1, counts.n_corrected,
+        counts.n_bad_barcode,
     )
     return 0
 

@@ -530,29 +530,47 @@ class Pseudoaligner:
         The reference has no paired mode (single FASTQ only,
         src/bin/pseudoaligner.rs:28); semantics follow kallisto's
         paired-end EC intersection.
-        """
-        from ..golden import intersect
 
+        Batched fast path: both mates' device steps for the NEXT batch pair
+        are dispatched before the current pair's host post-processing (the
+        same double-buffer pattern as map_fastq), and pair intersections
+        are memoized by (eq_a, eq_b) signature — mate signatures repeat
+        heavily, so almost every pair is a dict hit.
+        """
         r1 = FastqReader(path1, self.config.batch_size, self.config.max_read_len)
         r2 = FastqReader(path2, self.config.batch_size, self.config.max_read_len)
+        pending = None
+        pair_memo: dict = {}
         for b1, b2 in zip(r1, r2):
             if b1.n_reads != b2.n_reads:
                 raise ValueError("paired FASTQs have different read counts")
             res1 = self.map_batch_device(b1.codes, b1.lens)
             res2 = self.map_batch_device(b2.codes, b2.lens)
-            recs1 = self.records_from_result(jax.device_get(res1), b1)
-            recs2 = self.records_from_result(jax.device_get(res2), b2)
-            for a, b in zip(recs1, recs2):
-                cov = a.coverage + b.coverage
-                if a.coverage and b.coverage:
+            if pending is not None:
+                yield from self._paired_rows(*pending, pair_memo)
+            pending = (res1, res2, b1, b2)
+        if pending is not None:
+            yield from self._paired_rows(*pending, pair_memo)
+
+    def _paired_rows(self, res1, res2, b1, b2, pair_memo: dict):
+        from ..golden import intersect
+
+        recs1 = self.records_from_result(jax.device_get(res1), b1)
+        recs2 = self.records_from_result(jax.device_get(res2), b2)
+        thresh = self.config.read_coverage_threshold
+        for a, b in zip(recs1, recs2):
+            cov = a.coverage + b.coverage
+            if a.coverage and b.coverage:
+                key = (tuple(a.eq_class), tuple(b.eq_class))
+                eq = pair_memo.get(key)
+                if eq is None:
                     eq = intersect(list(a.eq_class), b.eq_class)
-                elif a.coverage:
-                    eq = a.eq_class
-                elif b.coverage:
-                    eq = b.eq_class
-                else:
-                    eq = []
-                flag = (
-                    cov >= self.config.read_coverage_threshold and len(eq) == 0
-                )
-                yield ReadRecord(flag, a.read_id, eq, cov)
+                    pair_memo[key] = eq
+            elif a.coverage:
+                eq = a.eq_class
+            elif b.coverage:
+                eq = b.eq_class
+            else:
+                eq = []
+            flag = cov >= thresh and len(eq) == 0
+            yield ReadRecord(flag, a.read_id, eq, cov)

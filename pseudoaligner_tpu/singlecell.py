@@ -9,17 +9,98 @@ sit on); this module is the TPU-native realization of that workload.
 
 Output: a Matrix-Market-style sparse matrix (cells x equivalence classes,
 distinct-UMI counts) plus barcodes.tsv and the EC definition table.
-Barcode whitelisting/correction is intentionally out of scope for now
-(exact barcodes only).
+
+Barcode handling follows the CellRanger/alevin convention: with a
+whitelist, exact matches are accepted and non-matching barcodes are
+corrected to a whitelist entry iff exactly one 1-Hamming-distance
+candidate is on the list (a single N counts as a mismatch position);
+ambiguous or distant barcodes are dropped.  Without a whitelist, exact
+barcodes are taken at face value (round-1 behavior).
 """
 
 from __future__ import annotations
 
+import gzip
 import os
 from dataclasses import dataclass, field
 
 from .io.fastq import read_fastq_records
 from .models.aligner import Pseudoaligner
+
+_BASE_CODE = {65: 0, 67: 1, 71: 2, 84: 3}  # A C G T
+
+
+def _encode_bc(seq: bytes):
+    """2-bit encode a barcode; returns (code, n_pos) where n_pos is the
+    single N/non-ACGT position (-1 if none), or None if >1 such position."""
+    code = 0
+    n_pos = -1
+    for i, b in enumerate(seq):
+        c = _BASE_CODE.get(b)
+        if c is None:
+            if n_pos >= 0:
+                return None
+            n_pos = i
+            c = 0
+        code = (code << 2) | c
+    return code, n_pos
+
+
+class Whitelist:
+    """Known-barcode list with 1-Hamming-distance correction.
+
+    Barcodes are 2-bit encoded into ints (16bp -> 32 bits) so membership
+    and the 3*bc_len variant probes are set lookups on ints.
+    """
+
+    def __init__(self, barcodes, bc_len: int):
+        self.bc_len = bc_len
+        self.exact: set[int] = set()
+        for bc in barcodes:
+            if len(bc) != bc_len:
+                raise ValueError(
+                    f"whitelist barcode {bc!r} is not {bc_len}bp"
+                )
+            enc = _encode_bc(bc.encode() if isinstance(bc, str) else bc)
+            if enc is None or enc[1] >= 0:
+                raise ValueError(f"whitelist barcode {bc!r} has non-ACGT bases")
+            self.exact.add(enc[0])
+
+    @classmethod
+    def load(cls, path: str, bc_len: int = 16) -> "Whitelist":
+        op = gzip.open if path.endswith(".gz") else open
+        with op(path, "rt") as f:
+            bcs = [line.strip() for line in f if line.strip()]
+        return cls(bcs, bc_len)
+
+    def match(self, seq: bytes) -> str | None:
+        """Exact match or unique 1-Hamming correction; None = drop."""
+        enc = _encode_bc(seq)
+        if enc is None:
+            return None
+        code, n_pos = enc
+        if n_pos < 0 and code in self.exact:
+            return self._decode(code)
+        hit = None
+        positions = (n_pos,) if n_pos >= 0 else range(self.bc_len)
+        for i in positions:
+            shift = 2 * (self.bc_len - 1 - i)
+            base = (code >> shift) & 3
+            for alt in range(4):
+                if alt == base and n_pos < 0:
+                    continue
+                cand = (code & ~(3 << shift)) | (alt << shift)
+                if cand in self.exact:
+                    if hit is not None and hit != cand:
+                        return None  # ambiguous correction
+                    hit = cand
+        return self._decode(hit) if hit is not None else None
+
+    def _decode(self, code: int) -> str:
+        return "".join(
+            "ACGT"[(code >> (2 * (self.bc_len - 1 - i))) & 3]
+            for i in range(self.bc_len)
+        )
 
 
 @dataclass
@@ -43,6 +124,8 @@ class CellCounts:
     n_reads: int = 0
     n_mapped: int = 0
     n_bad_r1: int = 0
+    n_corrected: int = 0
+    n_bad_barcode: int = 0
 
     def _class_id(self, eq: tuple[int, ...]) -> int:
         idx = self.classes.get(eq)
@@ -91,8 +174,13 @@ def count_single_cell(
     r1_path: str,
     r2_path: str,
     chem: Chemistry | None = None,
+    whitelist: Whitelist | None = None,
 ) -> CellCounts:
-    """Run the 10x counting pipeline.  R1: barcode+UMI; R2: cDNA."""
+    """Run the 10x counting pipeline.  R1: barcode+UMI; R2: cDNA.
+
+    With a whitelist, barcodes are corrected/filtered per the module
+    docstring; corrected reads count toward their corrected cell.
+    """
     chem = chem or Chemistry()
     counts = CellCounts()
 
@@ -118,7 +206,17 @@ def count_single_cell(
                 counts.n_bad_r1 += 1
                 counts.n_reads += 1
                 continue
-            bc = seq1[: chem.bc_len].decode()
+            raw_bc = seq1[: chem.bc_len]
+            if whitelist is not None:
+                bc = whitelist.match(raw_bc)
+                if bc is None:
+                    counts.n_bad_barcode += 1
+                    counts.n_reads += 1
+                    continue
+                if bc != raw_bc.decode():
+                    counts.n_corrected += 1
+            else:
+                bc = raw_bc.decode()
             umi = seq1[chem.bc_len : chem.bc_len + chem.umi_len].decode()
             counts.add(bc, umi, rec.eq_class if rec.coverage else ())
     return counts

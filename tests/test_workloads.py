@@ -121,6 +121,63 @@ def test_single_cell_count(aligner, small_transcripts, tmp_path):
     assert barcodes == [bc1, bc2]
 
 
+def test_whitelist_match_and_correct():
+    from pseudoaligner_tpu.singlecell import Whitelist
+
+    wl = Whitelist(["A" * 16, "C" * 16, "A" * 15 + "G"], bc_len=16)
+    # exact
+    assert wl.match(b"A" * 16) == "A" * 16
+    # unique 1-Hamming correction (T at pos 0 -> only CCCC... is 1 away? no:
+    # TAAA... is 1 away from AAAA... only) -> corrects
+    assert wl.match(b"T" + b"A" * 15) == "A" * 16
+    # ambiguous: AAAA...AT is 1 away from both AAAA...AA and AAAA...AG
+    assert wl.match(b"A" * 15 + b"T") is None
+    # single N corrects to the unique fill-in
+    assert wl.match(b"N" + b"C" * 15) == "C" * 16
+    # N where two fill-ins exist -> ambiguous -> drop
+    assert wl.match(b"A" * 15 + b"N") is None
+    # two Ns -> drop
+    assert wl.match(b"NN" + b"A" * 14) is None
+    # >1 mismatch -> drop
+    assert wl.match(b"T" * 16) is None
+
+
+def test_single_cell_count_whitelist(aligner, small_transcripts, tmp_path):
+    from pseudoaligner_tpu.singlecell import (
+        Chemistry,
+        Whitelist,
+        count_single_cell,
+    )
+
+    bc1, bc2 = "A" * 16, "C" * 16
+    wl = Whitelist([bc1, bc2], bc_len=16)
+    r1 = [
+        ("m0", bc1 + "G" * 12),            # exact
+        ("m1", "T" + bc1[1:] + "G" * 12),  # corrects to bc1, same UMI
+        ("m2", bc1 + "T" * 12),            # exact, distinct UMI
+        ("m3", "N" + bc2[1:] + "G" * 12),  # N corrects to bc2
+        ("m4", "GT" + bc2[2:] + "G" * 12), # 2 mismatches -> dropped
+    ]
+    cdna = _tx_window(small_transcripts, 7, 30, 60)
+    r2 = [("m%d" % i, cdna) for i in range(5)]
+    _write_fastq(tmp_path / "r1.fq", r1)
+    _write_fastq(tmp_path / "r2.fq", r2)
+    counts = count_single_cell(
+        aligner, str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq"),
+        Chemistry(), whitelist=wl,
+    )
+    assert counts.n_reads == 5
+    assert counts.n_corrected == 2
+    assert counts.n_bad_barcode == 1
+    assert sorted(counts.cells) == [bc1, bc2]
+    counts.write(str(tmp_path / "out"))
+    mtx = open(tmp_path / "out" / "matrix.mtx").read().splitlines()
+    entries = {(int(a), int(b)): int(c) for a, b, c in (ln.split() for ln in mtx[3:])}
+    # bc1: m0/m1 share a UMI, m2 distinct -> 2; bc2: m3 -> 1
+    assert entries[(1, 1)] == 2
+    assert entries[(2, 1)] == 1
+
+
 def test_long_read_segmentation(aligner, small_transcripts, tmp_path):
     """A whole transcript streamed as a long read: windows are merged and
     the transcript is in the resulting equivalence class."""
