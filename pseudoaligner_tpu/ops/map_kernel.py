@@ -188,9 +188,16 @@ def _extract_pool_window(meta: MapMeta, idx: DeviceIndex, q: jnp.ndarray):
     q: [B] int32 (must satisfy 0 <= q and q + L < pool end padding).
     Returns [B, cmp_words] uint32 where base (q+t) sits at bits
     [2*(t%16)] of word t//16.  Two-plus aligned row gathers + dense ops."""
+    return _extract_pool_window_rows(meta, idx.pool_rows, q)
+
+
+def _extract_pool_window_rows(meta: MapMeta, pool_rows: jnp.ndarray, q: jnp.ndarray):
+    """_extract_pool_window against an explicit [R, 8] pool-row array
+    (used by the graph-sharded mode, where each shard extracts windows
+    from its local pool slice)."""
     NR = meta.pool_fetch_rows
     r0 = (q >> 7).astype(jnp.int32)
-    rows = [jnp.take(idx.pool_rows, jnp.clip(r0 + i, 0, idx.pool_rows.shape[0] - 1), axis=0)
+    rows = [jnp.take(pool_rows, jnp.clip(r0 + i, 0, pool_rows.shape[0] - 1), axis=0)
             for i in range(NR)]
     wcat = jnp.concatenate(rows, axis=1)  # [B, NR*8]
     o = q & 127
@@ -416,13 +423,17 @@ def map_batch(meta: MapMeta, idx: DeviceIndex, reads, lens) -> MapResult:
 
 
 def map_batch_with_seeds(
-    meta: MapMeta, idx: DeviceIndex, reads, lens, seed_node, seed_off, next_hit
+    meta: MapMeta, idx: DeviceIndex, reads, lens, seed_node, seed_off,
+    next_hit, fetch=None, cond_all=None,
 ) -> MapResult:
-    """Walk + EC given precomputed seed tables (k-mer-partitioned mode)."""
+    """Walk + EC given precomputed seed tables (k-mer-partitioned mode).
+
+    fetch/cond_all: graph-sharded walk hooks (see _walk)."""
     reads = reads.astype(jnp.int32)
     packed = pack_reads_device(reads)
     return _walk(meta, idx, packed, reads, lens.astype(jnp.int32),
-                 seed_node, seed_off, next_hit)
+                 seed_node, seed_off, next_hit, fetch=fetch,
+                 cond_all=cond_all)
 
 
 def pack_reads_device(reads: jnp.ndarray) -> jnp.ndarray:
@@ -440,7 +451,20 @@ def pack_reads_device(reads: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapResult:
+def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
+          fetch=None, cond_all=None) -> MapResult:
+    """The batched graph walk.
+
+    fetch(node, delta, want_win) -> (node_row [B, 12], window [B, cmp_words]
+    or None) abstracts the per-iteration graph access: the replicated
+    default gathers locally; the graph-sharded mode routes requests to
+    owner shards via all_to_all (parallel/sharded_index.py).  cond_all
+    reduces the while-loop liveness flag across the mesh — the routed
+    fetch places collectives inside the loop bodies, so every device must
+    agree on the trip count (a psum-OR).  The reduced flag is carried in
+    the loop STATE (computed at the end of each body, where collectives
+    are legal), so the loop cond itself stays collective-free.
+    """
     B, L = reads.shape
     k = meta.k
     P = meta.n_positions
@@ -460,9 +484,18 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
     buf = jnp.full((B, meta.max_nodes, 2), -1, jnp.int32)  # (node, ec)
     n_nodes = jnp.zeros(B, jnp.int32)
 
-    def node_meta(n):
-        r = jnp.take(idx.node_row, jnp.clip(n, 0, None), axis=0)
-        return r  # [B, 12]
+    global_mode = cond_all is not None
+
+    if fetch is None:
+
+        def fetch(n, delta, want_win):
+            r = jnp.take(idx.node_row, jnp.clip(n, 0, None), axis=0)
+            win = (
+                _extract_pool_window(meta, idx, r[:, 0] + delta)
+                if want_win
+                else None
+            )
+            return r, win
 
     # left-extension gate: kmer_pos >= (LEFT_EXTEND_FRACTION * L) as usize
     thresh = jnp.floor(
@@ -471,20 +504,17 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
 
     # ---- left extension (src/pseudoaligner.rs:124-205) ----
     def l_cond(s):
-        return jnp.any(s["active"])
+        return s["galive"] if global_mode else jnp.any(s["active"])
 
     def l_body(s):
         act = s["active"]
         lnode = s["node"]
         pko = s["pko"]
         last_pos = s["last_pos"]
-        nrow = node_meta(lnode)
-        nstart = nrow[:, 0]
         maxm = jnp.minimum(last_pos + 1, pko + 1)
         # ref window: base (nstart + pko - j); extract ascending from
         # (nstart + pko - (L-1)) then reverse
-        ref_q = nstart + pko - (L - 1)
-        ref_win = _extract_pool_window(meta, idx, ref_q)
+        nrow, ref_win = fetch(lnode, pko - (L - 1), True)
         # read window: base (last_pos - j) + front pad; ascending from
         # last_pos - (L-1) + fw
         read_q = last_pos - (L - 1) + fw_bases
@@ -505,12 +535,12 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         new_node = jnp.full((B,), -1, jnp.int32)
         for b4 in range(4):
             new_node = jnp.where(nb == b4, nrow[:, 4 + b4], new_node)
-        new_row = node_meta(new_node)
+        new_row, _ = fetch(new_node, 0, False)
         nbuf, ncnt = _push(
             s["buf"], s["n_nodes"], new_node, new_row[:, 3], follow
         )
         new_pko = new_row[:, 1] - k
-        return {
+        out = {
             "active": follow,
             "node": jnp.where(follow, new_node, lnode),
             "pko": jnp.where(follow, new_pko, pko),
@@ -520,6 +550,9 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
             "buf": nbuf,
             "n_nodes": ncnt,
         }
+        if global_mode:
+            out["galive"] = cond_all(jnp.any(out["active"]))
+        return out
 
     l_state = {
         "active": seeded & (q0 >= thresh),
@@ -531,13 +564,15 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         "buf": buf,
         "n_nodes": n_nodes,
     }
+    if global_mode:
+        l_state["galive"] = cond_all(jnp.any(l_state["active"]))
     l_state = jax.lax.while_loop(l_cond, l_body, l_state)
 
     # ---- forward walk (src/pseudoaligner.rs:208-302) ----
     cap = meta.max_walk_iters
 
     def f_cond(s):
-        alive = jnp.any(s["active"])
+        alive = s["galive"] if global_mode else jnp.any(s["active"])
         if cap > 0:
             return alive & (s["it"] < cap)
         return alive
@@ -551,15 +586,14 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         koff = s["koff"]
         kpos = s["kpos"] + k
         cov2 = jnp.where(act, s["cov"] + k, s["cov"])
-        nrow = node_meta(fnode)
+        ref_off = koff + k
+        nrow, ref_win = fetch(fnode, ref_off, True)
         nbuf, ncnt = _push(s["buf"], s["n_nodes"], fnode, nrow[:, 3], act)
 
-        nstart, nlen, exts = nrow[:, 0], nrow[:, 1], nrow[:, 2]
-        ref_off = koff + k
+        nlen, exts = nrow[:, 1], nrow[:, 2]
         informative = nlen - ref_off
         remaining = lens - kpos
         maxm = jnp.maximum(jnp.minimum(remaining, informative), 0)
-        ref_win = _extract_pool_window(meta, idx, nstart + ref_off)
         read_win = _extract_read_window(meta, rp, kpos + fw_bases)
         mmf = _mismatch_bits(meta, ref_win, read_win)
         matched, mm_add, prem = _segment_math(meta, mmf, maxm, allowed)
@@ -616,7 +650,7 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
             active2 = active2 | hit | keep_seeking
             seeking2 = seeking2 | keep_seeking
 
-        return {
+        out = {
             "active": active2,
             "seeking": seeking2,
             "node": node2,
@@ -628,6 +662,9 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
             "n_nodes": ncnt,
             "it": s["it"] + 1,
         }
+        if global_mode:
+            out["galive"] = cond_all(jnp.any(out["active"]))
+        return out
 
     f_state = {
         "active": seeded,
@@ -641,6 +678,8 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit) -> MapR
         "n_nodes": l_state["n_nodes"],
         "it": jnp.int32(0),
     }
+    if global_mode:
+        f_state["galive"] = cond_all(jnp.any(f_state["active"]))
     f_state = jax.lax.while_loop(f_cond, f_body, f_state)
     # lanes cut off by the iteration cap need the exact fallback pass
     capped = f_state["active"] if cap > 0 else jnp.zeros((B,), bool)

@@ -74,6 +74,117 @@ class KPartMeta:
     n_shards: int
     n_levels: int
     cap: int  # per-destination send capacity
+    node_block: int = 0  # nodes per graph shard (0 = graph replicated)
+
+
+class GraphShards(NamedTuple):
+    """Graph arrays partitioned by contiguous node-id blocks; axis 0 is the
+    mesh axis.  Each shard holds its block's node rows (start column
+    rebased to the shard-local pool slice) and packed pool rows."""
+
+    node_rows: jnp.ndarray  # [S, Nb, 12] int32
+    pools: jnp.ndarray  # [S, Rmax, 8] uint32
+
+
+def build_sharded_graph(image: IndexImage, meta: MapMeta, n_shards: int):
+    """Partition node rows + sequence pool into contiguous node blocks.
+
+    The node-id space is split into S equal blocks; block s owns nodes
+    [s*Nb, (s+1)*Nb) and the pool bases their sequences span.  The layout
+    relies on node_start being nondecreasing in node id (both builders
+    emit nodes in that order).  Returns (GraphShards, node_block)."""
+    from ..ops.map_kernel import _pack_pool_rows
+
+    N = image.n_nodes
+    S = n_shards
+    Nb = (N + S - 1) // S
+    starts = image.node_start.astype(np.int64)
+    lens_ = image.node_len.astype(np.int64)
+    assert np.all(np.diff(starts) >= 0), "node_start must be nondecreasing"
+    pool_pad = meta.pool_pad
+
+    node_blocks, pool_blocks = [], []
+    for s in range(S):
+        lo, hi = s * Nb, min(N, (s + 1) * Nb)
+        nr = np.zeros((Nb, 12), dtype=np.int32)
+        if lo < hi:
+            base = starts[lo]
+            end = starts[hi - 1] + lens_[hi - 1]
+            pool_blocks.append(
+                _pack_pool_rows(image.seq_pool[base:end], pool_pad, pool_pad)
+            )
+            n = hi - lo
+            nr[:n, 0] = (starts[lo:hi] - base + pool_pad).astype(np.int32)
+            nr[:n, 1] = image.node_len[lo:hi]
+            nr[:n, 2] = image.node_exts[lo:hi]
+            nr[:n, 3] = image.node_ec[lo:hi]
+            nr[:n, 4:8] = image.l_edge[lo:hi]
+            nr[:n, 8:12] = image.r_edge[lo:hi]
+        else:
+            pool_blocks.append(
+                _pack_pool_rows(np.zeros(0, np.uint8), pool_pad, pool_pad)
+            )
+        node_blocks.append(nr)
+
+    rmax = max(p.shape[0] for p in pool_blocks)
+    pools = np.zeros((S, rmax, 8), dtype=np.uint32)
+    for s, p in enumerate(pool_blocks):
+        pools[s, : p.shape[0]] = p
+    return GraphShards(np.stack(node_blocks), pools), Nb
+
+
+def _routed_fetch_factory(meta: MapMeta, node_rows, pools, axis: str,
+                          S: int, node_block: int):
+    """Walk-loop graph access for the sharded graph: one all_to_all
+    round-trip per fetch.
+
+    Each lane sends (node, delta) to the node's owner shard — slot = lane
+    id, so buffers are overflow-free by construction (a lane sends at most
+    one request).  The owner gathers the node row from its local block and
+    extracts the compare window from its local pool slice (the window is
+    computed owner-side because only the owner knows node_start), then the
+    response rides a second all_to_all home.  This is the "move the
+    computation to the data" alternative to replicating the graph, and is
+    what lets graph+pool HBM scale with the mesh (SURVEY.md §7.3 item 6).
+    """
+    from ..ops.map_kernel import _extract_pool_window_rows
+
+    def fetch(node, delta, want_win):
+        B = node.shape[0]
+        me = jax.lax.axis_index(axis)
+        n = jnp.clip(node, 0, None)
+        owner = jnp.minimum(n // node_block, S - 1).astype(jnp.int32)
+        lane = jnp.arange(B)
+        d = jnp.broadcast_to(jnp.asarray(delta, dtype=jnp.int32), n.shape)
+        req = jnp.stack([n, d], axis=-1)
+        send = jnp.zeros((S, B, 2), jnp.int32)
+        send = send.at[owner, lane].set(req)
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)  # [S, B, 2]
+        rn = recv[..., 0].reshape(S * B)
+        rd = recv[..., 1].reshape(S * B)
+        ln = jnp.clip(rn - me * node_block, 0, node_rows.shape[0] - 1)
+        nrow = jnp.take(node_rows, ln, axis=0)  # [S*B, 12]
+        if want_win:
+            q = jnp.clip(nrow[:, 0] + rd, 0, None)
+            win = _extract_pool_window_rows(meta, pools, q)
+            resp = jnp.concatenate(
+                [nrow, jax.lax.bitcast_convert_type(win, jnp.int32)], axis=-1
+            )
+        else:
+            resp = nrow
+        back = jax.lax.all_to_all(
+            resp.reshape(S, B, -1), axis, 0, 0, tiled=True
+        )
+        mine = back[owner, lane]  # [B, 12(+cmp_words)]
+        out_row = mine[:, :12]
+        out_win = (
+            jax.lax.bitcast_convert_type(mine[:, 12:], jnp.uint32)
+            if want_win
+            else None
+        )
+        return out_row, out_win
+
+    return fetch
 
 
 def build_sharded_lookup(image: IndexImage, n_shards: int):
@@ -226,11 +337,18 @@ def make_kpart_step(
 ):
     """Jitted distributed step for the k-mer-partitioned mode.
 
-    fn(graph_idx, lookup, packed, lens) ->
+    fn(graph_idx, lookup, gshards, packed, lens) ->
         (MapResult sharded, counts replicated, overflow replicated)
-    """
 
-    def local_step(idx: DeviceIndex, lookup: ShardedLookup, packed, lens):
+    With kmeta.node_block > 0 the graph arrays ride in `gshards`
+    (node-block-partitioned across the mesh) and the walk fetches node
+    rows/windows through the routed all_to_all fetcher; the while-loop
+    liveness is psum-reduced so every shard runs the same trip count.
+    """
+    shard_graph = kmeta.node_block > 0
+
+    def local_step(idx: DeviceIndex, lookup: ShardedLookup,
+                   gsh: GraphShards, packed, lens):
         reads = unpack_reads(packed, meta.read_len)
         lens = lens.astype(jnp.int32)
         seed_node, seed_off, overflow = _routed_seed_tables(
@@ -239,8 +357,19 @@ def make_kpart_step(
         seed_node, next_hit = next_hit_table(
             seed_node, lens, meta.k, meta.n_positions
         )
+        if shard_graph:
+            fetch = _routed_fetch_factory(
+                meta, gsh.node_rows[0], gsh.pools[0], axis,
+                kmeta.n_shards, kmeta.node_block,
+            )
+            cond_all = lambda x: (  # noqa: E731
+                jax.lax.psum(x.astype(jnp.int32), axis) > 0
+            )
+        else:
+            fetch = cond_all = None
         res = map_batch_with_seeds(
-            meta, idx, reads, lens, seed_node, seed_off, next_hit
+            meta, idx, reads, lens, seed_node, seed_off, next_hit,
+            fetch=fetch, cond_all=cond_all,
         )
         if meta.tx_words > 0:
             counts = jax.lax.psum(tx_compat_counts(res, n_tx), axis)
@@ -253,6 +382,7 @@ def make_kpart_step(
     lookup_spec = jax.tree.map(
         lambda _: P(axis), ShardedLookup(*[0] * len(ShardedLookup._fields))
     )
+    gsh_spec = GraphShards(node_rows=P(axis), pools=P(axis))
     out_spec = (
         MapResult(
             mapped=P(axis), coverage=P(axis), mismatches=P(axis),
@@ -265,7 +395,7 @@ def make_kpart_step(
     fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(idx_spec, lookup_spec, P(axis), P(axis)),
+        in_specs=(idx_spec, lookup_spec, gsh_spec, P(axis), P(axis)),
         out_specs=out_spec,
         check_vma=False,
     )
@@ -273,7 +403,14 @@ def make_kpart_step(
 
 
 class KmerPartitionedAligner:
-    """Mapping engine with the k-mer index sharded across the mesh."""
+    """Mapping engine with the k-mer index sharded across the mesh.
+
+    shard_graph=True additionally partitions the node rows + sequence pool
+    by contiguous node-id blocks (one per shard) — per-shard HBM then holds
+    only 1/S of the whole index, at the cost of one all_to_all round-trip
+    per walk iteration (the scale-out mode for indexes beyond one chip's
+    HBM).  shard_graph=False replicates the graph (fastest per chip).
+    """
 
     def __init__(
         self,
@@ -281,6 +418,7 @@ class KmerPartitionedAligner:
         config: AlignerConfig,
         mesh: Mesh,
         slack: float = 4.0,
+        shard_graph: bool = False,
     ):
         from .mesh import shard_batch
 
@@ -291,7 +429,10 @@ class KmerPartitionedAligner:
         import dataclasses
 
         dev, meta = device_index_from_image(image, config)
-        meta = dataclasses.replace(meta, distinct_cap=0)
+        # lazy_seeds must be off here: in-loop lazy probes would hit the
+        # dummy cuckoo table (the routed tables already cover EVERY
+        # position, so the eager next-hit path is complete)
+        meta = dataclasses.replace(meta, distinct_cap=0, lazy_seeds=False)
         self.meta = meta
         self.config = config
         self.n_tx = len(image.tx_names)
@@ -302,11 +443,20 @@ class KmerPartitionedAligner:
         cap = max(64, int(slack * per_dev_queries / S))
         # round capacity to a multiple of 8 for friendlier layouts
         cap = (cap + 7) // 8 * 8
-        self.kmeta = KPartMeta(n_shards=S, n_levels=n_levels, cap=cap)
+        node_block = 0
+        gsh_np = GraphShards(
+            node_rows=np.zeros((S, 1, 12), np.int32),
+            pools=np.zeros((S, 1, 8), np.uint32),
+        )
+        if shard_graph:
+            gsh_np, node_block = build_sharded_graph(image, meta, S)
+        self.kmeta = KPartMeta(
+            n_shards=S, n_levels=n_levels, cap=cap, node_block=node_block
+        )
 
         repl = NamedSharding(mesh, P())
         shrd = NamedSharding(mesh, P(READS_AXIS))
-        # graph replicated; the sharded lookup's leading axis = mesh axis
+        # the sharded lookup's (and sharded graph's) leading axis = mesh axis
         graph = dev._replace(
             # the replicated seed structures are unused in this mode — the
             # sharded lookup replaces them
@@ -317,9 +467,18 @@ class KmerPartitionedAligner:
             kmer_node=np.zeros(1, np.int32),
             kmer_offset=np.zeros(1, np.int32),
         )
+        if shard_graph:
+            # graph arrays ride sharded in gshards instead
+            graph = graph._replace(
+                pool_rows=np.zeros((1, 8), np.uint32),
+                node_row=np.zeros((1, 12), np.int32),
+            )
         self.dev = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), repl), graph)
         self.lookup = jax.tree.map(
             lambda a: jax.device_put(jnp.asarray(a), shrd), lookup_np
+        )
+        self.gshards = jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a), shrd), gsh_np
         )
         self._step = make_kpart_step(meta, self.kmeta, mesh, self.n_tx)
         self._shard_batch = shard_batch
@@ -329,7 +488,9 @@ class KmerPartitionedAligner:
 
         packed = pack_reads_host(np.asarray(reads, dtype=np.uint8))
         r, l = self._shard_batch(packed, lens.astype(np.int32), self.mesh)
-        res, counts, overflow = self._step(self.dev, self.lookup, r, l)
+        res, counts, overflow = self._step(
+            self.dev, self.lookup, self.gshards, r, l
+        )
         if int(overflow) > 0:
             raise RuntimeError(
                 f"kpart routing overflow ({int(overflow)} queries) — "

@@ -62,3 +62,45 @@ def test_kpart_matches_replicated(small_index, small_reads, nd):
     by = np.ascontiguousarray(bits).view(np.uint8)
     unpacked = np.unpackbits(by, axis=1, bitorder="little")[:, : small_index.n_tx]
     assert np.array_equal(np.asarray(counts), unpacked.sum(axis=0).astype(np.int32))
+
+
+@pytest.mark.parametrize("nd", [2, 8])
+def test_kpart_sharded_graph_matches_replicated(small_index, small_reads, nd):
+    """Graph-sharded kpart (node rows + pool partitioned, routed walk
+    fetches) must be bit-identical to the single-device walk."""
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=64,
+                        distinct_cap=0)
+    B, L = 64, 64
+    codes, lens = _batch(small_reads, B, L)
+
+    single = Pseudoaligner(small_index, cfg)
+    base = single.map_batch_device(codes, lens)
+
+    mesh = make_mesh(nd)
+    kp = KmerPartitionedAligner(small_index, cfg, mesh, shard_graph=True)
+    # per-shard HBM: the graph block is ~1/S of the whole
+    assert kp.gshards.node_rows.shape[1] == (small_index.n_nodes + nd - 1) // nd
+    res, counts = kp.map_batch(codes, lens)
+
+    assert np.array_equal(np.asarray(base.mapped), np.asarray(res.mapped))
+    assert np.array_equal(np.asarray(base.coverage), np.asarray(res.coverage))
+    assert np.array_equal(np.asarray(base.mismatches), np.asarray(res.mismatches))
+    assert np.array_equal(np.asarray(base.ec_bits), np.asarray(res.ec_bits))
+    assert np.array_equal(np.asarray(base.nodes), np.asarray(res.nodes))
+
+
+def test_build_sharded_graph_blocks(small_index):
+    from pseudoaligner_tpu.ops.map_kernel import device_index_from_image
+    from pseudoaligner_tpu.parallel.sharded_index import build_sharded_graph
+
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64)
+    _, meta = device_index_from_image(small_index, cfg)
+    gsh, nb = build_sharded_graph(small_index, meta, 4)
+    assert gsh.node_rows.shape == (4, nb, 12)
+    # every node's metadata survives partitioning (start is rebased)
+    for s in range(4):
+        lo, hi = s * nb, min(small_index.n_nodes, (s + 1) * nb)
+        blk = gsh.node_rows[s, : hi - lo]
+        assert np.array_equal(blk[:, 1], small_index.node_len[lo:hi])
+        assert np.array_equal(blk[:, 3], small_index.node_ec[lo:hi])
+        assert np.array_equal(blk[:, 8:12], small_index.r_edge[lo:hi])
