@@ -117,7 +117,7 @@ def main():
     n_batches = int(os.environ.get("BENCH_BATCHES", 16))
     cfg = AlignerConfig(
         k=20, batch_size=B, max_read_len=L, max_nodes=32,
-        max_walk_iters=int(os.environ.get("BENCH_WALK_CAP", 16)),
+        max_walk_iters=int(os.environ.get("BENCH_WALK_CAP", 8)),
     )
     aligner = Pseudoaligner(image, cfg)
 
@@ -146,31 +146,52 @@ def main():
     try:
         from pseudoaligner_tpu.io import native  # noqa: F401
 
-        def consume(res, rb):
-            data = aligner.emit_batch(res, rb)
-            devnull.write(data)
-            return len(rb.ids), data.count(b", [], ")
+        has_native = True
     except Exception:
-
-        def consume(res, rb):
-            recs = aligner.records_from_result(jax.device_get(res), rb)
-            return len(recs), sum(1 for r in recs if not r.eq_class)
+        has_native = False
 
     def timed_pass():
+        # depth-2 pipeline (the emit_fastq pattern): prepare batch k (fetch
+        # + dispatch overflow re-map) right after dispatching map(k+1), and
+        # finish/write batch k-1 — its re-map, queued behind map(k), is
+        # done by then, so emit_finish never stalls on the device
         t0 = time.time()
         n_done = 0
         n_unmapped = 0
         pending = None
+        prepared = None
+
+        def finish():
+            nonlocal n_done, n_unmapped, prepared
+            if prepared is None:
+                return
+            st, n = prepared
+            prepared = None
+            data = aligner.emit_finish(st)
+            devnull.write(data)
+            n_done += n
+            n_unmapped += data.count(b", [], ")
+
+        def consume(res, rb):
+            nonlocal prepared
+            if has_native:
+                st = aligner.emit_prepare(res, rb)
+                finish()
+                prepared = (st, len(rb.ids))
+            else:
+                finish()
+                recs = aligner.records_from_result(jax.device_get(res), rb)
+                nonlocal n_done, n_unmapped
+                n_done += len(recs)
+                n_unmapped += sum(1 for r in recs if not r.eq_class)
+
         for codes, ls in batches[1:]:
             fut = aligner.map_batch_device(codes, ls)
             if pending is not None:
-                n, u = consume(*pending)
-                n_done += n
-                n_unmapped += u
+                consume(*pending)
             pending = (fut, make_rb(codes, ls))
-        n, u = consume(*pending)
-        n_done += n
-        n_unmapped += u
+        consume(*pending)
+        finish()
         return n_done, n_unmapped, time.time() - t0
 
     # two passes; report the better one (the tunneled device's dispatch

@@ -89,11 +89,11 @@ class AlignerConfig:
     # bitsets.  Cuts result transfer ~6x; 0 = full debug outputs.  Reads
     # with more class runs than the cap are re-mapped exactly on the
     # overflow path (~0.1% at 16 on the bundled workload).
-    distinct_cap: int = 16
+    distinct_cap: int = 12
     # Forward-walk iteration cap for the serving kernel; lanes cut off are
     # re-run exactly through the uncapped fallback pass (rare).  Requires
     # compact outputs (ignored when distinct_cap == 0).  0 = unbounded.
-    max_walk_iters: int = 16
+    max_walk_iters: int = 8
 
     def __post_init__(self):
         if self.k < 4 or self.k > 64:

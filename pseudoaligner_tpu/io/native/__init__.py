@@ -97,6 +97,59 @@ def _load_emit():
     return lib
 
 
+def emit_records_sig(covs, cov_thresh: int, ids_concat: bytes, id_offs,
+                     sig_of_read, sig_start, sig_flat,
+                     ovr_rows, ovr_start, ovr_ids) -> bytes:
+    """Signature-indirect formatting: per-read EC lists come from the
+    shared signature tables (rendered once in C++), overflow rows from the
+    ovr_* override arrays.  Flags are computed in C++."""
+    lib = _load_emit()
+    if not hasattr(lib, "_sig_ready"):
+        lib.pa_emit_records_sig.restype = ctypes.c_int64
+        lib.pa_emit_records_sig.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_char_p),
+        ]
+        lib._sig_ready = True
+    covs = np.ascontiguousarray(covs, dtype=np.int32)
+    id_offs = np.ascontiguousarray(id_offs, dtype=np.int64)
+    sig_of_read = np.ascontiguousarray(sig_of_read, dtype=np.int64)
+    sig_start = np.ascontiguousarray(sig_start, dtype=np.int64)
+    sig_flat = np.ascontiguousarray(sig_flat, dtype=np.uint32)
+    ovr_rows = np.ascontiguousarray(ovr_rows, dtype=np.int64)
+    ovr_start = np.ascontiguousarray(ovr_start, dtype=np.int64)
+    ovr_ids = np.ascontiguousarray(ovr_ids, dtype=np.uint32)
+    out = ctypes.c_char_p()
+    ln = lib.pa_emit_records_sig(
+        len(covs),
+        covs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cov_thresh,
+        ids_concat,
+        id_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sig_of_read.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(sig_start) - 1,
+        sig_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sig_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ovr_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(ovr_rows),
+        ovr_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ovr_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(out),
+    )
+    if ln == -1:
+        raise MemoryError("pa_emit_records_sig allocation failed")
+    if ln < 0:
+        raise ValueError("pa_emit_records_sig: inconsistent overflow rows")
+    data = ctypes.string_at(out, ln)
+    lib.pa_free_buf(out)
+    return data
+
+
 def emit_records(flags, covs, ids_concat: bytes, id_offs, eq_offsets, eq_ids) -> bytes:
     """Format a batch of records reference-style -> bytes (one line/read)."""
     lib = _load_emit()

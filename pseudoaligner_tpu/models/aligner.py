@@ -70,6 +70,11 @@ class Pseudoaligner:
         self._step = jax.jit(partial(map_batch_packed, meta))
         # host-side EC intersection memo for the CSR fallback path
         self._ec_memo: dict[tuple[int, ...], list[int]] = {}
+        # raw-signature-row -> materialized EC array (emit fast path):
+        # steady-state batches repeat almost all signatures, so the per-row
+        # python (dedup-sort + CSR intersect) runs only on first sight
+        self._sig_cache: dict[bytes, np.ndarray] = {}
+        self._single_cache: dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------
     # device step
@@ -202,9 +207,21 @@ class Pseudoaligner:
         """Format a whole batch's records reference-style via the native
         emitter — no per-read python objects.  Compact mode, no window
         groups (caller routes long-read batches through the record path).
-        Returns the formatted bytes; updates `tcc` counts if given."""
-        from ..io import native as _native
+        Returns the formatted bytes; updates `tcc` counts if given.
 
+        Synchronous convenience wrapper over emit_prepare + emit_finish.
+        Pipelined callers (emit_fastq, bench) should call the two phases a
+        batch apart: emit_prepare dispatches the overflow re-map, which
+        lands in the device queue AFTER the next batch's map step — so
+        finishing immediately stalls for that whole step, while finishing
+        one batch later finds the re-map already complete (measured: the
+        stall was ~60% of the serving period)."""
+        return self.emit_finish(self.emit_prepare(result, batch, tcc))
+
+    def emit_prepare(self, result: MapResult, batch: ReadBatch, tcc=None):
+        """Phase 1: fetch compact outputs, dispatch the overflow re-map,
+        group signatures and materialize their EC lists (cached).  Returns
+        an opaque state for emit_finish."""
         n = len(batch.ids)
         cov = np.asarray(result.coverage)[:n].astype(np.int32)
         dist = np.asarray(result.ec_distinct)[:n]
@@ -222,11 +239,23 @@ class Pseudoaligner:
             else np.zeros(n, bool)
         )
         u1, inv1 = np.unique(dist[single, 0], return_inverse=True)
-        u2, inv2 = (
-            np.unique(dist[~single], axis=0, return_inverse=True)
-            if (~single).any()
-            else (np.zeros((0, dist.shape[1]), dist.dtype), np.zeros(0, np.int64))
-        )
+        multi = dist[~single]
+        if len(multi):
+            # exact lexicographic row grouping: lexsort + adjacent compare
+            # (np.unique(axis=0)'s void-view sort measured ~9x slower on
+            # the same rows)
+            order = np.lexsort(multi.T[::-1])
+            sm = multi[order]
+            head = np.ones(len(sm), dtype=bool)
+            if len(sm) > 1:
+                head[1:] = np.any(sm[1:] != sm[:-1], axis=1)
+            gid_sorted = np.cumsum(head) - 1
+            u2 = sm[head]
+            inv2 = np.empty(len(multi), dtype=np.int64)
+            inv2[order] = gid_sorted
+        else:
+            u2 = np.zeros((0, dist.shape[1]), dist.dtype)
+            inv2 = np.zeros(0, np.int64)
         DCW = dist.shape[1]
         uniq = np.concatenate(
             [
@@ -241,20 +270,36 @@ class Pseudoaligner:
         inv[single] = inv1
         inv[~single] = inv2 + len(u1)
 
+        empty_u32 = np.zeros(0, np.uint32)
         sig_lists: list[np.ndarray] = []
-        for row in uniq:
+        for e in u1.tolist():
+            if e < 0:
+                sig_lists.append(empty_u32)
+                continue
+            hit = self._single_cache.get(e)
+            if hit is None:
+                hit = np.asarray(self.image.ec_list(e), dtype=np.uint32)
+                self._single_cache[e] = hit
+            sig_lists.append(hit)
+        for row in u2:
             if row[-1] == -2 or row[-1] == -3:
                 sig_lists.append(None)  # per-read overflow, patched below
-            elif row[0] < 0:
-                sig_lists.append(np.zeros(0, np.uint32))
-            else:
+                continue
+            if row[0] < 0:
+                sig_lists.append(empty_u32)
+                continue
+            key = row.tobytes()
+            hit = self._sig_cache.get(key)
+            if hit is None:
                 ids = tuple(sorted({int(x) for x in row if x >= 0}))
                 eq = (
-                    self.image.ec_list(ids[0]).tolist()
+                    self.image.ec_list(ids[0])
                     if len(ids) == 1
                     else self._ec_from_distinct(ids)
                 )
-                sig_lists.append(np.asarray(eq, dtype=np.uint32))
+                hit = np.asarray(eq, dtype=np.uint32)
+                self._sig_cache[key] = hit
+            sig_lists.append(hit)
 
         sig_lens = np.array(
             [len(x) if x is not None else 0 for x in sig_lists], dtype=np.int64
@@ -267,31 +312,57 @@ class Pseudoaligner:
             if sig_lists else np.zeros(0, np.uint32)
         )
 
-        lens_per_read = sig_lens[inv]
-        overflow_res = self._remap_collect(remap_fut)
+        return {
+            "batch": batch,
+            "tcc": tcc,
+            "n": n,
+            "cov": cov,
+            "inv": inv,
+            "sig_lists": sig_lists,
+            "sig_start": sig_start,
+            "sig_flat": sig_flat,
+            "overflow_rows": overflow_rows,
+            "remap_fut": remap_fut,
+        }
+
+    def emit_finish(self, state) -> bytes:
+        """Phase 2: collect the overflow re-map, patch coverage and format
+        via the signature-indirect native emitter (each distinct EC
+        signature is rendered once in C++; no per-read expansion)."""
+        from ..io import native as _native
+
+        batch = state["batch"]
+        tcc = state["tcc"]
+        n = state["n"]
+        cov = state["cov"]
+        inv = state["inv"]
+        sig_lists = state["sig_lists"]
+        sig_start = state["sig_start"]
+        sig_flat = state["sig_flat"]
+        overflow_rows = state["overflow_rows"]
+
+        overflow_res = self._remap_collect(state["remap_fut"])
         overflow_eq = {i: r[0] for i, r in overflow_res.items()}
         for i in overflow_rows:
-            lens_per_read[i] = len(overflow_eq[i])
             cov[i] = overflow_res[i][1]  # capped lanes: exact coverage
 
-        eq_offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lens_per_read, out=eq_offsets[1:])
-        total = int(eq_offsets[-1])
-        eq_ids = np.zeros(total, dtype=np.uint32)
-        # vectorized expansion of signature lists into per-read ranges
-        src = np.repeat(sig_start[inv], lens_per_read) + (
-            np.arange(total) - np.repeat(eq_offsets[:-1], lens_per_read)
+        # overflow rows (exactly the None-signature rows) take their EC
+        # lists from the override arrays; everything else is sig-indirect
+        none_mask = np.array([x is None for x in sig_lists], dtype=bool)
+        sig_of_read = np.where(none_mask[inv], np.int64(-1), inv)
+        ovr_rows = np.asarray(overflow_rows, dtype=np.int64)
+        ovr_start = np.zeros(len(ovr_rows) + 1, dtype=np.int64)
+        if len(ovr_rows):
+            np.cumsum(
+                np.array([len(overflow_eq[i]) for i in overflow_rows],
+                         dtype=np.int64),
+                out=ovr_start[1:],
+            )
+        ovr_ids = (
+            np.concatenate([overflow_eq[i] for i in overflow_rows])
+            if len(ovr_rows)
+            else np.zeros(0, np.uint32)
         )
-        normal = np.repeat(
-            np.array([sig_lists[s] is not None for s in inv]), lens_per_read
-        )
-        eq_ids[normal] = sig_flat[src[normal].astype(np.int64)]
-        for i in overflow_rows:
-            eq_ids[eq_offsets[i] : eq_offsets[i + 1]] = overflow_eq[i]
-
-        flags = (
-            (cov >= self.config.read_coverage_threshold) & (lens_per_read == 0)
-        ).astype(np.uint8)
 
         id_lens = np.array([len(s) for s in batch.ids], dtype=np.int64)
         id_offs = np.zeros(n + 1, dtype=np.int64)
@@ -300,8 +371,9 @@ class Pseudoaligner:
 
         if tcc is not None:
             tcc.n_reads += n
-            for si in np.bincount(inv, minlength=len(sig_lists)).nonzero()[0]:
-                cnt = int((inv == si).sum())
+            sig_counts = np.bincount(inv, minlength=len(sig_lists))
+            for si in sig_counts.nonzero()[0]:
+                cnt = int(sig_counts[si])
                 lst = sig_lists[si]
                 if lst is None or len(lst) == 0:
                     continue
@@ -318,8 +390,10 @@ class Pseudoaligner:
                     tcc.add(overflow_eq[i].tolist())
                     tcc.n_reads -= 1  # add() already counted the read
 
-        return _native.emit_records(flags, cov, ids_concat, id_offs,
-                                    eq_offsets, eq_ids)
+        return _native.emit_records_sig(
+            cov, self.config.read_coverage_threshold, ids_concat, id_offs,
+            sig_of_read, sig_start, sig_flat, ovr_rows, ovr_start, ovr_ids,
+        )
 
     def emit_fastq(self, path: str, out, skip_reads: int = 0, tcc=None,
                    progress_cb=None):
@@ -348,8 +422,25 @@ class Pseudoaligner:
             n_reads += 1
             n_flagged += rec.flag
 
+        # deferred emit_finish state: batch k's formatted output is written
+        # at batch k+1's flush, after the NEXT map step has been dispatched
+        # — by then the overflow re-map (queued behind that map step) has
+        # run, so emit_finish never stalls on the device (see emit_batch)
+        prepared = None
+
+        def flush_prepared():
+            nonlocal n_reads, n_flagged, prepared
+            if prepared is None:
+                return
+            st, n = prepared
+            prepared = None
+            data = self.emit_finish(st)
+            out.write(data)
+            n_reads += n
+            n_flagged += int(data.count(b"(true"))
+
         def flush(res, batch, next_first_group):
-            nonlocal n_reads, n_flagged, merge_state
+            nonlocal n_reads, n_flagged, merge_state, prepared
             grp = batch.group
             n = len(batch.ids)
             simple = (
@@ -360,11 +451,11 @@ class Pseudoaligner:
                 and (next_first_group is None or int(grp[n - 1]) != next_first_group)
             )
             if simple:
-                data = self.emit_batch(res, batch, tcc=tcc)
-                out.write(data)
-                n_reads += n
-                n_flagged += int(data.count(b"(true"))
+                st = self.emit_prepare(res, batch, tcc=tcc)
+                flush_prepared()  # write the PREVIOUS batch (order-preserving)
+                prepared = (st, n)
             else:
+                flush_prepared()
                 for rec, g, end in self._batch_rows(res, batch):
                     merge_state, done = self._merge_push(merge_state, rec, g, end)
                     if done is not None:
@@ -387,8 +478,9 @@ class Pseudoaligner:
             pending = (res, batch)
         if pending is not None:
             flush(*pending, None)
-            if progress_cb is not None:
-                progress_cb(n_reads)
+        flush_prepared()
+        if pending is not None and progress_cb is not None:
+            progress_cb(n_reads)
         return n_reads, n_flagged
 
     def _remap_dispatch(self, batch: ReadBatch, rows: list[int]):
@@ -398,7 +490,7 @@ class Pseudoaligner:
         _remap_collect."""
         if not rows:
             return None
-        B2 = 1024
+        B2 = 2048
         if not hasattr(self, "_remap_step"):
             import dataclasses
             from functools import partial
