@@ -99,6 +99,11 @@ class MapMeta:
     # the whole batch to the worst lane's trip count (max ~23 vs mean ~1.3
     # on the bundled workload).
     max_walk_iters: int = 0
+    # Compact-output transfer compression (the tunneled link is ~55MB/s —
+    # PERF.md): EC ids ride as int16 when the class count fits, coverage
+    # as uint8 when the batch width fits.  Set by device_index_from_image.
+    ec_out_16: bool = False
+    cov_out_8: bool = False
 
     @property
     def n_positions(self) -> int:
@@ -197,9 +202,14 @@ def _extract_pool_window_rows(meta: MapMeta, pool_rows: jnp.ndarray, q: jnp.ndar
     from its local pool slice)."""
     NR = meta.pool_fetch_rows
     r0 = (q >> 7).astype(jnp.int32)
-    rows = [jnp.take(pool_rows, jnp.clip(r0 + i, 0, pool_rows.shape[0] - 1), axis=0)
-            for i in range(NR)]
-    wcat = jnp.concatenate(rows, axis=1)  # [B, NR*8]
+    # one gather for all NR consecutive rows (stacked indices) — same index
+    # count as NR separate gathers but 1/NR the per-op fixed cost
+    ridx = jnp.clip(
+        r0[:, None] + jnp.arange(NR, dtype=jnp.int32)[None, :],
+        0,
+        pool_rows.shape[0] - 1,
+    )
+    wcat = jnp.take(pool_rows, ridx, axis=0).reshape(q.shape[0], NR * 8)
     o = q & 127
     wo = (o >> 4).astype(jnp.int32)  # word offset in row 0: 0..7
     sel = _select_words(wcat, wo, meta.cmp_words + 1)
@@ -312,9 +322,14 @@ def cuckoo_lookup(meta: MapMeta, idx: DeviceIndex, words: jnp.ndarray):
     mask = jnp.uint32(meta.cuckoo_mask)
     node = jnp.full(words.shape[:-1], -1, dtype=jnp.int32)
     off = jnp.full(words.shape[:-1], -1, dtype=jnp.int32)
-    for seed in (H1_SEED, H2_SEED):
-        h = hash_kmer_jnp(words, jnp.uint32(seed)) & mask
-        rows = jnp.take(idx.cuckoo, h.astype(jnp.int32), axis=0)
+    # both candidate buckets in ONE gather (stacked indices): same index
+    # count, half the per-op fixed cost
+    h1 = hash_kmer_jnp(words, jnp.uint32(H1_SEED)) & mask
+    h2 = hash_kmer_jnp(words, jnp.uint32(H2_SEED)) & mask
+    hh = jnp.stack([h1, h2], axis=-1).astype(jnp.int32)  # [..., 2]
+    both = jnp.take(idx.cuckoo, hh, axis=0)  # [..., 2, SLOTS*(W+2)]
+    for b in range(2):
+        rows = both[..., b, :]
         for s in range(CK_SLOTS):
             base = s * (W + 2)
             keym = jnp.ones(words.shape[:-1], dtype=bool)
@@ -473,11 +488,15 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
     rp = pad_packed_reads(meta, packed)
 
     rows = jnp.arange(B)
+    # (node, off) pairs ride in one [B, P, 2] table: each in-loop re-seed
+    # resolves with a single 2-wide gather instead of two
+    seeds2 = jnp.stack([seed_node, seed_off], axis=-1)
     q0 = next_hit[:, 0] if P > 0 else jnp.full((B,), 0, jnp.int32)
     seeded = q0 < jnp.int32(P)
     q0c = jnp.clip(q0, 0, P - 1)
-    node0 = seed_node[rows, q0c]
-    off0 = seed_off[rows, q0c]
+    pair0 = seeds2[rows, q0c]
+    node0 = pair0[:, 0]
+    off0 = pair0[:, 1]
 
     cov = jnp.zeros(B, jnp.int32)
     mm = jnp.zeros(B, jnp.int32)
@@ -625,8 +644,9 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
         q = next_hit[rows, jnp.clip(kpos, 0, P - 1)]
         found = tbl & (q < P)
         qc = jnp.clip(q, 0, P - 1)
-        rs_node = seed_node[rows, qc]
-        rs_off = seed_off[rows, qc]
+        rs_pair = seeds2[rows, qc]
+        rs_node = rs_pair[:, 0]
+        rs_off = rs_pair[:, 1]
 
         node2 = jnp.where(follow, nxt_node, jnp.where(found, rs_node, s["node"]))
         koff2 = jnp.where(follow, 0, jnp.where(found, rs_off, koff))
@@ -723,9 +743,14 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
         ec_distinct = ec_distinct.at[:, DC - 1].set(
             jnp.where(capped, jnp.int32(-3), ec_distinct[:, DC - 1])
         )
+        if meta.ec_out_16:
+            ec_distinct = ec_distinct.astype(jnp.int16)
+        cov_out = f_state["cov"]
+        if meta.cov_out_8:
+            cov_out = cov_out.astype(jnp.uint8)
         return MapResult(
             mapped=mapped,
-            coverage=f_state["cov"],
+            coverage=cov_out,
             mismatches=f_state["mm"],
             nodes=jnp.zeros((B, 0), jnp.int32),
             n_nodes=n_nodes,
@@ -884,5 +909,7 @@ def device_index_from_image(image, config: AlignerConfig):
         max_walk_iters=(
             config.max_walk_iters if config.distinct_cap > 0 else 0
         ),
+        ec_out_16=config.distinct_cap > 0 and image.n_ecs < 2**15 - 4,
+        cov_out_8=config.distinct_cap > 0 and config.max_read_len <= 255,
     )
     return dev, meta
