@@ -1,0 +1,106 @@
+"""Real multi-process execution: two OS processes, each with its own
+virtual CPU devices, jax.distributed-coordinated into one global mesh.
+
+This validates the multi-host serving pattern end to end (per-host FASTQ
+batch striding, per-host record parts, global count psum) — the same
+code path a TPU pod slice runs, minus ICI.  The reference has no
+distributed layer (SURVEY.md §2.3)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+from pseudoaligner_tpu.parallel.multihost import init_from_env, map_fastq_multihost
+from pseudoaligner_tpu.serde import load_index
+from pseudoaligner_tpu.config import AlignerConfig
+
+pid, n = init_from_env()
+assert n == 2, n
+image = load_index({index!r})
+cfg = AlignerConfig(k=20, batch_size=16, max_read_len=64, max_nodes=64)
+merged = map_fastq_multihost(image, cfg, {fastq!r}, {outdir!r})
+np.save(os.path.join({outdir!r}, f"counts-{{pid}}.npy"), merged)
+print("child", pid, "ok")
+"""
+
+
+@pytest.mark.full
+def test_two_process_global_count_merge(small_index, small_reads, tmp_path):
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+    from pseudoaligner_tpu.serde import save_index
+
+    # fixture data: 64 bundled reads in a fresh FASTQ
+    fastq = tmp_path / "reads.fq"
+    with open(fastq, "w") as f:
+        for rid, codes in small_reads[:64]:
+            seq = "".join("ACGT"[c] for c in codes)
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    index_path = str(tmp_path / "idx.bin")
+    save_index(small_index, index_path)
+    outdir = str(tmp_path / "out")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env_base = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS", "PYTHONPATH")
+    }
+    procs = []
+    for pid in range(2):
+        env = dict(
+            env_base,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PA_COORDINATOR=f"127.0.0.1:{port}",
+            PA_NUM_PROCESSES="2",
+            PA_PROCESS_ID=str(pid),
+        )
+        code = _CHILD.format(
+            repo=REPO, index=index_path, fastq=str(fastq), outdir=outdir
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", code],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    c0 = np.load(os.path.join(outdir, "counts-0.npy"))
+    c1 = np.load(os.path.join(outdir, "counts-1.npy"))
+    assert np.array_equal(c0, c1), "merged counts must agree on all hosts"
+
+    # single-process reference
+    cfg = AlignerConfig(k=20, batch_size=16, max_read_len=64, max_nodes=64)
+    al = Pseudoaligner(small_index, cfg)
+    ref = np.zeros(len(small_index.tx_names), dtype=np.int64)
+    n_recs = 0
+    for rec in al.map_fastq(str(fastq)):
+        n_recs += 1
+        for t in rec.eq_class:
+            ref[t] += 1
+    assert np.array_equal(c0, ref)
+
+    # the part files together cover every read exactly once
+    lines = []
+    for p in range(2):
+        lines += open(os.path.join(outdir, f"part-{p}.txt")).read().splitlines()
+    assert len(lines) == n_recs == 64
