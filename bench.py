@@ -137,7 +137,6 @@ def main():
     rb0 = make_rb(*batches[0])
     r0 = jax.device_get(aligner.map_batch_device(batches[0][0], batches[0][1]))
     aligner.records_from_result(r0, rb0)
-    setup_s = time.time() - t_setup
 
     # pipelined end-to-end: dispatch batch k+1, then emit batch k's records
     # natively while the device works (the emit_fastq serving pattern)
@@ -194,17 +193,24 @@ def main():
         finish()
         return n_done, n_unmapped, time.time() - t0
 
-    # two passes; report the better one (the tunneled device's dispatch
-    # latency is noisy run-to-run — max is the steadier steady-state read)
-    n_done, n_unmapped, dt1 = timed_pass()
-    _, _, dt2 = timed_pass()
-    dt = min(dt1, dt2)
+    # one untimed warm pass (compiles the overflow-remap program and fills
+    # the signature caches — the first pass measured ~1.5-2x the steady
+    # state), then best-of-N timed passes: the tunneled device's dispatch
+    # latency is noisy run-to-run and min-dt is the steadier read
+    timed_pass()
+    setup_s = time.time() - t_setup
+    n_passes = int(os.environ.get("BENCH_PASSES", 3))
+    dts = []
+    for _ in range(n_passes):
+        n_done, n_unmapped, dt_i = timed_pass()
+        dts.append(dt_i)
+    dt = min(dts)
     n_mapped = n_done - n_unmapped
 
     rps = n_done / dt
     sys.stderr.write(
-        f"bench: {n_done} reads end-to-end in {dt:.3f}s (passes {dt1:.2f}/"
-        f"{dt2:.2f}) on {jax.devices()[0]} "
+        f"bench: {n_done} reads end-to-end in {dt:.3f}s (passes "
+        f"{'/'.join(f'{x:.2f}' for x in dts)}) on {jax.devices()[0]} "
         f"({n_mapped / n_done:.1%} mapped, setup {setup_s:.1f}s)\n"
     )
     print(
