@@ -256,16 +256,6 @@ class Pseudoaligner:
         else:
             u2 = np.zeros((0, dist.shape[1]), dist.dtype)
             inv2 = np.zeros(0, np.int64)
-        DCW = dist.shape[1]
-        uniq = np.concatenate(
-            [
-                np.concatenate(
-                    [u1[:, None], np.full((len(u1), DCW - 1), -1, dist.dtype)],
-                    axis=1,
-                ),
-                u2,
-            ]
-        )
         inv = np.empty(n, dtype=np.int64)
         inv[single] = inv1
         inv[~single] = inv2 + len(u1)
@@ -658,6 +648,7 @@ class Pseudoaligner:
                 if eq is None:
                     eq = intersect(list(a.eq_class), b.eq_class)
                     pair_memo[key] = eq
+                eq = list(eq)  # records must not share the memo's list
             elif a.coverage:
                 eq = a.eq_class
             elif b.coverage:

@@ -114,8 +114,10 @@ class ShardedAligner:
         import dataclasses
 
         dev, meta = device_index_from_image(image, config)
-        # the psum TCC-count path consumes EC bitsets on device
-        meta = dataclasses.replace(meta, distinct_cap=0)
+        # the psum TCC-count path consumes EC bitsets on device; the walk
+        # cap must be off with it — its exact-fallback channel (-3 marker)
+        # only exists in the compact output
+        meta = dataclasses.replace(meta, distinct_cap=0, max_walk_iters=0)
         self.meta = meta
         self.config = config
         self.n_tx = len(image.tx_names)

@@ -431,8 +431,12 @@ class KmerPartitionedAligner:
         dev, meta = device_index_from_image(image, config)
         # lazy_seeds must be off here: in-loop lazy probes would hit the
         # dummy cuckoo table (the routed tables already cover EVERY
-        # position, so the eager next-hit path is complete)
-        meta = dataclasses.replace(meta, distinct_cap=0, lazy_seeds=False)
+        # position, so the eager next-hit path is complete).  The walk cap
+        # must also be off: its exact-fallback channel (the -3 marker) only
+        # exists in the compact output, which this mode disables.
+        meta = dataclasses.replace(
+            meta, distinct_cap=0, lazy_seeds=False, max_walk_iters=0
+        )
         self.meta = meta
         self.config = config
         self.n_tx = len(image.tx_names)

@@ -80,7 +80,7 @@ class Whitelist:
             return None
         code, n_pos = enc
         if n_pos < 0 and code in self.exact:
-            return self._decode(code)
+            return seq.decode()  # clean ACGT input — no rebuild needed
         hit = None
         positions = (n_pos,) if n_pos >= 0 else range(self.bc_len)
         for i in positions:

@@ -89,6 +89,28 @@ def test_kpart_sharded_graph_matches_replicated(small_index, small_reads, nd):
     assert np.array_equal(np.asarray(base.nodes), np.asarray(res.nodes))
 
 
+def test_kpart_default_config_uncapped(small_index, small_reads):
+    """Regression: with a DEFAULT config (distinct_cap>0, max_walk_iters>0)
+    the kpart mode must zero the inherited walk cap — its exact-fallback
+    channel (-3 marker) only exists in the compact output, which kpart
+    disables, so a leaked cap silently truncates deep walks."""
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=64)
+    assert cfg.distinct_cap > 0 and cfg.max_walk_iters > 0
+    B, L = 64, 64
+    codes, lens = _batch(small_reads, B, L)
+
+    full_cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64,
+                             max_nodes=64, distinct_cap=0, max_walk_iters=0)
+    base = Pseudoaligner(small_index, full_cfg).map_batch_device(codes, lens)
+
+    mesh = make_mesh(2)
+    kp = KmerPartitionedAligner(small_index, cfg, mesh)
+    assert kp.meta.max_walk_iters == 0
+    res, _ = kp.map_batch(codes, lens)
+    assert np.array_equal(np.asarray(base.coverage), np.asarray(res.coverage))
+    assert np.array_equal(np.asarray(base.nodes), np.asarray(res.nodes))
+
+
 def test_build_sharded_graph_blocks(small_index):
     from pseudoaligner_tpu.ops.map_kernel import device_index_from_image
     from pseudoaligner_tpu.parallel.sharded_index import build_sharded_graph
