@@ -473,13 +473,35 @@ class Pseudoaligner:
             progress_cb(n_reads)
         return n_reads, n_flagged
 
+    def _host_mapper(self):
+        """Native scalar mapper (bit-exact with the golden oracle), lazily
+        constructed; None when the toolchain is unavailable."""
+        if not hasattr(self, "_host_mapper_inst"):
+            try:
+                from ..ops.native import HostMapper
+
+                self._host_mapper_inst = HostMapper(self.image)
+            except Exception:
+                self._host_mapper_inst = None
+        return self._host_mapper_inst
+
     def _remap_dispatch(self, batch: ReadBatch, rows: list[int]):
-        """Start the exact re-map of distinct-cap overflow reads: one small
-        device batch in full-output mode, dispatched asynchronously so the
-        host's signature work overlaps it.  Returns an opaque handle for
-        _remap_collect."""
+        """Start the exact re-map of the flagged overflow reads.
+
+        Preferred path: the native HOST mapper (ops/native/mapper.cpp) —
+        scalar walks on host threads, fully overlapped with the device, so
+        the re-map costs ZERO device time (a second device dispatch sits
+        in the queue behind the next batch's map step; see PERF.md).  The
+        device full-output pass remains as the no-toolchain fallback.
+        Returns an opaque handle for _remap_collect."""
         if not rows:
             return None
+        if self._host_mapper() is not None:
+            codes = np.ascontiguousarray(
+                np.asarray(batch.codes, dtype=np.uint8)[rows]
+            )
+            lens = np.asarray(batch.lens, dtype=np.int32)[rows]
+            return ("host", rows, codes, lens)
         B2 = 2048
         if not hasattr(self, "_remap_step"):
             import dataclasses
@@ -508,6 +530,17 @@ class Pseudoaligner:
         """Harvest _remap_dispatch results -> {row: (eq array, coverage)}."""
         out: dict[int, tuple] = {}
         if not futures:
+            return out
+        if isinstance(futures, tuple) and futures[0] == "host":
+            _, rows, codes, lens = futures
+            cov, _mm, nodes, nn = self._host_mapper().map_reads(
+                codes, lens,
+                allowed_mismatches=self.config.allowed_mismatches,
+                left_extend_fraction=self.config.left_extend_fraction,
+            )
+            for j, i in enumerate(rows):
+                eq = self._ec_from_nodes(nodes[j, : nn[j]]) if nn[j] else []
+                out[i] = (np.asarray(eq, dtype=np.uint32), int(cov[j]))
             return out
         for chunk, fut in futures:
             res = jax.device_get(fut)
