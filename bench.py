@@ -117,7 +117,7 @@ def main():
     n_batches = int(os.environ.get("BENCH_BATCHES", 16))
     cfg = AlignerConfig(
         k=20, batch_size=B, max_read_len=L, max_nodes=32,
-        max_walk_iters=int(os.environ.get("BENCH_WALK_CAP", 8)),
+        max_walk_iters=int(os.environ.get("BENCH_WALK_CAP", 6)),
     )
     aligner = Pseudoaligner(image, cfg)
 

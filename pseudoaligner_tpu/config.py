@@ -93,7 +93,7 @@ class AlignerConfig:
     # Forward-walk iteration cap for the serving kernel; lanes cut off are
     # re-run exactly through the uncapped fallback pass (rare).  Requires
     # compact outputs (ignored when distinct_cap == 0).  0 = unbounded.
-    max_walk_iters: int = 8
+    max_walk_iters: int = 6
 
     def __post_init__(self):
         if self.k < 4 or self.k > 64:
