@@ -39,6 +39,49 @@ def test_host_mapper_matches_golden_bundled(small_index, small_reads, mapper):
     assert n_mapped > 0
 
 
+def test_host_mapper_matches_golden_k64(small_transcripts):
+    """k=64 (4-word k-mers) through the native mapper vs golden."""
+    from pseudoaligner_tpu.golden import GoldenAligner
+    from pseudoaligner_tpu.index.builder import build_index
+
+    seqs, names, gene_map = small_transcripts
+    seqs, names = seqs[:40], names[:40]
+    gene_map = {n: gene_map[n] for n in names}
+    image = build_index(seqs, names, gene_map, k=64)
+    golden = GoldenAligner(image)
+    m = HostMapper(image)
+
+    rng = np.random.default_rng(17)
+    L = 90
+    reads = []
+    for s in seqs:
+        if len(s) < L:
+            continue
+        st = int(rng.integers(0, len(s) - L + 1))
+        w = np.asarray(s[st : st + L]).copy()
+        reads.append(w)
+        v = w.copy()
+        v[int(rng.integers(0, L))] = (v[int(rng.integers(0, L))] + 1) % 4
+        reads.append(v)
+        reads.append(w[::-1].copy())
+    n = len(reads)
+    codes = np.zeros((n, L), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        codes[i] = r
+    lens = np.full(n, L, dtype=np.int32)
+    cov, mm, nodes, nn = m.map_reads(codes, lens)
+    n_mapped = 0
+    for i in range(n):
+        g = golden.map_read_to_nodes_with_mismatch(codes[i], 2)
+        if g is None:
+            assert nn[i] == 0, i
+        else:
+            n_mapped += 1
+            assert (cov[i], mm[i], nodes[i, : nn[i]].tolist()) == (
+                g[0], g[1], g[2]), i
+    assert n_mapped > 0
+
+
 def test_host_mapper_matches_golden_snp_variants(small_index, small_reads, mapper):
     """1- and 3-SNP variants exercise the mismatch budget + re-seed paths."""
     from pseudoaligner_tpu.golden import GoldenAligner
