@@ -180,10 +180,44 @@ def count_single_cell(
 
     With a whitelist, barcodes are corrected/filtered per the module
     docstring; corrected reads count toward their corrected cell.
+
+    Uses the batched fast path when the aligner serves compact outputs
+    (the default): R2 maps through the same depth-1 pipeline as `map`,
+    per-read EC lists are never materialized (class identity comes from
+    the device's distinct-class signatures, interned in first-appearance
+    read order — same ec.tsv/matrix ordering as the record path), and
+    exact barcodes resolve via one vectorized probe per batch.
     """
     chem = chem or Chemistry()
-    counts = CellCounts()
+    if aligner.meta.distinct_cap > 0:
+        return _count_batched(aligner, r1_path, r2_path, chem, whitelist)
+    return _count_records(aligner, r1_path, r2_path, chem, whitelist)
 
+
+def _process_r1(counts, seq1: bytes, chem: Chemistry, whitelist):
+    """R1 barcode handling for one read -> cell key or None (counted)."""
+    if len(seq1) < chem.r1_min_len:
+        counts.n_bad_r1 += 1
+        counts.n_reads += 1
+        return None, None
+    raw_bc = seq1[: chem.bc_len]
+    if whitelist is not None:
+        bc = whitelist.match(raw_bc)
+        if bc is None:
+            counts.n_bad_barcode += 1
+            counts.n_reads += 1
+            return None, None
+        if bc != raw_bc.decode():
+            counts.n_corrected += 1
+    else:
+        bc = raw_bc.decode()
+    umi = seq1[chem.bc_len : chem.bc_len + chem.umi_len].decode()
+    return bc, umi
+
+
+def _count_records(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
+    """Per-read record path (full-output configs)."""
+    counts = CellCounts()
     r1 = read_fastq_records(r1_path)
     from .io.fastq import FastqReader
 
@@ -202,21 +236,67 @@ def count_single_cell(
                 _, seq1 = next(r1)
             except StopIteration:
                 raise ValueError("R1 has fewer reads than R2")
-            if len(seq1) < chem.r1_min_len:
-                counts.n_bad_r1 += 1
-                counts.n_reads += 1
+            bc, umi = _process_r1(counts, seq1, chem, whitelist)
+            if bc is None:
                 continue
-            raw_bc = seq1[: chem.bc_len]
-            if whitelist is not None:
-                bc = whitelist.match(raw_bc)
-                if bc is None:
-                    counts.n_bad_barcode += 1
-                    counts.n_reads += 1
-                    continue
-                if bc != raw_bc.decode():
-                    counts.n_corrected += 1
-            else:
-                bc = raw_bc.decode()
-            umi = seq1[chem.bc_len : chem.bc_len + chem.umi_len].decode()
             counts.add(bc, umi, rec.eq_class if rec.coverage else ())
+    return counts
+
+
+def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
+    """Batched counting over compact signatures (the serving fast path)."""
+    counts = CellCounts()
+    r1 = read_fastq_records(r1_path)
+    from .io.fastq import FastqReader
+
+    r2 = FastqReader(
+        r2_path, aligner.config.batch_size, aligner.config.max_read_len
+    )
+
+    def consume(state, seq1s):
+        overflow = aligner._remap_collect(state["remap_fut"])
+        inv = state["inv"]
+        sig_lists = state["sig_lists"]
+        ov_rows = set(state["overflow_rows"])
+        # class ids interned lazily at first READ appearance (exact
+        # ordering parity with the record path's counts.classes)
+        sig_cid: dict = {}
+        for i in range(state["n"]):
+            seq1 = seq1s[i]
+            bc, umi = _process_r1(counts, seq1, chem, whitelist)
+            if bc is None:
+                continue
+            if i in ov_rows:
+                eq = overflow[i][0]
+                counts.add(bc, umi, eq)
+                continue
+            s = int(inv[i])
+            cid = sig_cid.get(s)
+            if cid is None:
+                lst = sig_lists[s]
+                tup = tuple(int(x) for x in lst) if lst is not None else ()
+                cid = counts._class_id(tup) if tup else -1
+                sig_cid[s] = cid
+            counts.n_reads += 1
+            if cid < 0:
+                continue
+            counts.n_mapped += 1
+            key = (counts._cell_id(bc), cid)
+            counts.umis.setdefault(key, set()).add(umi)
+
+    pending = None
+    for batch in r2:
+        fut = aligner.map_batch_device(batch.codes, batch.lens)
+        seq1s = []
+        for _ in range(len(batch.ids)):
+            try:
+                _, seq1 = next(r1)
+            except StopIteration:
+                raise ValueError("R1 has fewer reads than R2")
+            seq1s.append(seq1)
+        if pending is not None:
+            consume(*pending)
+        pending = (aligner.emit_prepare(fut, batch), seq1s)
+    if pending is not None:
+        consume(*pending)
     return counts

@@ -178,6 +178,44 @@ def test_single_cell_count_whitelist(aligner, small_transcripts, tmp_path):
     assert entries[(2, 1)] == 1
 
 
+def test_count_batched_matches_record_path(small_index, small_transcripts, tmp_path):
+    """The batched (compact-signature) counting path writes identical
+    outputs to the per-record path: same cells, classes, matrix, stats."""
+    from pseudoaligner_tpu.singlecell import Chemistry, count_single_cell
+
+    rng = np.random.default_rng(11)
+    bcs = ["".join("ACGT"[b] for b in rng.integers(0, 4, 16)) for _ in range(5)]
+    r1, r2 = [], []
+    for i in range(120):
+        bc = bcs[int(rng.integers(0, len(bcs)))]
+        umi = "".join("ACGT"[b] for b in rng.integers(0, 4, 12))
+        tx = int(rng.integers(0, 40))
+        cdna = _tx_window(small_transcripts, tx, 10, 60)
+        r1.append((f"m{i}", bc + umi))
+        r2.append((f"m{i}", cdna))
+    _write_fastq(tmp_path / "r1.fq", r1)
+    _write_fastq(tmp_path / "r2.fq", r2)
+
+    outs = []
+    for dc in (12, 0):  # batched (compact) vs record (full-output) path
+        cfg = AlignerConfig(k=20, batch_size=32, max_read_len=96,
+                            max_nodes=64, distinct_cap=dc,
+                            max_walk_iters=6 if dc else 0)
+        al = Pseudoaligner(small_index, cfg)
+        c = count_single_cell(al, str(tmp_path / "r1.fq"),
+                              str(tmp_path / "r2.fq"), Chemistry())
+        d = str(tmp_path / f"out{dc}")
+        c.write(d)
+        outs.append((c, {
+            f: open(os.path.join(d, f)).read()
+            for f in ("barcodes.tsv", "ec.tsv", "matrix.mtx")
+        }))
+    (ca, fa), (cb, fb) = outs
+    assert (ca.n_reads, ca.n_mapped, ca.n_bad_r1) == (
+        cb.n_reads, cb.n_mapped, cb.n_bad_r1)
+    assert fa == fb
+
+
 def test_long_read_segmentation(aligner, small_transcripts, tmp_path):
     """A whole transcript streamed as a long read: windows are merged and
     the transcript is in the resulting equivalence class."""
