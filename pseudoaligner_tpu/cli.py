@@ -96,6 +96,13 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="known-barcode list (one per line, .gz ok): exact "
                          "matches accepted, unique 1-Hamming corrections "
                          "applied, others dropped")
+    sp.add_argument("--umi-dedup", choices=("exact", "directional"),
+                    default="exact",
+                    help="molecule counting: exact distinct UMIs, or "
+                         "UMI-tools directional clustering")
+    sp.add_argument("--call-cells", action="store_true",
+                    help="knee-point cell calling: also write cells.tsv "
+                         "with the called barcodes (rank order)")
     sp.add_argument("--batch-size", type=int, default=32768)
     sp.add_argument("--max-read-len", type=int, default=160)
 
@@ -245,7 +252,16 @@ def cmd_count(args, outdir: str) -> int:
     counts = count_single_cell(
         aligner, args.r1_fastq, args.r2_fastq, chem, whitelist=wl
     )
-    counts.write(outdir)
+    counts.write(outdir, umi_dedup=args.umi_dedup)
+    if args.call_cells:
+        import os
+
+        called = counts.call_cells(args.umi_dedup)
+        with open(os.path.join(outdir, "cells.tsv"), "w") as f:
+            for bc in called:
+                f.write(bc + "\n")
+        log.info("cell calling: %d of %d barcodes called", len(called),
+                 len(counts.cells))
     log.info(
         "count: %d reads, %d mapped, %d cells, %d classes, %d bad R1, "
         "%d corrected, %d dropped barcodes",

@@ -115,12 +115,18 @@ class Chemistry:
 
 @dataclass
 class CellCounts:
-    """Per-cell, per-EC distinct-UMI accumulation."""
+    """Per-cell, per-EC distinct-UMI accumulation.
+
+    `umis` keeps per-UMI read counts so molecule counting can use either
+    exact distinct UMIs or directional clustering (Smith et al. 2017 /
+    UMI-tools: u absorbs v when hamming(u,v)==1 and
+    count(u) >= 2*count(v)-1; molecules = clusters).
+    """
 
     classes: dict[tuple[int, ...], int] = field(default_factory=dict)
-    # (cell_index, class_index) -> set of UMI strings
+    # (cell_index, class_index) -> {umi: read count}
     cells: dict[str, int] = field(default_factory=dict)
-    umis: dict[tuple[int, int], set] = field(default_factory=dict)
+    umis: dict[tuple[int, int], dict] = field(default_factory=dict)
     n_reads: int = 0
     n_mapped: int = 0
     n_bad_r1: int = 0
@@ -147,9 +153,79 @@ class CellCounts:
             return
         self.n_mapped += 1
         key = (self._cell_id(bc), self._class_id(tuple(int(x) for x in eq_class)))
-        self.umis.setdefault(key, set()).add(umi)
+        d = self.umis.setdefault(key, {})
+        d[umi] = d.get(umi, 0) + 1
 
-    def write(self, outdir: str) -> None:
+    def molecule_count(self, umi_counts: dict, method: str = "exact") -> int:
+        """Molecules in one (cell, class) UMI pool.
+
+        exact: distinct UMIs.  directional: UMI-tools clustering — an edge
+        u->v when hamming(u,v)==1 and count(u) >= 2*count(v)-1; each
+        cluster (seeded greedily from the highest-count UMI) is one
+        molecule."""
+        if method == "exact":
+            return len(umi_counts)
+        if method != "directional":
+            raise ValueError(f"unknown UMI dedup method {method!r}")
+        if len(umi_counts) == 1:
+            return 1
+        # neighbor lookup via 1-mismatch variant probing (|umi| * 3 probes)
+        order = sorted(umi_counts, key=lambda u: (-umi_counts[u], u))
+        owner: dict[str, str] = {}
+        n_clusters = 0
+        for u in order:
+            if u in owner:
+                continue
+            n_clusters += 1
+            # BFS absorb: only downward (count rule) edges
+            stack = [u]
+            owner[u] = u
+            while stack:
+                x = stack.pop()
+                cx = umi_counts[x]
+                for i in range(len(x)):
+                    for b in "ACGT":
+                        if b == x[i]:
+                            continue
+                        v = x[:i] + b + x[i + 1 :]
+                        cv = umi_counts.get(v)
+                        if cv is None or v in owner:
+                            continue
+                        if cx >= 2 * cv - 1:
+                            owner[v] = u
+                            stack.append(v)
+        return n_clusters
+
+    def cell_totals(self, method: str = "exact") -> dict[int, int]:
+        """Per-cell total molecule counts."""
+        totals: dict[int, int] = {}
+        for (cell, _cls), u in self.umis.items():
+            totals[cell] = totals.get(cell, 0) + self.molecule_count(u, method)
+        return totals
+
+    def call_cells(self, method: str = "exact") -> list[str]:
+        """Knee-point cell calling (whitelist-free): cells ranked by total
+        molecules; the knee is the point of maximum distance to the chord
+        of the log-log rank curve.  Returns called barcodes in rank order.
+        """
+        import numpy as np
+
+        totals = self.cell_totals(method)
+        if not totals:
+            return []
+        inv_cells = {v: k for k, v in self.cells.items()}
+        ranked = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))
+        y = np.log10(np.array([t for _, t in ranked], dtype=np.float64))
+        if len(y) < 3 or y[0] == y[-1]:
+            return [inv_cells[c] for c, _ in ranked]
+        x = np.log10(np.arange(1, len(y) + 1, dtype=np.float64))
+        # distance from each point to the first-last chord
+        dx, dy = x[-1] - x[0], y[-1] - y[0]
+        dist = np.abs(dy * (x - x[0]) - dx * (y - y[0]))
+        knee = int(np.argmax(dist))
+        return [inv_cells[c] for c, _ in ranked[: knee + 1]]
+
+    def write(self, outdir: str, umi_dedup: str = "exact") -> None:
         os.makedirs(outdir, exist_ok=True)
         inv_cells = {v: k for k, v in self.cells.items()}
         with open(os.path.join(outdir, "barcodes.tsv"), "w") as f:
@@ -160,7 +236,8 @@ class CellCounts:
             for i in range(len(self.classes)):
                 f.write(f"{i}\t{','.join(map(str, inv_classes[i]))}\n")
         entries = sorted(
-            (cell, cls, len(u)) for (cell, cls), u in self.umis.items()
+            (cell, cls, self.molecule_count(u, umi_dedup))
+            for (cell, cls), u in self.umis.items()
         )
         with open(os.path.join(outdir, "matrix.mtx"), "w") as f:
             f.write("%%MatrixMarket matrix coordinate integer general\n")
@@ -282,7 +359,8 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
                 continue
             counts.n_mapped += 1
             key = (counts._cell_id(bc), cid)
-            counts.umis.setdefault(key, set()).add(umi)
+            d = counts.umis.setdefault(key, {})
+            d[umi] = d.get(umi, 0) + 1
 
     pending = None
     for batch in r2:

@@ -216,6 +216,49 @@ def test_count_batched_matches_record_path(small_index, small_transcripts, tmp_p
     assert fa == fb
 
 
+def test_directional_umi_dedup():
+    from pseudoaligner_tpu.singlecell import CellCounts
+
+    c = CellCounts()
+    # one true molecule (high count) + a 1-mismatch error child -> 1 cluster
+    pool = {"AAAA": 10, "AAAT": 1}
+    assert c.molecule_count(pool, "exact") == 2
+    assert c.molecule_count(pool, "directional") == 1
+    # counts too similar -> the count rule blocks absorption -> 2 molecules
+    pool = {"AAAA": 3, "AAAT": 3}
+    assert c.molecule_count(pool, "directional") == 2
+
+
+def test_directional_umi_chain():
+    from pseudoaligner_tpu.singlecell import CellCounts
+
+    c = CellCounts()
+    pool = {"AAAA": 10, "AAAT": 5, "AATT": 2}
+    # AAAA absorbs AAAT (10 >= 2*5-1=9); AAAT absorbs AATT (5 >= 2*2-1=3)
+    assert c.molecule_count(pool, "directional") == 1
+    # distant UMI stays its own molecule
+    pool["GGGG"] = 1
+    assert c.molecule_count(pool, "directional") == 2
+
+
+def test_knee_cell_calling():
+    from pseudoaligner_tpu.singlecell import CellCounts
+
+    c = CellCounts()
+    # 5 real cells with ~1000 molecules, 50 ambient with ~2
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        bc = f"CELL{i:012d}"
+        for j in range(1000 + int(rng.integers(0, 50))):
+            c.add(bc, f"U{j}", [1])
+    for i in range(50):
+        bc = f"AMBI{i:012d}"
+        for j in range(1 + int(rng.integers(0, 3))):
+            c.add(bc, f"U{j}", [1])
+    called = c.call_cells()
+    assert set(called) == {f"CELL{i:012d}" for i in range(5)}
+
+
 def test_long_read_segmentation(aligner, small_transcripts, tmp_path):
     """A whole transcript streamed as a long read: windows are merged and
     the transcript is in the resulting equivalence class."""
