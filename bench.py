@@ -115,17 +115,19 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", 65536))
     L = 60
     n_batches = int(os.environ.get("BENCH_BATCHES", 16))
-    caps = (
-        [int(os.environ["BENCH_WALK_CAP"])]
-        if "BENCH_WALK_CAP" in os.environ
-        else [6, 8]  # self-tune: tunnel conditions shift the optimum
-    )
+    if "BENCH_WALK_CAP" in os.environ:
+        caps = [(int(os.environ["BENCH_WALK_CAP"]),
+                 int(os.environ.get("BENCH_LEFT_CAP", 2)))]
+    else:
+        # self-tune (walk cap, left cap): tunnel conditions and the
+        # host-remap overlap shift the optimum run to run
+        caps = [(4, 2), (6, 2), (6, 1)]
     aligners = [
         Pseudoaligner(image, AlignerConfig(
             k=20, batch_size=B, max_read_len=L, max_nodes=32,
-            max_walk_iters=cap,
+            max_walk_iters=wcap, max_left_iters=lcap,
         ))
-        for cap in caps
+        for wcap, lcap in caps
     ]
     aligner = aligners[0]
 

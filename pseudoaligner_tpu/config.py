@@ -94,6 +94,11 @@ class AlignerConfig:
     # re-run exactly through the uncapped fallback pass (rare).  Requires
     # compact outputs (ignored when distinct_cap == 0).  0 = unbounded.
     max_walk_iters: int = 6
+    # Left-extension iteration cap, same contract as max_walk_iters (lanes
+    # cut off re-run exactly on the fallback path).  The deepest lane
+    # otherwise sets the whole batch's trip count (~8 trips / ~66ms per
+    # 65k batch measured, while typical lanes need 0-1 — PERF.md).
+    max_left_iters: int = 2
 
     def __post_init__(self):
         if self.k < 4 or self.k > 64:

@@ -84,7 +84,20 @@ class Pseudoaligner:
         """Run the jitted mapping step on a [B, L] batch (codes are packed
         2-bit on the host so the host->device transfer is 16x smaller)."""
         packed = pack_reads_host(np.asarray(codes, dtype=np.uint8))
-        return self._step(self.dev, packed, lens.astype(np.int32))
+        result = self._step(self.dev, packed, lens.astype(np.int32))
+        if self.meta.distinct_cap > 0:
+            # enqueue the D2H copy of the compact outputs NOW: by the time
+            # emit_prepare fetches them (a pipeline step later) the
+            # transfer has ridden the link behind the next dispatch and
+            # np.asarray returns instantly (measured ~80ms -> ~0.2ms of
+            # blocked host time per batch on the tunneled link; each
+            # synchronous fetch costs a ~28ms roundtrip — PERF.md)
+            try:
+                result.ec_distinct.copy_to_host_async()
+                result.coverage.copy_to_host_async()
+            except Exception:
+                pass
+        return result
 
     # ------------------------------------------------------------------
     # host post-processing
@@ -135,8 +148,9 @@ class Pseudoaligner:
     def records_from_result(
         self, result: MapResult, batch: ReadBatch
     ) -> list[ReadRecord]:
-        mapped = np.asarray(result.mapped)
-        cov = np.asarray(result.coverage)
+        mapped, cov = jax.device_get((result.mapped, result.coverage))
+        mapped = np.asarray(mapped)
+        cov = np.asarray(cov)
         compact = self.meta.distinct_cap > 0
         n = len(batch.ids)
         thresh = self.config.read_coverage_threshold
@@ -223,8 +237,11 @@ class Pseudoaligner:
         group signatures and materialize their EC lists (cached).  Returns
         an opaque state for emit_finish."""
         n = len(batch.ids)
-        cov = np.asarray(result.coverage)[:n].astype(np.int32)
-        dist = np.asarray(result.ec_distinct)[:n]
+        # one batched fetch = one tunnel roundtrip for both arrays (two
+        # np.asarray calls pay two ~28ms roundtrips — PERF.md)
+        dist, cov = jax.device_get((result.ec_distinct, result.coverage))
+        cov = cov[:n].astype(np.int32)
+        dist = dist[:n]
         # dispatch the overflow re-map first so it overlaps the host work
         flagged = (dist[:, -1] == -2) | (dist[:, -1] == -3)
         overflow_rows = np.nonzero(flagged)[0].tolist()
@@ -501,7 +518,21 @@ class Pseudoaligner:
                 np.asarray(batch.codes, dtype=np.uint8)[rows]
             )
             lens = np.asarray(batch.lens, dtype=np.int32)[rows]
-            return ("host", rows, codes, lens)
+            # run the native walk on a background thread NOW (ctypes
+            # releases the GIL): collect one pipeline step later finds it
+            # done instead of spending ~20ms of serial host time there
+            if not hasattr(self, "_remap_pool"):
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._remap_pool = ThreadPoolExecutor(max_workers=1)
+            fut = self._remap_pool.submit(
+                self._host_mapper().map_reads,
+                codes,
+                lens,
+                self.config.allowed_mismatches,
+                self.config.left_extend_fraction,
+            )
+            return ("host", rows, fut)
         B2 = 2048
         if not hasattr(self, "_remap_step"):
             import dataclasses
@@ -510,7 +541,7 @@ class Pseudoaligner:
             from ..ops.map_kernel import map_batch_packed
 
             meta_full = dataclasses.replace(
-                self.meta, distinct_cap=0, tx_words=0, max_walk_iters=0
+                self.meta, distinct_cap=0, tx_words=0, max_walk_iters=0, max_left_iters=0
             )
             self._remap_step = jax.jit(partial(map_batch_packed, meta_full))
         L = self.meta.read_len
@@ -532,12 +563,8 @@ class Pseudoaligner:
         if not futures:
             return out
         if isinstance(futures, tuple) and futures[0] == "host":
-            _, rows, codes, lens = futures
-            cov, _mm, nodes, nn = self._host_mapper().map_reads(
-                codes, lens,
-                allowed_mismatches=self.config.allowed_mismatches,
-                left_extend_fraction=self.config.left_extend_fraction,
-            )
+            _, rows, fut = futures
+            cov, _mm, nodes, nn = fut.result()
             for j, i in enumerate(rows):
                 eq = self._ec_from_nodes(nodes[j, : nn[j]]) if nn[j] else []
                 out[i] = (np.asarray(eq, dtype=np.uint32), int(cov[j]))

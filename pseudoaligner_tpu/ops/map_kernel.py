@@ -99,6 +99,13 @@ class MapMeta:
     # the whole batch to the worst lane's trip count (max ~23 vs mean ~1.3
     # on the bundled workload).
     max_walk_iters: int = 0
+    # Left-extension iteration cap (0 = unbounded).  Same contract as
+    # max_walk_iters: lanes still following left edges at the cap carry the
+    # -3 marker and re-run through the exact host/device fallback.  The
+    # left loop otherwise runs the whole batch to the deepest lane's
+    # left-chain length (measured ~8 trips at B=65k for a ~66ms/step cost
+    # — PERF.md), while the typical lane needs 0-1.
+    max_left_iters: int = 0
     # Compact-output transfer compression (the tunneled link is ~55MB/s —
     # PERF.md): EC ids ride as int16 when the class count fits, coverage
     # as uint8 when the batch width fits.  Set by device_index_from_image.
@@ -529,8 +536,13 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
     ).astype(jnp.int32)
 
     # ---- left extension (src/pseudoaligner.rs:124-205) ----
+    lcap = meta.max_left_iters
+
     def l_cond(s):
-        return s["galive"] if global_mode else jnp.any(s["active"])
+        alive = s["galive"] if global_mode else jnp.any(s["active"])
+        if lcap > 0:
+            return alive & (s["it"] < lcap)
+        return alive
 
     def l_body(s):
         act = s["active"]
@@ -575,6 +587,7 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
             "mm": mm2,
             "buf": nbuf,
             "n_nodes": ncnt,
+            "it": s["it"] + 1,
         }
         if global_mode:
             out["galive"] = cond_all(jnp.any(out["active"]))
@@ -589,10 +602,13 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
         "mm": mm,
         "buf": buf,
         "n_nodes": n_nodes,
+        "it": jnp.int32(0),
     }
     if global_mode:
         l_state["galive"] = cond_all(jnp.any(l_state["active"]))
     l_state = jax.lax.while_loop(l_cond, l_body, l_state)
+    # lanes whose left chain was cut by the cap join the exact-fallback set
+    l_capped = l_state["active"] if lcap > 0 else jnp.zeros((B,), bool)
 
     # ---- forward walk (src/pseudoaligner.rs:208-302) ----
     cap = meta.max_walk_iters
@@ -708,8 +724,9 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
     if global_mode:
         f_state["galive"] = cond_all(jnp.any(f_state["active"]))
     f_state = jax.lax.while_loop(f_cond, f_body, f_state)
-    # lanes cut off by the iteration cap need the exact fallback pass
+    # lanes cut off by either iteration cap need the exact fallback pass
     capped = f_state["active"] if cap > 0 else jnp.zeros((B,), bool)
+    capped = capped | l_capped
 
     buf = f_state["buf"]
     nodes_buf = buf[:, :, 0]
@@ -915,6 +932,9 @@ def device_index_from_image(image, config: AlignerConfig):
         # the cap needs the compact -3 marker channel for exact fallback
         max_walk_iters=(
             config.max_walk_iters if config.distinct_cap > 0 else 0
+        ),
+        max_left_iters=(
+            config.max_left_iters if config.distinct_cap > 0 else 0
         ),
         ec_out_16=config.distinct_cap > 0 and image.n_ecs < 2**15 - 4,
         cov_out_8=config.distinct_cap > 0 and config.max_read_len <= 255,

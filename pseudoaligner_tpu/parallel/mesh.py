@@ -117,7 +117,7 @@ class ShardedAligner:
         # the psum TCC-count path consumes EC bitsets on device; the walk
         # cap must be off with it — its exact-fallback channel (-3 marker)
         # only exists in the compact output
-        meta = dataclasses.replace(meta, distinct_cap=0, max_walk_iters=0)
+        meta = dataclasses.replace(meta, distinct_cap=0, max_walk_iters=0, max_left_iters=0)
         self.meta = meta
         self.config = config
         self.n_tx = len(image.tx_names)

@@ -435,7 +435,7 @@ class KmerPartitionedAligner:
         # must also be off: its exact-fallback channel (the -3 marker) only
         # exists in the compact output, which this mode disables.
         meta = dataclasses.replace(
-            meta, distinct_cap=0, lazy_seeds=False, max_walk_iters=0
+            meta, distinct_cap=0, lazy_seeds=False, max_walk_iters=0, max_left_iters=0
         )
         self.meta = meta
         self.config = config

@@ -186,9 +186,34 @@ def test_walk_iteration_cap_parity(small_index, small_reads):
     records identical to the uncapped engine — capped lanes go through the
     exact device fallback pass."""
     uncapped = AlignerConfig(k=20, batch_size=256, max_read_len=64,
-                             max_nodes=64, distinct_cap=8, max_walk_iters=0)
+                             max_nodes=64, distinct_cap=8, max_walk_iters=0,
+                             max_left_iters=0)
     capped = AlignerConfig(k=20, batch_size=256, max_read_len=64,
                            max_nodes=64, distinct_cap=8, max_walk_iters=2)
+    a1 = Pseudoaligner(small_index, uncapped)
+    a2 = Pseudoaligner(small_index, capped)
+    n = 0
+    for batch in _make_batches(small_reads[:512], 256, 64):
+        r1 = a1.records_from_result(
+            a1.map_batch_device(batch.codes, batch.lens), batch)
+        r2 = a2.records_from_result(
+            a2.map_batch_device(batch.codes, batch.lens), batch)
+        for x, y in zip(r1, r2):
+            assert x == y, (x, y)
+            n += 1
+    assert n == 512
+
+
+def test_left_extension_cap_parity(small_index, small_reads):
+    """An aggressively capped left extension (max_left_iters=1) must still
+    produce records identical to the uncapped engine — lanes whose left
+    chain is cut carry the -3 marker and re-run on the exact fallback."""
+    uncapped = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                             max_nodes=64, distinct_cap=8, max_walk_iters=0,
+                             max_left_iters=0)
+    capped = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                           max_nodes=64, distinct_cap=8, max_walk_iters=0,
+                           max_left_iters=1)
     a1 = Pseudoaligner(small_index, uncapped)
     a2 = Pseudoaligner(small_index, capped)
     n = 0
