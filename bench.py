@@ -121,7 +121,7 @@ def main():
     else:
         # self-tune (walk cap, left cap): tunnel conditions and the
         # host-remap overlap shift the optimum run to run
-        caps = [(4, 2), (6, 2), (6, 1)]
+        caps = [(3, 2), (4, 2), (6, 2)]
     aligners = [
         Pseudoaligner(image, AlignerConfig(
             k=20, batch_size=B, max_read_len=L, max_nodes=32,

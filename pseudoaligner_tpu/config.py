@@ -99,6 +99,10 @@ class AlignerConfig:
     # otherwise sets the whole batch's trip count (~8 trips / ~66ms per
     # 65k batch measured, while typical lanes need 0-1 — PERF.md).
     max_left_iters: int = 2
+    # Walk-loop body unroll: steps executed per while_loop iteration (the
+    # ~2-3ms fixed op-dispatch cost per iteration amortizes across the
+    # group; lanes done mid-group are masked).
+    walk_unroll: int = 1
 
     def __post_init__(self):
         if self.k < 4 or self.k > 64:

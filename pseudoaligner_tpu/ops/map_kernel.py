@@ -106,6 +106,13 @@ class MapMeta:
     # left-chain length (measured ~8 trips at B=65k for a ~66ms/step cost
     # — PERF.md), while the typical lane needs 0-1.
     max_left_iters: int = 0
+    # Walk-loop body unroll factor: each while_loop iteration executes
+    # `walk_unroll` masked walk steps.  Per-iteration fixed costs (op
+    # dispatch ~1.3ms + gather fixed ~0.3ms on this backend — PERF.md)
+    # amortize across the group; lanes finishing mid-group are masked, so
+    # semantics are unchanged.  Iteration caps count individual steps and
+    # effectively round up to a multiple of the unroll.
+    walk_unroll: int = 1
     # Compact-output transfer compression (the tunneled link is ~55MB/s —
     # PERF.md): EC ids ride as int16 when the class count fits, coverage
     # as uint8 when the batch width fits.  Set by device_index_from_image.
@@ -604,9 +611,22 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
         "n_nodes": n_nodes,
         "it": jnp.int32(0),
     }
+    unroll = max(1, meta.walk_unroll)
+
+    def _unrolled(body):
+        if unroll == 1:
+            return body
+
+        def grouped(s):
+            for _ in range(unroll):
+                s = body(s)
+            return s
+
+        return grouped
+
     if global_mode:
         l_state["galive"] = cond_all(jnp.any(l_state["active"]))
-    l_state = jax.lax.while_loop(l_cond, l_body, l_state)
+    l_state = jax.lax.while_loop(l_cond, _unrolled(l_body), l_state)
     # lanes whose left chain was cut by the cap join the exact-fallback set
     l_capped = l_state["active"] if lcap > 0 else jnp.zeros((B,), bool)
 
@@ -723,7 +743,7 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
     }
     if global_mode:
         f_state["galive"] = cond_all(jnp.any(f_state["active"]))
-    f_state = jax.lax.while_loop(f_cond, f_body, f_state)
+    f_state = jax.lax.while_loop(f_cond, _unrolled(f_body), f_state)
     # lanes cut off by either iteration cap need the exact fallback pass
     capped = f_state["active"] if cap > 0 else jnp.zeros((B,), bool)
     capped = capped | l_capped
@@ -936,6 +956,7 @@ def device_index_from_image(image, config: AlignerConfig):
         max_left_iters=(
             config.max_left_iters if config.distinct_cap > 0 else 0
         ),
+        walk_unroll=config.walk_unroll,
         ec_out_16=config.distinct_cap > 0 and image.n_ecs < 2**15 - 4,
         cov_out_8=config.distinct_cap > 0 and config.max_read_len <= 255,
     )

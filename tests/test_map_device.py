@@ -226,3 +226,26 @@ def test_left_extension_cap_parity(small_index, small_reads):
             assert x == y, (x, y)
             n += 1
     assert n == 512
+
+
+def test_walk_unroll_parity(small_index, small_reads):
+    """walk_unroll executes multiple masked steps per while_loop iteration;
+    records must be identical to the unroll=1 engine."""
+    base = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                         max_nodes=64, distinct_cap=8, max_walk_iters=4,
+                         max_left_iters=2)
+    unrolled = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                             max_nodes=64, distinct_cap=8, max_walk_iters=4,
+                             max_left_iters=2, walk_unroll=3)
+    a1 = Pseudoaligner(small_index, base)
+    a2 = Pseudoaligner(small_index, unrolled)
+    n = 0
+    for batch in _make_batches(small_reads[:512], 256, 64):
+        r1 = a1.records_from_result(
+            a1.map_batch_device(batch.codes, batch.lens), batch)
+        r2 = a2.records_from_result(
+            a2.map_batch_device(batch.codes, batch.lens), batch)
+        for x, y in zip(r1, r2):
+            assert x == y, (x, y)
+            n += 1
+    assert n == 512
