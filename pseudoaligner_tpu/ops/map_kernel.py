@@ -365,7 +365,7 @@ def cuckoo_lookup(meta: MapMeta, idx: DeviceIndex, words: jnp.ndarray):
 
 
 def _seed_tables(meta: MapMeta, idx: DeviceIndex, reads, lens):
-    """All-position verified seed lookup + stride-3 next-hit table.
+    """All-position verified seed lookup -> fused stride-3 next-hit table.
 
     With meta.lazy_seeds, only the residue-0 positions (the initial
     stride-3 scan's entire search space) are probed eagerly; other
@@ -392,23 +392,40 @@ def _seed_tables(meta: MapMeta, idx: DeviceIndex, reads, lens):
             idx.kmer_node,
             idx.kmer_offset,
         )
-    node, next_hit = next_hit_table(node, lens, meta.k, P)
-    return node, off, next_hit
+    _, nh3 = next_hit_table(node, off, lens, meta.k, P)
+    return nh3
 
 
-def next_hit_table(seed_node, lens, k: int, P: int):
-    """Mask invalid positions and build the stride-3 next-hit table."""
+def next_hit_table(seed_node, seed_off, lens, k: int, P: int):
+    """Mask invalid positions and build the FUSED stride-3 next-hit table.
+
+    Returns (node, nh3) where nh3[b, p] = (q, seed_node[b, q],
+    seed_off[b, q]) for q = the nearest valid seed position >= p on p's
+    stride-3 residue grid (q = P with don't-care node/off when none
+    exists).  Fusing the position and its (node, offset) into one
+    [B, P, 3] row makes every in-loop re-seed ONE [B]-index gather
+    instead of two — walk iterations are gather-index-bound (PERF.md).
+    Built with per-residue suffix fill-scans (first-valid is
+    associative): dense VPU work, no gathers."""
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = (seed_node >= 0) & (pos <= (lens[:, None] - k))
     node = jnp.where(valid, seed_node, -1)
+    off = jnp.where(valid, seed_off, -1)
 
     cand = jnp.where(valid, pos, jnp.int32(P))
-    next_hit = jnp.full_like(cand, P)
+    nh3 = jnp.full(cand.shape + (3,), jnp.int32(P))
+
+    def first_valid(a, b):
+        # reverse=True passes a = accumulated later-index suffix, b = the
+        # earlier element (verified empirically): keep b when it's valid
+        take_b = b[0] < P
+        return tuple(jnp.where(take_b, y, x) for x, y in zip(a, b))
+
     for r in range(min(3, P)):
-        sub = cand[:, r::3]
-        nxt_sub = jax.lax.cummin(sub, axis=1, reverse=True)
-        next_hit = next_hit.at[:, r::3].set(nxt_sub)
-    return node, next_hit
+        sub = (cand[:, r::3], node[:, r::3], off[:, r::3])
+        sc = jax.lax.associative_scan(first_valid, sub, reverse=True, axis=1)
+        nh3 = nh3.at[:, r::3].set(jnp.stack(sc, axis=-1))
+    return node, nh3
 
 
 # ---------------------------------------------------------------------------
@@ -445,8 +462,8 @@ def map_batch_packed(meta: MapMeta, idx: DeviceIndex, packed, lens) -> MapResult
     """Map a batch of 2-bit-packed reads (the production transfer path)."""
     reads = unpack_reads(packed, meta.read_len)
     lens = lens.astype(jnp.int32)
-    seed_node, seed_off, next_hit = _seed_tables(meta, idx, reads, lens)
-    return _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit)
+    nh3 = _seed_tables(meta, idx, reads, lens)
+    return _walk(meta, idx, packed, reads, lens, nh3)
 
 
 def map_batch(meta: MapMeta, idx: DeviceIndex, reads, lens) -> MapResult:
@@ -454,22 +471,22 @@ def map_batch(meta: MapMeta, idx: DeviceIndex, reads, lens) -> MapResult:
     reads = reads.astype(jnp.int32)
     lens = lens.astype(jnp.int32)
     packed = pack_reads_device(reads)
-    seed_node, seed_off, next_hit = _seed_tables(meta, idx, reads, lens)
-    return _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit)
+    nh3 = _seed_tables(meta, idx, reads, lens)
+    return _walk(meta, idx, packed, reads, lens, nh3)
 
 
 def map_batch_with_seeds(
-    meta: MapMeta, idx: DeviceIndex, reads, lens, seed_node, seed_off,
-    next_hit, fetch=None, cond_all=None,
+    meta: MapMeta, idx: DeviceIndex, reads, lens, nh3,
+    fetch=None, cond_all=None,
 ) -> MapResult:
-    """Walk + EC given precomputed seed tables (k-mer-partitioned mode).
+    """Walk + EC given a precomputed fused next-hit table (k-mer-
+    partitioned mode; nh3 from next_hit_table).
 
     fetch/cond_all: graph-sharded walk hooks (see _walk)."""
     reads = reads.astype(jnp.int32)
     packed = pack_reads_device(reads)
     return _walk(meta, idx, packed, reads, lens.astype(jnp.int32),
-                 seed_node, seed_off, next_hit, fetch=fetch,
-                 cond_all=cond_all)
+                 nh3, fetch=fetch, cond_all=cond_all)
 
 
 def pack_reads_device(reads: jnp.ndarray) -> jnp.ndarray:
@@ -487,7 +504,7 @@ def pack_reads_device(reads: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
+def _walk(meta, idx, packed, reads, lens, nh3,
           fetch=None, cond_all=None) -> MapResult:
     """The batched graph walk.
 
@@ -509,15 +526,18 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
     rp = pad_packed_reads(meta, packed)
 
     rows = jnp.arange(B)
-    # (node, off) pairs ride in one [B, P, 2] table: each in-loop re-seed
-    # resolves with a single 2-wide gather instead of two
-    seeds2 = jnp.stack([seed_node, seed_off], axis=-1)
-    q0 = next_hit[:, 0] if P > 0 else jnp.full((B,), 0, jnp.int32)
+    # the fused [B, P, 3] next-hit table (next_hit_table): row p carries
+    # (q, node@q, off@q) — the initial seed reads row 0 directly and each
+    # in-loop re-seed is ONE 3-wide gather
+    if P > 0:
+        q0 = nh3[:, 0, 0]
+        node0 = nh3[:, 0, 1]
+        off0 = nh3[:, 0, 2]
+    else:
+        q0 = jnp.full((B,), 0, jnp.int32)
+        node0 = jnp.full((B,), -1, jnp.int32)
+        off0 = jnp.full((B,), -1, jnp.int32)
     seeded = q0 < jnp.int32(P)
-    q0c = jnp.clip(q0, 0, P - 1)
-    pair0 = seeds2[rows, q0c]
-    node0 = pair0[:, 0]
-    off0 = pair0[:, 1]
 
     cov = jnp.zeros(B, jnp.int32)
     mm = jnp.zeros(B, jnp.int32)
@@ -684,12 +704,11 @@ def _walk(meta, idx, packed, reads, lens, seed_node, seed_off, next_hit,
         else:
             tbl = can_seek
             enter_seek = jnp.zeros_like(can_seek)
-        q = next_hit[rows, jnp.clip(kpos, 0, P - 1)]
+        trip = nh3[rows, jnp.clip(kpos, 0, P - 1)]  # (q, node, off) fused
+        q = trip[:, 0]
         found = tbl & (q < P)
-        qc = jnp.clip(q, 0, P - 1)
-        rs_pair = seeds2[rows, qc]
-        rs_node = rs_pair[:, 0]
-        rs_off = rs_pair[:, 1]
+        rs_node = trip[:, 1]
+        rs_off = trip[:, 2]
 
         node2 = jnp.where(follow, nxt_node, jnp.where(found, rs_node, s["node"]))
         koff2 = jnp.where(follow, 0, jnp.where(found, rs_off, koff))

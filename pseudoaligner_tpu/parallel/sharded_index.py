@@ -354,8 +354,8 @@ def make_kpart_step(
         seed_node, seed_off, overflow = _routed_seed_tables(
             meta, kmeta, lookup, reads, lens, axis
         )
-        seed_node, next_hit = next_hit_table(
-            seed_node, lens, meta.k, meta.n_positions
+        _, nh3 = next_hit_table(
+            seed_node, seed_off, lens, meta.k, meta.n_positions
         )
         if shard_graph:
             fetch = _routed_fetch_factory(
@@ -368,7 +368,7 @@ def make_kpart_step(
         else:
             fetch = cond_all = None
         res = map_batch_with_seeds(
-            meta, idx, reads, lens, seed_node, seed_off, next_hit,
+            meta, idx, reads, lens, nh3,
             fetch=fetch, cond_all=cond_all,
         )
         if meta.tx_words > 0:
