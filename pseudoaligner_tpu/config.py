@@ -103,6 +103,20 @@ class AlignerConfig:
     # ~2-3ms fixed op-dispatch cost per iteration amortizes across the
     # group; lanes done mid-group are masked).
     walk_unroll: int = 1
+    # Two-tier lane compaction (PERF.md): run the left-extension loop on a
+    # compacted buffer of ceil(left_compact * B) lanes (only the late-hit
+    # minority enters it), and the forward-walk tail beyond walk_split
+    # iterations on ceil(walk_compact * B) lanes.  Gathers cost ~8ns per
+    # index and loop shapes are static, so full-B loops pay for every lane
+    # even after it finishes.  Lanes beyond capacity take the -3 exact
+    # fallback (deterministic).  0 disables; requires compact outputs.
+    # Measured (PERF.md): left tier -5ms/step at B=65k; the walk-tail tier
+    # is a measured NEGATIVE on this backend (+35ms: inter-loop state
+    # gather/scatter + a second loop body outweigh the tail savings), so
+    # walk_split stays 0 by default.
+    left_compact: float = 0.125
+    walk_split: int = 0
+    walk_compact: float = 0.25
 
     def __post_init__(self):
         if self.k < 4 or self.k > 64:

@@ -113,6 +113,19 @@ class MapMeta:
     # semantics are unchanged.  Iteration caps count individual steps and
     # effectively round up to a multiple of the unroll.
     walk_unroll: int = 1
+    # Two-tier lane compaction (PERF.md): while_loop shapes are static, so
+    # a full-B loop pays ~8ns per gather index for every lane even after it
+    # finishes.  left_compact > 0 runs the left-extension loop on a
+    # compacted buffer of ceil(left_compact * B) lanes (only lanes passing
+    # the late-hit gate enter it — a small minority); walk_split > 0 runs
+    # the first walk_split forward iterations at full B, then compacts the
+    # still-active tail into ceil(walk_compact * B) lanes for the rest.
+    # Lanes beyond capacity carry the -3 exact-fallback marker
+    # (deterministic: ascending lane order).  Requires compact outputs and
+    # a collective-free loop body; 0 disables.
+    left_compact: float = 0.0
+    walk_split: int = 0
+    walk_compact: float = 0.25
     # Compact-output transfer compression (the tunneled link is ~55MB/s —
     # PERF.md): EC ids ride as int16 when the class count fits, coverage
     # as uint8 when the batch width fits.  Set by device_index_from_image.
@@ -447,6 +460,30 @@ def _push(buf, n_nodes, node, ec, do_push):
     return buf, n_nodes + do_push.astype(jnp.int32)
 
 
+def _compact_select(mask: jnp.ndarray, C: int):
+    """First-C true lanes of [B] mask, in ascending lane order.
+
+    Returns (idxc [C] int32 source lane ids, valid [C] bool, overflow [B]
+    bool — true lanes beyond capacity).  One cumsum + one drop-mode
+    scatter; fully deterministic, so TPU/CPU outputs stay identical."""
+    B = mask.shape[0]
+    order = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (order < C), order, C)
+    idxc = jnp.zeros((C,), jnp.int32).at[slot].set(
+        jnp.arange(B, dtype=jnp.int32), mode="drop"
+    )
+    n_sel = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), C)
+    valid = jnp.arange(C, dtype=jnp.int32) < n_sel
+    overflow = mask & (order >= C)
+    return idxc, valid, overflow
+
+
+def _compact_cap(B: int, frac: float) -> int:
+    """Static compact-buffer capacity: ceil(B * frac) rounded up to 8."""
+    c = -(-int(B * frac) // 8) * 8
+    return max(8, min(B, c))
+
+
 def _base_at(meta: MapMeta, win_words: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Base code at position t of a packed ascending window (dense select)."""
     out = jnp.zeros_like(t)
@@ -525,7 +562,6 @@ def _walk(meta, idx, packed, reads, lens, nh3,
     fw_bases = read_front_words(meta) * 16
     rp = pad_packed_reads(meta, packed)
 
-    rows = jnp.arange(B)
     # the fused [B, P, 3] next-hit table (next_hit_table): row p carries
     # (q, node@q, off@q) — the initial seed reads row 0 directly and each
     # in-loop re-seed is ONE 3-wide gather
@@ -571,67 +607,65 @@ def _walk(meta, idx, packed, reads, lens, nh3,
             return alive & (s["it"] < lcap)
         return alive
 
-    def l_body(s):
-        act = s["active"]
-        lnode = s["node"]
-        pko = s["pko"]
-        last_pos = s["last_pos"]
-        maxm = jnp.minimum(last_pos + 1, pko + 1)
-        # ref window: base (nstart + pko - j); extract ascending from
-        # (nstart + pko - (L-1)) then reverse
-        nrow, ref_win = fetch(lnode, pko - (L - 1), True)
-        # read window: base (last_pos - j) + front pad; ascending from
-        # last_pos - (L-1) + fw
-        read_q = last_pos - (L - 1) + fw_bases
-        read_win = _extract_read_window(meta, rp, read_q)
-        mmf = _mismatch_bits(meta, ref_win, read_win)
-        mmf = mmf[:, ::-1]  # out[j] = base (q - j)
-        matched, mm_add, prem = _segment_math(meta, mmf, maxm, allowed)
-        cov2 = jnp.where(act, s["cov"] + matched, s["cov"])
-        mm2 = jnp.where(act, s["mm"] + mm_add, s["mm"])
-        stop = (last_pos + 1 - matched == 0) | prem
-        lp2 = last_pos - matched
-        # next base read[lp2] = ascending-window position L-1-matched
-        nb = _base_at(meta, read_win, jnp.clip(L - 1 - matched, 0, L - 1))
-        exts = nrow[:, 2]
-        has = ((exts >> (4 + nb)) & 1) == 1
-        follow = act & ~stop & has
-        # l_edge at columns 4..7 (dense 4-way select, no gather)
-        new_node = jnp.full((B,), -1, jnp.int32)
-        for b4 in range(4):
-            new_node = jnp.where(nb == b4, nrow[:, 4 + b4], new_node)
-        new_row, _ = fetch(new_node, 0, False)
-        nbuf, ncnt = _push(
-            s["buf"], s["n_nodes"], new_node, new_row[:, 3], follow
-        )
-        new_pko = new_row[:, 1] - k
-        out = {
-            "active": follow,
-            "node": jnp.where(follow, new_node, lnode),
-            "pko": jnp.where(follow, new_pko, pko),
-            "last_pos": jnp.where(act, lp2, last_pos),
-            "cov": cov2,
-            "mm": mm2,
-            "buf": nbuf,
-            "n_nodes": ncnt,
-            "it": s["it"] + 1,
-        }
-        if global_mode:
-            out["galive"] = cond_all(jnp.any(out["active"]))
-        return out
+    def make_l_body(rp_):
+        def l_body(s):
+            act = s["active"]
+            lnode = s["node"]
+            pko = s["pko"]
+            last_pos = s["last_pos"]
+            Bc = act.shape[0]
+            maxm = jnp.minimum(last_pos + 1, pko + 1)
+            # ref window: base (nstart + pko - j); extract ascending from
+            # (nstart + pko - (L-1)) then reverse
+            nrow, ref_win = fetch(lnode, pko - (L - 1), True)
+            # read window: base (last_pos - j) + front pad; ascending from
+            # last_pos - (L-1) + fw
+            read_q = last_pos - (L - 1) + fw_bases
+            read_win = _extract_read_window(meta, rp_, read_q)
+            mmf = _mismatch_bits(meta, ref_win, read_win)
+            mmf = mmf[:, ::-1]  # out[j] = base (q - j)
+            matched, mm_add, prem = _segment_math(meta, mmf, maxm, allowed)
+            cov2 = jnp.where(act, s["cov"] + matched, s["cov"])
+            mm2 = jnp.where(act, s["mm"] + mm_add, s["mm"])
+            stop = (last_pos + 1 - matched == 0) | prem
+            lp2 = last_pos - matched
+            # next base read[lp2] = ascending-window position L-1-matched
+            nb = _base_at(meta, read_win, jnp.clip(L - 1 - matched, 0, L - 1))
+            exts = nrow[:, 2]
+            has = ((exts >> (4 + nb)) & 1) == 1
+            follow = act & ~stop & has
+            # l_edge at columns 4..7 (dense 4-way select, no gather)
+            new_node = jnp.full((Bc,), -1, jnp.int32)
+            for b4 in range(4):
+                new_node = jnp.where(nb == b4, nrow[:, 4 + b4], new_node)
+            new_row, _ = fetch(new_node, 0, False)
+            nbuf, ncnt = _push(
+                s["buf"], s["n_nodes"], new_node, new_row[:, 3], follow
+            )
+            new_pko = new_row[:, 1] - k
+            out = {
+                "active": follow,
+                "node": jnp.where(follow, new_node, lnode),
+                "pko": jnp.where(follow, new_pko, pko),
+                "last_pos": jnp.where(act, lp2, last_pos),
+                "cov": cov2,
+                "mm": mm2,
+                "buf": nbuf,
+                "n_nodes": ncnt,
+                "it": s["it"] + 1,
+            }
+            if global_mode:
+                out["galive"] = cond_all(jnp.any(out["active"]))
+            return out
 
-    l_state = {
-        "active": seeded & (q0 >= thresh),
-        "node": node0,
-        "pko": jnp.where(off0 > 0, off0 - 1, 0),
-        "last_pos": q0 - 1,
-        "cov": cov,
-        "mm": mm,
-        "buf": buf,
-        "n_nodes": n_nodes,
-        "it": jnp.int32(0),
-    }
+        return l_body
+
+    l_active0 = seeded & (q0 >= thresh)
     unroll = max(1, meta.walk_unroll)
+    # lane compaction is legal only when the loop body is collective-free
+    # and the -3 fallback channel exists for (rare) capacity overflow
+    can_tier = meta.distinct_cap > 0 and not global_mode
+    use_ltier = can_tier and meta.left_compact > 0 and lcap > 0
 
     def _unrolled(body):
         if unroll == 1:
@@ -644,11 +678,55 @@ def _walk(meta, idx, packed, reads, lens, nh3,
 
         return grouped
 
-    if global_mode:
-        l_state["galive"] = cond_all(jnp.any(l_state["active"]))
-    l_state = jax.lax.while_loop(l_cond, _unrolled(l_body), l_state)
-    # lanes whose left chain was cut by the cap join the exact-fallback set
-    l_capped = l_state["active"] if lcap > 0 else jnp.zeros((B,), bool)
+    if use_ltier:
+        # run the left loop on a compacted buffer of just the gated lanes
+        Cl = _compact_cap(B, meta.left_compact)
+        idxl, validl, l_over = _compact_select(l_active0, Cl)
+        st = {
+            "active": validl,
+            "node": jnp.take(node0, idxl),
+            "pko": jnp.take(jnp.where(off0 > 0, off0 - 1, 0), idxl),
+            "last_pos": jnp.take(q0, idxl) - 1,
+            "cov": jnp.zeros(Cl, jnp.int32),
+            "mm": jnp.zeros(Cl, jnp.int32),
+            "buf": jnp.full((Cl, meta.max_nodes, 2), -1, jnp.int32),
+            "n_nodes": jnp.zeros(Cl, jnp.int32),
+            "it": jnp.int32(0),
+        }
+        rp_l = jnp.take(rp, idxl, axis=0)
+        st = jax.lax.while_loop(l_cond, _unrolled(make_l_body(rp_l)), st)
+        tgt = jnp.where(validl, idxl, B)  # dropped for invalid slots
+        l_state = {
+            "cov": cov.at[tgt].set(st["cov"], mode="drop"),
+            "mm": mm.at[tgt].set(st["mm"], mode="drop"),
+            "buf": buf.at[tgt].set(st["buf"], mode="drop"),
+            "n_nodes": n_nodes.at[tgt].set(st["n_nodes"], mode="drop"),
+        }
+        l_capped = (
+            jnp.zeros((B,), bool).at[tgt].set(st["active"], mode="drop")
+            | l_over
+        )
+    else:
+        l_state = {
+            "active": l_active0,
+            "node": node0,
+            "pko": jnp.where(off0 > 0, off0 - 1, 0),
+            "last_pos": q0 - 1,
+            "cov": cov,
+            "mm": mm,
+            "buf": buf,
+            "n_nodes": n_nodes,
+            "it": jnp.int32(0),
+        }
+        if global_mode:
+            l_state["galive"] = cond_all(jnp.any(l_state["active"]))
+        l_state = jax.lax.while_loop(
+            l_cond, _unrolled(make_l_body(rp)), l_state
+        )
+        # lanes whose left chain was cut by the cap join the fallback set
+        l_capped = (
+            l_state["active"] if lcap > 0 else jnp.zeros((B,), bool)
+        )
 
     # ---- forward walk (src/pseudoaligner.rs:208-302) ----
     cap = meta.max_walk_iters
@@ -661,92 +739,104 @@ def _walk(meta, idx, packed, reads, lens, nh3,
 
     lazy = meta.lazy_seeds and meta.seed_index == "cuckoo"
 
-    def f_body(s):
-        seeking = s["seeking"]
-        act = s["active"] & ~seeking  # lanes in walk mode this iteration
-        fnode = jnp.clip(s["node"], 0, None)
-        koff = s["koff"]
-        kpos = s["kpos"] + k
-        cov2 = jnp.where(act, s["cov"] + k, s["cov"])
-        ref_off = koff + k
-        nrow, ref_win = fetch(fnode, ref_off, True)
-        nbuf, ncnt = _push(s["buf"], s["n_nodes"], fnode, nrow[:, 3], act)
+    def make_f_body(rp_, lens_, nh3_):
+        rows_ = jnp.arange(rp_.shape[0])
 
-        nlen, exts = nrow[:, 1], nrow[:, 2]
-        informative = nlen - ref_off
-        remaining = lens - kpos
-        maxm = jnp.maximum(jnp.minimum(remaining, informative), 0)
-        read_win = _extract_read_window(meta, rp, kpos + fw_bases)
-        mmf = _mismatch_bits(meta, ref_win, read_win)
-        matched, mm_add, prem = _segment_math(meta, mmf, maxm, allowed)
-        kpos = kpos + matched
-        cov2 = jnp.where(act, cov2 + matched, cov2)
-        mm2 = jnp.where(act, s["mm"] + mm_add, s["mm"])
+        def f_body(s):
+            seeking = s["seeking"]
+            act = s["active"] & ~seeking  # lanes in walk mode this iteration
+            fnode = jnp.clip(s["node"], 0, None)
+            koff = s["koff"]
+            kpos = s["kpos"] + k
+            Bc = act.shape[0]
+            cov2 = jnp.where(act, s["cov"] + k, s["cov"])
+            ref_off = koff + k
+            nrow, ref_win = fetch(fnode, ref_off, True)
+            nbuf, ncnt = _push(s["buf"], s["n_nodes"], fnode, nrow[:, 3], act)
 
-        at_end = kpos >= lens
-        # next base read[kpos+matched] = window position `matched`
-        nb = _base_at(meta, read_win, jnp.clip(matched, 0, L - 1))
-        hasr = ~prem & (((exts >> nb) & 1) == 1)
-        follow = act & ~at_end & hasr
-        # r_edge at columns 8..11 (dense 4-way select, no gather)
-        nxt_node = jnp.full((B,), -1, jnp.int32)
-        for b4 in range(4):
-            nxt_node = jnp.where(nb == b4, nrow[:, 8 + b4], nxt_node)
+            nlen, exts = nrow[:, 1], nrow[:, 2]
+            informative = nlen - ref_off
+            remaining = lens_ - kpos
+            maxm = jnp.maximum(jnp.minimum(remaining, informative), 0)
+            read_win = _extract_read_window(meta, rp_, kpos + fw_bases)
+            mmf = _mismatch_bits(meta, ref_win, read_win)
+            matched, mm_add, prem = _segment_math(meta, mmf, maxm, allowed)
+            kpos = kpos + matched
+            cov2 = jnp.where(act, cov2 + matched, cov2)
+            mm2 = jnp.where(act, s["mm"] + mm_add, s["mm"])
 
-        # re-seed path (src/pseudoaligner.rs:285-299): residue-0 positions
-        # resolve via the precomputed next-hit table; in lazy mode the
-        # other residues enter seek mode and probe in-loop
-        can_seek = act & ~at_end & ~hasr & (kpos <= lens - k)
-        if lazy:
-            on_grid = (kpos % 3) == 0
-            tbl = can_seek & on_grid
-            enter_seek = can_seek & ~on_grid
-        else:
-            tbl = can_seek
-            enter_seek = jnp.zeros_like(can_seek)
-        trip = nh3[rows, jnp.clip(kpos, 0, P - 1)]  # (q, node, off) fused
-        q = trip[:, 0]
-        found = tbl & (q < P)
-        rs_node = trip[:, 1]
-        rs_off = trip[:, 2]
+            at_end = kpos >= lens_
+            # next base read[kpos+matched] = window position `matched`
+            nb = _base_at(meta, read_win, jnp.clip(matched, 0, L - 1))
+            hasr = ~prem & (((exts >> nb) & 1) == 1)
+            follow = act & ~at_end & hasr
+            # r_edge at columns 8..11 (dense 4-way select, no gather)
+            nxt_node = jnp.full((Bc,), -1, jnp.int32)
+            for b4 in range(4):
+                nxt_node = jnp.where(nb == b4, nrow[:, 8 + b4], nxt_node)
 
-        node2 = jnp.where(follow, nxt_node, jnp.where(found, rs_node, s["node"]))
-        koff2 = jnp.where(follow, 0, jnp.where(found, rs_off, koff))
-        kpos2 = jnp.where(follow, kpos - (k - 1), jnp.where(found, q, kpos))
-        cov2 = jnp.where(follow, cov2 - (k - 1), cov2)
-        active2 = follow | found | enter_seek
-        seeking2 = enter_seek
+            # re-seed path (src/pseudoaligner.rs:285-299): residue-0
+            # positions resolve via the precomputed next-hit table; in lazy
+            # mode the other residues enter seek mode and probe in-loop
+            can_seek = act & ~at_end & ~hasr & (kpos <= lens_ - k)
+            if lazy:
+                on_grid = (kpos % 3) == 0
+                tbl = can_seek & on_grid
+                enter_seek = can_seek & ~on_grid
+            else:
+                tbl = can_seek
+                enter_seek = jnp.zeros_like(can_seek)
+            trip = nh3_[rows_, jnp.clip(kpos, 0, P - 1)]  # fused (q,node,off)
+            q = trip[:, 0]
+            found = tbl & (q < P)
+            rs_node = trip[:, 1]
+            rs_off = trip[:, 2]
 
-        if lazy:
-            # seek lanes: one exact probe at their current position
-            skp = s["kpos"]
-            kmw = _kmer_at(meta, rp, jnp.clip(skp, 0, L - k))
-            pn, po = cuckoo_lookup(meta, idx, kmw)
-            hit = seeking & (pn >= 0)
-            miss = seeking & (pn < 0)
-            skp_next = skp + 3
-            keep_seeking = miss & (skp_next <= lens - k)
-            node2 = jnp.where(hit, pn, node2)
-            koff2 = jnp.where(hit, po, koff2)
-            kpos2 = jnp.where(seeking, jnp.where(hit, skp, skp_next), kpos2)
-            active2 = active2 | hit | keep_seeking
-            seeking2 = seeking2 | keep_seeking
+            node2 = jnp.where(
+                follow, nxt_node, jnp.where(found, rs_node, s["node"])
+            )
+            koff2 = jnp.where(follow, 0, jnp.where(found, rs_off, koff))
+            kpos2 = jnp.where(
+                follow, kpos - (k - 1), jnp.where(found, q, kpos)
+            )
+            cov2 = jnp.where(follow, cov2 - (k - 1), cov2)
+            active2 = follow | found | enter_seek
+            seeking2 = enter_seek
 
-        out = {
-            "active": active2,
-            "seeking": seeking2,
-            "node": node2,
-            "koff": koff2,
-            "kpos": kpos2,
-            "cov": cov2,
-            "mm": mm2,
-            "buf": nbuf,
-            "n_nodes": ncnt,
-            "it": s["it"] + 1,
-        }
-        if global_mode:
-            out["galive"] = cond_all(jnp.any(out["active"]))
-        return out
+            if lazy:
+                # seek lanes: one exact probe at their current position
+                skp = s["kpos"]
+                kmw = _kmer_at(meta, rp_, jnp.clip(skp, 0, L - k))
+                pn, po = cuckoo_lookup(meta, idx, kmw)
+                hit = seeking & (pn >= 0)
+                miss = seeking & (pn < 0)
+                skp_next = skp + 3
+                keep_seeking = miss & (skp_next <= lens_ - k)
+                node2 = jnp.where(hit, pn, node2)
+                koff2 = jnp.where(hit, po, koff2)
+                kpos2 = jnp.where(
+                    seeking, jnp.where(hit, skp, skp_next), kpos2
+                )
+                active2 = active2 | hit | keep_seeking
+                seeking2 = seeking2 | keep_seeking
+
+            out = {
+                "active": active2,
+                "seeking": seeking2,
+                "node": node2,
+                "koff": koff2,
+                "kpos": kpos2,
+                "cov": cov2,
+                "mm": mm2,
+                "buf": nbuf,
+                "n_nodes": ncnt,
+                "it": s["it"] + 1,
+            }
+            if global_mode:
+                out["galive"] = cond_all(jnp.any(out["active"]))
+            return out
+
+        return f_body
 
     f_state = {
         "active": seeded,
@@ -760,11 +850,67 @@ def _walk(meta, idx, packed, reads, lens, nh3,
         "n_nodes": l_state["n_nodes"],
         "it": jnp.int32(0),
     }
+    wsplit = meta.walk_split
+    use_wtier = (
+        can_tier and wsplit > 0 and 0 < meta.walk_compact
+        and cap > 0 and wsplit < cap
+    )
     if global_mode:
         f_state["galive"] = cond_all(jnp.any(f_state["active"]))
-    f_state = jax.lax.while_loop(f_cond, _unrolled(f_body), f_state)
-    # lanes cut off by either iteration cap need the exact fallback pass
-    capped = f_state["active"] if cap > 0 else jnp.zeros((B,), bool)
+
+    if use_wtier:
+        # stage 1: first walk_split iterations at full B (most lanes
+        # finish here — mean visited-node count ~1.3 on the bundled data)
+        def f_cond1(s):
+            return jnp.any(s["active"]) & (s["it"] < wsplit)
+
+        f1 = jax.lax.while_loop(
+            f_cond1, _unrolled(make_f_body(rp, lens, nh3)), f_state
+        )
+        # stage 2: compact the still-active tail and finish it at Cw
+        Cw = _compact_cap(B, meta.walk_compact)
+        idxw, validw, w_over = _compact_select(f1["active"], Cw)
+        st2 = {
+            "active": validw,
+            "seeking": jnp.take(f1["seeking"], idxw) & validw,
+            "node": jnp.take(f1["node"], idxw),
+            "koff": jnp.take(f1["koff"], idxw),
+            "kpos": jnp.take(f1["kpos"], idxw),
+            "cov": jnp.take(f1["cov"], idxw),
+            "mm": jnp.take(f1["mm"], idxw),
+            "buf": jnp.take(f1["buf"], idxw, axis=0),
+            "n_nodes": jnp.take(f1["n_nodes"], idxw),
+            "it": f1["it"],
+        }
+        st2 = jax.lax.while_loop(
+            f_cond,
+            _unrolled(
+                make_f_body(
+                    jnp.take(rp, idxw, axis=0),
+                    jnp.take(lens, idxw),
+                    jnp.take(nh3, idxw, axis=0),
+                )
+            ),
+            st2,
+        )
+        tgtw = jnp.where(validw, idxw, B)
+        f_state = dict(
+            f1,
+            cov=f1["cov"].at[tgtw].set(st2["cov"], mode="drop"),
+            mm=f1["mm"].at[tgtw].set(st2["mm"], mode="drop"),
+            buf=f1["buf"].at[tgtw].set(st2["buf"], mode="drop"),
+            n_nodes=f1["n_nodes"].at[tgtw].set(st2["n_nodes"], mode="drop"),
+        )
+        capped = (
+            jnp.zeros((B,), bool).at[tgtw].set(st2["active"], mode="drop")
+            | w_over
+        )
+    else:
+        f_state = jax.lax.while_loop(
+            f_cond, _unrolled(make_f_body(rp, lens, nh3)), f_state
+        )
+        # lanes cut off by the iteration cap need the exact fallback pass
+        capped = f_state["active"] if cap > 0 else jnp.zeros((B,), bool)
     capped = capped | l_capped
 
     buf = f_state["buf"]
@@ -976,6 +1122,9 @@ def device_index_from_image(image, config: AlignerConfig):
             config.max_left_iters if config.distinct_cap > 0 else 0
         ),
         walk_unroll=config.walk_unroll,
+        left_compact=config.left_compact,
+        walk_split=config.walk_split,
+        walk_compact=config.walk_compact,
         ec_out_16=config.distinct_cap > 0 and image.n_ecs < 2**15 - 4,
         cov_out_8=config.distinct_cap > 0 and config.max_read_len <= 255,
     )

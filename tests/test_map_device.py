@@ -228,6 +228,34 @@ def test_left_extension_cap_parity(small_index, small_reads):
     assert n == 512
 
 
+def test_lane_compaction_parity(small_index, small_reads):
+    """Two-tier lane compaction (left loop on a compacted buffer, forward
+    walk split at walk_split with a compacted tail) must produce records
+    identical to the uncapped engine — including when the compact buffers
+    overflow (overflow lanes take the deterministic -3 exact fallback)."""
+    uncapped = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                             max_nodes=64, distinct_cap=8, max_walk_iters=0,
+                             max_left_iters=0)
+    a1 = Pseudoaligner(small_index, uncapped)
+    for lc, ws, wc in [(0.25, 2, 0.5), (0.02, 1, 0.02)]:  # roomy, overflow
+        tiered = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                               max_nodes=64, distinct_cap=8,
+                               max_walk_iters=6, max_left_iters=2,
+                               left_compact=lc, walk_split=ws,
+                               walk_compact=wc)
+        a2 = Pseudoaligner(small_index, tiered)
+        n = 0
+        for batch in _make_batches(small_reads[:512], 256, 64):
+            r1 = a1.records_from_result(
+                a1.map_batch_device(batch.codes, batch.lens), batch)
+            r2 = a2.records_from_result(
+                a2.map_batch_device(batch.codes, batch.lens), batch)
+            for x, y in zip(r1, r2):
+                assert x == y, (lc, ws, wc, x, y)
+                n += 1
+        assert n == 512
+
+
 def test_walk_unroll_parity(small_index, small_reads):
     """walk_unroll executes multiple masked steps per while_loop iteration;
     records must be identical to the unroll=1 engine."""
