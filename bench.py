@@ -122,9 +122,14 @@ def main():
         # self-tune (walk cap, left cap): tunnel conditions and the
         # host-remap overlap shift the optimum run to run
         caps = [(3, 2), (4, 2), (6, 2)]
+    # serving shape: compact EC output at distinct_cap=3 (down-transfer is
+    # on the critical path of the serialized tunnel; >3-class reads take
+    # the overlapped host remap), node buffer sized to the cap budget
+    # (wcap + lcap + 1; deeper lanes are -3-flagged exactly) — PERF.md
     aligners = [
         Pseudoaligner(image, AlignerConfig(
-            k=20, batch_size=B, max_read_len=L, max_nodes=32,
+            k=20, batch_size=B, max_read_len=L,
+            max_nodes=wcap + lcap + 2, distinct_cap=3,
             max_walk_iters=wcap, max_left_iters=lcap,
         ))
         for wcap, lcap in caps

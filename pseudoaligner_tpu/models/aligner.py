@@ -10,6 +10,8 @@ per batch.
 from __future__ import annotations
 
 import logging
+import os
+import time
 from dataclasses import dataclass
 from functools import partial
 
@@ -75,6 +77,17 @@ class Pseudoaligner:
         # python (dedup-sort + CSR intersect) runs only on first sight
         self._sig_cache: dict[bytes, np.ndarray] = {}
         self._single_cache: dict[int, np.ndarray] = {}
+        # opt-in serving-phase timers (PA_TIMERS=1): accumulated wall time
+        # per emit phase, for pipeline bottleneck hunts (PERF.md)
+        self.phase_times: dict[str, float] | None = (
+            {} if os.environ.get("PA_TIMERS") else None
+        )
+
+    def _tick(self, name: str, t0: float) -> None:
+        if self.phase_times is not None:
+            self.phase_times[name] = (
+                self.phase_times.get(name, 0.0) + time.time() - t0
+            )
 
     # ------------------------------------------------------------------
     # device step
@@ -86,17 +99,28 @@ class Pseudoaligner:
         packed = pack_reads_host(np.asarray(codes, dtype=np.uint8))
         result = self._step(self.dev, packed, lens.astype(np.int32))
         if self.meta.distinct_cap > 0:
-            # enqueue the D2H copy of the compact outputs NOW: by the time
-            # emit_prepare fetches them (a pipeline step later) the
-            # transfer has ridden the link behind the next dispatch and
-            # np.asarray returns instantly (measured ~80ms -> ~0.2ms of
-            # blocked host time per batch on the tunneled link; each
-            # synchronous fetch costs a ~28ms roundtrip — PERF.md)
+            # fetch the compact outputs on a BACKGROUND thread now: the
+            # ~1.6MB result rides the ~55MB/s tunnel (~38ms measured
+            # blocking emit_prepare when fetched there; copy_to_host_async
+            # alone did not deliver overlap on this backend), while the
+            # host thread moves on to emit work.  emit_prepare picks up
+            # the future; device_get releases the GIL during the wait.
             try:
                 result.ec_distinct.copy_to_host_async()
                 result.coverage.copy_to_host_async()
             except Exception:
                 pass
+            if not hasattr(self, "_fetch_pool"):
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._fetch_pool = ThreadPoolExecutor(max_workers=1)
+                self._fetch_futs = {}
+            fut = self._fetch_pool.submit(
+                jax.device_get, (result.ec_distinct, result.coverage)
+            )
+            if len(self._fetch_futs) > 4:  # bound (depth-2 pipeline)
+                self._fetch_futs.clear()
+            self._fetch_futs[id(result.ec_distinct)] = fut
         return result
 
     # ------------------------------------------------------------------
@@ -237,15 +261,28 @@ class Pseudoaligner:
         group signatures and materialize their EC lists (cached).  Returns
         an opaque state for emit_finish."""
         n = len(batch.ids)
+        # pick up the background fetch from map_batch_device when present
+        # (the transfer then overlapped the previous batch's host work);
         # one batched fetch = one tunnel roundtrip for both arrays (two
         # np.asarray calls pay two ~28ms roundtrips — PERF.md)
-        dist, cov = jax.device_get((result.ec_distinct, result.coverage))
+        _t = time.time()
+        fut = getattr(self, "_fetch_futs", {}).pop(
+            id(result.ec_distinct), None
+        )
+        if fut is not None:
+            dist, cov = fut.result()
+        else:
+            dist, cov = jax.device_get((result.ec_distinct, result.coverage))
+        self._tick("prep.fetch", _t)
+        _t = time.time()
         cov = cov[:n].astype(np.int32)
         dist = dist[:n]
         # dispatch the overflow re-map first so it overlaps the host work
         flagged = (dist[:, -1] == -2) | (dist[:, -1] == -3)
         overflow_rows = np.nonzero(flagged)[0].tolist()
         remap_fut = self._remap_dispatch(batch, overflow_rows)
+        self._tick("prep.remap_dispatch", _t)
+        _t = time.time()
         # signature grouping: most rows are single-class ([e, -1, ...]) —
         # group those on one int column (fast) and only the multi-class
         # minority by full rows (flagged rows must stay in the full-row
@@ -276,48 +313,72 @@ class Pseudoaligner:
         inv = np.empty(n, dtype=np.int64)
         inv[single] = inv1
         inv[~single] = inv2 + len(u1)
+        self._tick("prep.group", _t)
+        _t = time.time()
 
-        empty_u32 = np.zeros(0, np.uint32)
-        sig_lists: list[np.ndarray] = []
-        for e in u1.tolist():
-            if e < 0:
-                sig_lists.append(empty_u32)
-                continue
-            hit = self._single_cache.get(e)
-            if hit is None:
-                hit = np.asarray(self.image.ec_list(e), dtype=np.uint32)
-                self._single_cache[e] = hit
-            sig_lists.append(hit)
-        for row in u2:
-            if row[-1] == -2 or row[-1] == -3:
-                sig_lists.append(None)  # per-read overflow, patched below
-                continue
-            if row[0] < 0:
-                sig_lists.append(empty_u32)
-                continue
-            key = row.tobytes()
-            hit = self._sig_cache.get(key)
-            if hit is None:
-                ids = tuple(sorted({int(x) for x in row if x >= 0}))
-                eq = (
-                    self.image.ec_list(ids[0])
-                    if len(ids) == 1
-                    else self._ec_from_distinct(ids)
+        # materialize each group's EC list without per-group python work:
+        # single-class groups are vectorized CSR slices; multi-class groups
+        # are canonicalized (sort + dedup) and batch-intersected in C++
+        # (pa_intersect_ecs); overflow-marker groups stay None-equivalent
+        # (none_mask) and get per-read overrides in emit_finish
+        eo = np.asarray(self.image.ec_offsets, dtype=np.int64)
+        et = np.asarray(self.image.ec_txs, dtype=np.uint32)
+        m1, m2 = len(u1), len(u2)
+        none_mask = np.zeros(m1 + m2, dtype=bool)
+        ids1 = u1.astype(np.int64)
+        c1 = np.clip(ids1, 0, None)
+        starts1 = eo[c1]
+        lens1 = np.where(ids1 >= 0, eo[c1 + 1] - starts1, 0)
+        total1 = int(lens1.sum())
+        if total1:
+            cum1 = np.zeros(m1 + 1, np.int64)
+            np.cumsum(lens1, out=cum1[1:])
+            pos = np.arange(total1, dtype=np.int64)
+            pos += np.repeat(starts1 - cum1[:-1], lens1)
+            flat1 = et[pos]
+        else:
+            flat1 = np.zeros(0, np.uint32)
+        if m2:
+            rowsm = u2.astype(np.int64)
+            ovr2 = (rowsm[:, -1] == -2) | (rowsm[:, -1] == -3)
+            none_mask[m1:] = ovr2
+            SENT = np.int64(1) << 40
+            vals = np.where(rowsm >= 0, rowsm, SENT)
+            vals = np.sort(vals, axis=1)
+            dup = np.zeros(vals.shape, bool)
+            dup[:, 1:] = vals[:, 1:] == vals[:, :-1]
+            vals = np.sort(np.where(dup, SENT, vals), axis=1)
+            vals[ovr2] = SENT  # overflow groups contribute nothing here
+            try:
+                from ..ops.native import intersect_ecs
+
+                flat2, offs2 = intersect_ecs(vals, eo, et, int(SENT))
+                lens2 = np.diff(offs2)
+            except Exception:
+                parts = []
+                lens2 = np.zeros(m2, np.int64)
+                for j, row in enumerate(vals):
+                    ids = tuple(int(x) for x in row[row < SENT])
+                    if not ids:
+                        continue
+                    eq = (
+                        self.image.ec_list(ids[0])
+                        if len(ids) == 1
+                        else self._ec_from_distinct(ids)
+                    )
+                    parts.append(np.asarray(eq, dtype=np.uint32))
+                    lens2[j] = len(parts[-1])
+                flat2 = (
+                    np.concatenate(parts) if parts else np.zeros(0, np.uint32)
                 )
-                hit = np.asarray(eq, dtype=np.uint32)
-                self._sig_cache[key] = hit
-            sig_lists.append(hit)
+        else:
+            flat2 = np.zeros(0, np.uint32)
+            lens2 = np.zeros(0, np.int64)
 
-        sig_lens = np.array(
-            [len(x) if x is not None else 0 for x in sig_lists], dtype=np.int64
-        )
-        sig_start = np.zeros(len(sig_lists) + 1, dtype=np.int64)
-        np.cumsum(sig_lens, out=sig_start[1:])
-        sig_flat = (
-            np.concatenate([x if x is not None else np.zeros(0, np.uint32)
-                            for x in sig_lists])
-            if sig_lists else np.zeros(0, np.uint32)
-        )
+        sig_start = np.zeros(m1 + m2 + 1, dtype=np.int64)
+        np.cumsum(np.concatenate([lens1, lens2]), out=sig_start[1:])
+        sig_flat = np.concatenate([flat1, flat2])
+        self._tick("prep.siglists", _t)
 
         return {
             "batch": batch,
@@ -325,7 +386,7 @@ class Pseudoaligner:
             "n": n,
             "cov": cov,
             "inv": inv,
-            "sig_lists": sig_lists,
+            "none_mask": none_mask,
             "sig_start": sig_start,
             "sig_flat": sig_flat,
             "overflow_rows": overflow_rows,
@@ -343,19 +404,21 @@ class Pseudoaligner:
         n = state["n"]
         cov = state["cov"]
         inv = state["inv"]
-        sig_lists = state["sig_lists"]
+        none_mask = state["none_mask"]
         sig_start = state["sig_start"]
         sig_flat = state["sig_flat"]
         overflow_rows = state["overflow_rows"]
 
+        _t = time.time()
         overflow_res = self._remap_collect(state["remap_fut"])
+        self._tick("fin.remap_collect", _t)
+        _t = time.time()
         overflow_eq = {i: r[0] for i, r in overflow_res.items()}
         for i in overflow_rows:
             cov[i] = overflow_res[i][1]  # capped lanes: exact coverage
 
-        # overflow rows (exactly the None-signature rows) take their EC
+        # overflow rows (exactly the none_mask groups) take their EC
         # lists from the override arrays; everything else is sig-indirect
-        none_mask = np.array([x is None for x in sig_lists], dtype=bool)
         sig_of_read = np.where(none_mask[inv], np.int64(-1), inv)
         ovr_rows = np.asarray(overflow_rows, dtype=np.int64)
         ovr_start = np.zeros(len(ovr_rows) + 1, dtype=np.int64)
@@ -378,11 +441,13 @@ class Pseudoaligner:
 
         if tcc is not None:
             tcc.n_reads += n
-            sig_counts = np.bincount(inv, minlength=len(sig_lists))
+            sig_counts = np.bincount(inv, minlength=len(none_mask))
             for si in sig_counts.nonzero()[0]:
                 cnt = int(sig_counts[si])
-                lst = sig_lists[si]
-                if lst is None or len(lst) == 0:
+                if none_mask[si]:
+                    continue
+                lst = sig_flat[sig_start[si] : sig_start[si + 1]]
+                if len(lst) == 0:
                     continue
                 key = tuple(int(x) for x in lst)
                 j = tcc.classes.get(key)
@@ -397,10 +462,14 @@ class Pseudoaligner:
                     tcc.add(overflow_eq[i].tolist())
                     tcc.n_reads -= 1  # add() already counted the read
 
-        return _native.emit_records_sig(
+        self._tick("fin.patch", _t)
+        _t = time.time()
+        data = _native.emit_records_sig(
             cov, self.config.read_coverage_threshold, ids_concat, id_offs,
             sig_of_read, sig_start, sig_flat, ovr_rows, ovr_start, ovr_ids,
         )
+        self._tick("fin.emit", _t)
+        return data
 
     def emit_fastq(self, path: str, out, skip_reads: int = 0, tcc=None,
                    progress_cb=None):
@@ -540,8 +609,13 @@ class Pseudoaligner:
 
             from ..ops.map_kernel import map_batch_packed
 
+            # the fallback is UNCAPPED and must be exact: decouple its
+            # node-buffer size from the serving meta (the serving kernel
+            # may run with max_nodes as small as walk caps + margin)
             meta_full = dataclasses.replace(
-                self.meta, distinct_cap=0, tx_words=0, max_walk_iters=0, max_left_iters=0
+                self.meta, distinct_cap=0, tx_words=0, max_walk_iters=0,
+                max_left_iters=0,
+                max_nodes=max(self.meta.max_nodes, 2 * self.meta.read_len),
             )
             self._remap_step = jax.jit(partial(map_batch_packed, meta_full))
         L = self.meta.read_len
@@ -557,6 +631,72 @@ class Pseudoaligner:
             futures.append((chunk, self._remap_step(self.dev, packed, lens)))
         return futures
 
+    def _eq_rows_from_nodes(self, nodes: np.ndarray, nn: np.ndarray):
+        """Vectorized [n, cap] visited-node rows -> list of EC arrays.
+
+        Canonicalize each row's distinct EC-id set with two row sorts,
+        group identical rows with one lexsort, and materialize each
+        distinct signature once (memoized CSR intersection).  Replaces a
+        per-read python loop measured ~29ms per 3k remapped reads."""
+        n = len(nn)
+        if n == 0:
+            return []
+        _t0 = time.time()
+        SENT = np.int64(1) << 40
+        ec = self.image.node_ec
+        cap = max(1, int(nn.max()))
+        nodes = nodes[:, :cap]
+        mask = np.arange(cap)[None, :] < nn[:, None]
+        vals = np.where(
+            mask & (nodes >= 0),
+            ec[np.clip(nodes, 0, None)].astype(np.int64),
+            SENT,
+        )
+        vals = np.sort(vals, axis=1)
+        dup = np.zeros(vals.shape, bool)
+        dup[:, 1:] = vals[:, 1:] == vals[:, :-1]
+        vals = np.sort(np.where(dup, SENT, vals), axis=1)
+        # trim to the widest distinct-id count before the lexsort (rows
+        # are SENT-padded after the dedup sort; deep-walk reads can carry
+        # ~100 visited nodes but only a handful of distinct classes)
+        width = max(1, int((vals < SENT).sum(axis=1).max()))
+        vals = vals[:, :width]
+        order = np.lexsort(vals.T[::-1])
+        sv = vals[order]
+        head = np.ones(n, bool)
+        if n > 1:
+            head[1:] = np.any(sv[1:] != sv[:-1], axis=1)
+        gid = np.empty(n, np.int64)
+        gid[order] = np.cumsum(head) - 1
+        self._tick("eqrows.canon", _t0)
+        _t0 = time.time()
+        uniq = sv[head]
+        try:
+            from ..ops.native import intersect_ecs
+
+            flat, offs = intersect_ecs(
+                uniq, self.image.ec_offsets, self.image.ec_txs, int(SENT)
+            )
+            mats = [
+                flat[offs[i] : offs[i + 1]] for i in range(len(uniq))
+            ]
+        except Exception:
+            mats = []
+            for row in uniq:
+                ids = tuple(int(x) for x in row[row < SENT])
+                if not ids:
+                    mats.append(np.zeros(0, np.uint32))
+                elif len(ids) == 1:
+                    mats.append(
+                        np.asarray(self.image.ec_list(ids[0]), np.uint32)
+                    )
+                else:
+                    mats.append(
+                        np.asarray(self._ec_from_distinct(ids), np.uint32)
+                    )
+        self._tick("eqrows.mats", _t0)
+        return [mats[g] for g in gid]
+
     def _remap_collect(self, futures) -> dict:
         """Harvest _remap_dispatch results -> {row: (eq array, coverage)}."""
         out: dict[int, tuple] = {}
@@ -565,18 +705,18 @@ class Pseudoaligner:
         if isinstance(futures, tuple) and futures[0] == "host":
             _, rows, fut = futures
             cov, _mm, nodes, nn = fut.result()
+            eqs = self._eq_rows_from_nodes(np.asarray(nodes), np.asarray(nn))
             for j, i in enumerate(rows):
-                eq = self._ec_from_nodes(nodes[j, : nn[j]]) if nn[j] else []
-                out[i] = (np.asarray(eq, dtype=np.uint32), int(cov[j]))
+                out[i] = (eqs[j], int(cov[j]))
             return out
         for chunk, fut in futures:
             res = jax.device_get(fut)
             nodes = np.asarray(res.nodes)
             nn = np.asarray(res.n_nodes)
             cov = np.asarray(res.coverage)
+            eqs = self._eq_rows_from_nodes(nodes[: len(chunk)], nn[: len(chunk)])
             for j, i in enumerate(chunk):
-                eq = self._ec_from_nodes(nodes[j, : nn[j]]) if nn[j] else []
-                out[i] = (np.asarray(eq, dtype=np.uint32), int(cov[j]))
+                out[i] = (eqs[j], int(cov[j]))
         return out
 
     def _remap_rows(self, batch: ReadBatch, rows: list[int]) -> dict:

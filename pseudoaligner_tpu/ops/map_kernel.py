@@ -917,6 +917,10 @@ def _walk(meta, idx, packed, reads, lens, nh3,
     nodes_buf = buf[:, :, 0]
     ec_buf = buf[:, :, 1]
     n_nodes = f_state["n_nodes"]
+    # lanes that pushed past the node buffer lost visits: send them to the
+    # exact fallback too (lets serving shrink max_nodes to the cap budget
+    # wcap + lcap + 1 without any silent-truncation hazard)
+    capped = capped | (n_nodes > meta.max_nodes)
     mapped = n_nodes > 0
 
     # ---- compact serving output: EC ids per read ----

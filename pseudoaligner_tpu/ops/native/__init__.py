@@ -32,6 +32,7 @@ def _ensure_built() -> str:
 
 _U32P = ctypes.POINTER(ctypes.c_uint32)
 _I32P = ctypes.POINTER(ctypes.c_int32)
+_I64P = ctypes.POINTER(ctypes.c_int64)
 _U8P = ctypes.POINTER(ctypes.c_uint8)
 
 
@@ -51,6 +52,12 @@ def _load():
                 ctypes.c_int32, ctypes.c_double, ctypes.c_int32, # mm, frac, cap
                 ctypes.c_int32,                                  # threads
                 _I32P, _I32P, _I32P, _I32P,                      # outputs
+            ]
+            lib.pa_intersect_ecs.restype = None
+            lib.pa_intersect_ecs.argtypes = [
+                _I64P, ctypes.c_int64, ctypes.c_int32,           # rows
+                _I64P, _U32P, ctypes.c_int64,                    # EC CSR, sent
+                _U32P, _I64P,                                    # outputs
             ]
             _lib = lib
     return _lib
@@ -142,3 +149,32 @@ class HostMapper:
             nn.ctypes.data_as(_I32P),
         )
         return cov, mm, nodes, nn
+
+
+def intersect_ecs(rows: np.ndarray, ec_offsets: np.ndarray,
+                  ec_txs: np.ndarray, sent: int):
+    """Batch EC-list intersection (C++): rows [m, w] int64 of ascending
+    distinct EC ids (>= sent padded) -> (flat uint32, offsets int64[m+1])
+    intersected transcript lists per row.  Replaces the per-signature
+    python intersect loop on the overflow re-map path (PERF.md)."""
+    lib = _load()
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    m, w = rows.shape
+    ec_offsets = np.ascontiguousarray(ec_offsets, dtype=np.int64)
+    ec_txs = np.ascontiguousarray(ec_txs, dtype=np.uint32)
+    # capacity: each row's result is no longer than its shortest member
+    lens_of = np.diff(ec_offsets)
+    big = np.int64(1) << 60
+    ml = np.where(
+        rows < sent, lens_of[np.clip(rows, 0, len(lens_of) - 1)], big
+    )
+    per = ml.min(axis=1)
+    per[per >= big] = 0
+    out = np.empty(int(per.sum()), np.uint32)
+    offs = np.empty(m + 1, np.int64)
+    lib.pa_intersect_ecs(
+        rows.ctypes.data_as(_I64P), m, w,
+        ec_offsets.ctypes.data_as(_I64P), ec_txs.ctypes.data_as(_U32P),
+        sent, out.ctypes.data_as(_U32P), offs.ctypes.data_as(_I64P),
+    )
+    return out, offs

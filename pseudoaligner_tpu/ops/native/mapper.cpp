@@ -263,4 +263,51 @@ void pa_map_reads(
   for (auto& th : ths) th.join();
 }
 
+// Batch EC-list intersection (the host materialization of re-mapped
+// reads' transcript sets — src/pseudoaligner.rs:323-356 semantics).
+// rows: m x width int64 distinct EC ids, ascending, >= sent padded.
+// ec_offsets/ec_txs: the index's EC CSR (per-class lists sorted).
+// out_flat must have room for sum over rows of the SHORTEST member
+// list (the caller sizes it; intersections only shrink).
+void pa_intersect_ecs(
+    const int64_t* rows, int64_t m, int32_t width,
+    const int64_t* ec_offsets, const uint32_t* ec_txs, int64_t sent,
+    uint32_t* out_flat, int64_t* out_offsets) {
+  int64_t pos = 0;
+  out_offsets[0] = 0;
+  std::vector<uint32_t> cur, nxt;
+  for (int64_t i = 0; i < m; i++) {
+    const int64_t* r = rows + i * width;
+    int nids = 0;
+    while (nids < width && r[nids] < sent) nids++;
+    if (nids == 0) {
+      out_offsets[i + 1] = pos;
+      continue;
+    }
+    int best = 0;
+    int64_t bl = INT64_MAX;
+    for (int j = 0; j < nids; j++) {
+      int64_t l = ec_offsets[r[j] + 1] - ec_offsets[r[j]];
+      if (l < bl) { bl = l; best = j; }
+    }
+    cur.assign(ec_txs + ec_offsets[r[best]],
+               ec_txs + ec_offsets[r[best] + 1]);
+    for (int j = 0; j < nids && !cur.empty(); j++) {
+      if (j == best) continue;
+      const uint32_t* p = ec_txs + ec_offsets[r[j]];
+      const uint32_t* pe = ec_txs + ec_offsets[r[j] + 1];
+      nxt.clear();
+      size_t x = 0;
+      while (x < cur.size() && p < pe) {
+        if (cur[x] < *p) x++;
+        else if (*p < cur[x]) p++;
+        else { nxt.push_back(cur[x]); x++; p++; }
+      }
+      cur.swap(nxt);
+    }
+    for (uint32_t v : cur) out_flat[pos++] = v;
+    out_offsets[i + 1] = pos;
+  }
+}
+
 }  // extern "C"

@@ -333,7 +333,9 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
     def consume(state, seq1s):
         overflow = aligner._remap_collect(state["remap_fut"])
         inv = state["inv"]
-        sig_lists = state["sig_lists"]
+        none_mask = state["none_mask"]
+        sig_start = state["sig_start"]
+        sig_flat = state["sig_flat"]
         ov_rows = set(state["overflow_rows"])
         # class ids interned lazily at first READ appearance (exact
         # ordering parity with the record path's counts.classes)
@@ -350,8 +352,11 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
             s = int(inv[i])
             cid = sig_cid.get(s)
             if cid is None:
-                lst = sig_lists[s]
-                tup = tuple(int(x) for x in lst) if lst is not None else ()
+                if none_mask[s]:
+                    tup = ()
+                else:
+                    lst = sig_flat[sig_start[s] : sig_start[s + 1]]
+                    tup = tuple(int(x) for x in lst)
                 cid = counts._class_id(tup) if tup else -1
                 sig_cid[s] = cid
             counts.n_reads += 1
