@@ -103,6 +103,11 @@ class AlignerConfig:
     # ~2-3ms fixed op-dispatch cost per iteration amortizes across the
     # group; lanes done mid-group are masked).
     walk_unroll: int = 1
+    # Straight-line capped walk loops (no lax.while_loop).  Measured a
+    # WASH at serving caps on this backend (PERF.md) — the ~1.2ms/iter
+    # empty-loop fixed cost does not materialize in the real loop — so
+    # the default stays the while_loop.  Masked semantics identical.
+    walk_straightline: bool = False
     # Two-tier lane compaction (PERF.md): run the left-extension loop on a
     # compacted buffer of ceil(left_compact * B) lanes (only the late-hit
     # minority enters it), and the forward-walk tail beyond walk_split

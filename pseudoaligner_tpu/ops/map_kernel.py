@@ -126,6 +126,14 @@ class MapMeta:
     left_compact: float = 0.0
     walk_split: int = 0
     walk_compact: float = 0.25
+    # Straight-line capped loops: when an iteration cap is set, apply the
+    # (masked) body exactly cap times as unrolled straight-line code
+    # instead of a lax.while_loop.  Measured a WASH vs while_loop at
+    # serving caps on this backend (PERF.md), so default off; kept as a
+    # knob for other backends.  Finished lanes are masked no-ops, so
+    # semantics are identical.  Ignored for uncapped or collective
+    # (global_mode) walks.
+    walk_straightline: bool = False
     # Compact-output transfer compression (the tunneled link is ~55MB/s —
     # PERF.md): EC ids ride as int16 when the class count fits, coverage
     # as uint8 when the batch width fits.  Set by device_index_from_image.
@@ -678,6 +686,16 @@ def _walk(meta, idx, packed, reads, lens, nh3,
 
         return grouped
 
+    def _run(cond, body, state, niters):
+        """Run a capped walk loop: straight-line (masked) when allowed —
+        each while_loop iteration pays ~1.2ms fixed cond/sync cost on
+        this backend (PERF.md) and serving caps rarely exit early."""
+        if meta.walk_straightline and niters > 0 and not global_mode:
+            for _ in range(-(-niters // unroll)):
+                state = body(state)
+            return state
+        return jax.lax.while_loop(cond, body, state)
+
     if use_ltier:
         # run the left loop on a compacted buffer of just the gated lanes
         Cl = _compact_cap(B, meta.left_compact)
@@ -694,7 +712,7 @@ def _walk(meta, idx, packed, reads, lens, nh3,
             "it": jnp.int32(0),
         }
         rp_l = jnp.take(rp, idxl, axis=0)
-        st = jax.lax.while_loop(l_cond, _unrolled(make_l_body(rp_l)), st)
+        st = _run(l_cond, _unrolled(make_l_body(rp_l)), st, lcap)
         tgt = jnp.where(validl, idxl, B)  # dropped for invalid slots
         l_state = {
             "cov": cov.at[tgt].set(st["cov"], mode="drop"),
@@ -720,9 +738,7 @@ def _walk(meta, idx, packed, reads, lens, nh3,
         }
         if global_mode:
             l_state["galive"] = cond_all(jnp.any(l_state["active"]))
-        l_state = jax.lax.while_loop(
-            l_cond, _unrolled(make_l_body(rp)), l_state
-        )
+        l_state = _run(l_cond, _unrolled(make_l_body(rp)), l_state, lcap)
         # lanes whose left chain was cut by the cap join the fallback set
         l_capped = (
             l_state["active"] if lcap > 0 else jnp.zeros((B,), bool)
@@ -906,8 +922,8 @@ def _walk(meta, idx, packed, reads, lens, nh3,
             | w_over
         )
     else:
-        f_state = jax.lax.while_loop(
-            f_cond, _unrolled(make_f_body(rp, lens, nh3)), f_state
+        f_state = _run(
+            f_cond, _unrolled(make_f_body(rp, lens, nh3)), f_state, cap
         )
         # lanes cut off by the iteration cap need the exact fallback pass
         capped = f_state["active"] if cap > 0 else jnp.zeros((B,), bool)
@@ -1126,6 +1142,7 @@ def device_index_from_image(image, config: AlignerConfig):
             config.max_left_iters if config.distinct_cap > 0 else 0
         ),
         walk_unroll=config.walk_unroll,
+        walk_straightline=config.walk_straightline,
         left_compact=config.left_compact,
         walk_split=config.walk_split,
         walk_compact=config.walk_compact,
