@@ -70,10 +70,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tcc", action="store_true",
                     help="also write kallisto-style output.ec/output.tsv "
                          "TCC files to the output directory")
-    sp.add_argument("--seed-index", choices=["cuckoo", "mphf"],
+    sp.add_argument("--seed-index", choices=["cuckoo", "bucket1", "mphf"],
                     default="cuckoo",
-                    help="device seed structure: cuckoo (speed) or mphf "
-                         "(memory-lean BBHash)")
+                    help="device seed structure: cuckoo (2-gather probe, "
+                         "the speed mode), bucket1 (experimental 1-gather "
+                         "wide buckets) or mphf (memory-lean BBHash)")
     sp.add_argument("--skip-reads", type=int, default=0,
                     help="resume: skip the first N reads (append records "
                          "for the remainder)")

@@ -76,9 +76,13 @@ class AlignerConfig:
     # most this many transcripts; otherwise fall back to host CSR merge.
     bitset_tx_threshold: int = 16384
     # Seed k-mer index structure: "cuckoo" (4-slot bucketized two-choice
-    # table; a probe is 2 row gathers — the TPU speed mode) or "mphf"
-    # (BBHash bitvectors; ~8x more gathers per probe but ~2x less probe
-    # memory, mirroring the reference's NoKeyBoomHashMap tradeoff).
+    # table; a probe is 2 row gathers — the TPU speed mode), "bucket1"
+    # (single-hash 16-slot buckets, ONE row gather per probe — a
+    # measured NEGATIVE on this backend: consuming the whole 256B row
+    # prices the gather per element, ~11x slower; kept experimental —
+    # PERF.md) or "mphf" (BBHash bitvectors; ~8x more gathers per probe
+    # but ~2x less probe memory, the reference's NoKeyBoomHashMap
+    # tradeoff).
     seed_index: str = "cuckoo"
     # Lazy stride-3 seeding: eager probes only at residue-0 positions
     # (3x fewer seed gathers); re-seeds at other residues probe inside

@@ -168,3 +168,75 @@ def cuckoo_lookup_np(ci: CuckooIndex, queries: np.ndarray):
             node[hit] = rows[hit, s, W]
             off[hit] = rows[hit, s, W + 1]
     return node, off
+
+
+# ---------------------------------------------------------------------------
+# single-probe bucket table ("bucket1" seed mode)
+# ---------------------------------------------------------------------------
+
+B1_SLOTS = 16
+B1_SEED = 0x9E37_79B9
+
+
+def build_bucket1(
+    keys: np.ndarray, nodes: np.ndarray, offsets: np.ndarray,
+    mean_load: float = 4.0,
+):
+    """Single-hash bucket table: ONE row gather answers a probe.
+
+    MEASURED NEGATIVE on this TPU backend (PERF.md): consuming all 64
+    words of the 256B row makes the gather cost per-ELEMENT (~11x slower
+    than cuckoo end to end at both bundled and 52M-kmer scale) — row
+    width is only "free" when XLA can slice the gather down to a few
+    columns.  Kept as a tested experimental mode (seed_index="bucket1");
+    its sort-based build is notably fast (7.4s vs 48.6s cuckoo init at
+    52M keys).  Zero overflow by construction: buckets never exceed
+    B1_SLOTS — on overflow the build re-salts the hash (4 tries) then
+    doubles the table.  Deterministic.
+
+    Returns (rows [nb, B1_SLOTS*(W+2)] uint32, mask, seed).
+    """
+    n, W = keys.shape
+    nb = 1 << max(1, int(max(1, np.ceil(n / mean_load)) - 1).bit_length())
+    while True:
+        for salt in range(4):
+            seed = np.uint32((B1_SEED + 0x85EB_CA6B * salt) & 0xFFFFFFFF)
+            h = (hash_kmer_np(keys, seed) & np.uint32(nb - 1)).astype(np.int64)
+            order = np.argsort(h, kind="stable")
+            hs = h[order]
+            first = np.ones(n, dtype=bool)
+            first[1:] = hs[1:] != hs[:-1]
+            starts = np.nonzero(first)[0]
+            lens = np.diff(np.append(starts, n))
+            if len(lens) and lens.max() > B1_SLOTS:
+                continue
+            rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+            rows = np.zeros((nb, B1_SLOTS, W + 2), dtype=np.uint32)
+            rows[:, :, W] = EMPTY
+            ki = order
+            rows[hs, rank, :W] = keys[ki]
+            rows[hs, rank, W] = nodes[ki].astype(np.uint32)
+            rows[hs, rank, W + 1] = offsets[ki].astype(np.uint32)
+            return (
+                rows.reshape(nb, B1_SLOTS * (W + 2)),
+                nb - 1,
+                int(seed),
+            )
+        nb *= 2
+
+
+def bucket1_lookup_np(rows, mask, seed, queries: np.ndarray):
+    """NumPy mirror of the device single-probe (tests)."""
+    n, W = queries.shape
+    node = np.full(n, -1, dtype=np.int64)
+    off = np.full(n, -1, dtype=np.int64)
+    h = (hash_kmer_np(queries, np.uint32(seed)) & np.uint32(mask)).astype(
+        np.int64
+    )
+    r = rows[h].reshape(n, B1_SLOTS, W + 2)
+    for s in range(B1_SLOTS):
+        keym = np.all(r[:, s, :W] == queries, axis=1)
+        hit = keym & (r[:, s, W] != EMPTY) & (node < 0)
+        node[hit] = r[hit, s, W]
+        off[hit] = r[hit, s, W + 1]
+    return node, off

@@ -5,9 +5,12 @@ TPU-native re-design of `map_read_to_nodes_with_mismatch` + EC intersection
 thread with scalar loops; here a whole [B, L] batch advances in lockstep.
 
 The design is driven by a measured TPU cost model (tools/tpu_worker.py
-experiments on v5e): a gather op costs ~0.3ms fixed + ~8ns per gathered
-index, independent of row width — so the engine minimizes *gather-op and
-gathered-index counts*, and does everything else as dense VPU work:
+experiments on v5e; PERF.md): a gather op costs ~0.3ms fixed + ~2-20ns
+per gathered index (cache-resident vs >128MB tables), with row width
+effectively free ONLY while downstream use lets XLA slice the gather to
+a few columns (consuming all words of a wide row prices it per element)
+— so the engine minimizes *gather-op and gathered-index counts*, keeps
+probe rows narrow, and does everything else as dense VPU work:
 
 - seed lookup: every read position's k-mer is probed up front.  The default
   seed index is a 4-slot bucketized cuckoo table storing (key, node,
@@ -79,8 +82,9 @@ class MapMeta:
     max_nodes: int
     mphf: MphfMeta
     tx_words: int  # ceil(n_tx/32); 0 disables the bitset EC path
-    seed_index: str = "cuckoo"  # "cuckoo" | "mphf"
+    seed_index: str = "cuckoo"  # "cuckoo" | "bucket1" | "mphf"
     cuckoo_mask: int = 0
+    bucket_seed: int = 0  # bucket1 mode: the (re-salted) probe hash seed
     pool_pad: int = 256  # zero bases padded at pool front (and >= back)
     # Compact serving outputs: per-read distinct EC ids [B, distinct_cap]
     # instead of node lists + EC bitsets — host->device transfer drops from
@@ -385,6 +389,44 @@ def cuckoo_lookup(meta: MapMeta, idx: DeviceIndex, words: jnp.ndarray):
     return node, off
 
 
+def bucket1_lookup(meta: MapMeta, idx: DeviceIndex, words: jnp.ndarray):
+    """[..., W] kmer words -> (node, offset) int32, -1 on miss.
+
+    ONE row gather (single-hash 16-slot bucket; index/cuckoo.py
+    build_bucket1) + register key compares.  MEASURED NEGATIVE vs the
+    cuckoo probe on this backend (PERF.md): reading all 64 row words
+    makes the gather per-element-priced (~11x slower end to end), so
+    this stays an experimental mode."""
+    from ..index.cuckoo import B1_SLOTS
+
+    W = words.shape[-1]
+    mask = jnp.uint32(meta.cuckoo_mask)
+    node = jnp.full(words.shape[:-1], -1, dtype=jnp.int32)
+    off = jnp.full(words.shape[:-1], -1, dtype=jnp.int32)
+    h = (hash_kmer_jnp(words, jnp.uint32(meta.bucket_seed)) & mask).astype(
+        jnp.int32
+    )
+    rows = jnp.take(idx.cuckoo, h, axis=0)  # [..., B1_SLOTS*(W+2)]
+    for s in range(B1_SLOTS):
+        base = s * (W + 2)
+        keym = jnp.ones(words.shape[:-1], dtype=bool)
+        for w in range(W):
+            keym &= rows[..., base + w] == words[..., w]
+        n = rows[..., base + W]
+        keym &= n != jnp.uint32(CK_EMPTY)
+        hit = keym & (node < 0)
+        node = jnp.where(hit, n.astype(jnp.int32), node)
+        off = jnp.where(hit, rows[..., base + W + 1].astype(jnp.int32), off)
+    return node, off
+
+
+def seed_probe(meta: MapMeta, idx: DeviceIndex, words: jnp.ndarray):
+    """Dispatch to the configured probe structure (cuckoo | bucket1)."""
+    if meta.seed_index == "bucket1":
+        return bucket1_lookup(meta, idx, words)
+    return cuckoo_lookup(meta, idx, words)
+
+
 def _seed_tables(meta: MapMeta, idx: DeviceIndex, reads, lens):
     """All-position verified seed lookup -> fused stride-3 next-hit table.
 
@@ -394,15 +436,16 @@ def _seed_tables(meta: MapMeta, idx: DeviceIndex, reads, lens):
     walk loop when a re-seed lands there."""
     P = meta.n_positions
     kmers = all_kmers(reads, meta.k)  # [B, P, W]
-    if meta.seed_index == "cuckoo" and meta.lazy_seeds:
+    probed = meta.seed_index in ("cuckoo", "bucket1")
+    if probed and meta.lazy_seeds:
         B = reads.shape[0]
-        node3, off3 = cuckoo_lookup(meta, idx, kmers[:, ::3])
+        node3, off3 = seed_probe(meta, idx, kmers[:, ::3])
         node = jnp.full((B, P), -1, jnp.int32)
         off = jnp.full((B, P), -1, jnp.int32)
         node = node.at[:, ::3].set(node3)
         off = off.at[:, ::3].set(off3)
-    elif meta.seed_index == "cuckoo":
-        node, off = cuckoo_lookup(meta, idx, kmers)
+    elif probed:
+        node, off = seed_probe(meta, idx, kmers)
     else:
         node, off = verified_lookup(
             kmers,
@@ -753,7 +796,7 @@ def _walk(meta, idx, packed, reads, lens, nh3,
             return alive & (s["it"] < cap)
         return alive
 
-    lazy = meta.lazy_seeds and meta.seed_index == "cuckoo"
+    lazy = meta.lazy_seeds and meta.seed_index in ("cuckoo", "bucket1")
 
     def make_f_body(rp_, lens_, nh3_):
         rows_ = jnp.arange(rp_.shape[0])
@@ -823,7 +866,7 @@ def _walk(meta, idx, packed, reads, lens, nh3,
                 # seek lanes: one exact probe at their current position
                 skp = s["kpos"]
                 kmw = _kmer_at(meta, rp_, jnp.clip(skp, 0, L - k))
-                pn, po = cuckoo_lookup(meta, idx, kmw)
+                pn, po = seed_probe(meta, idx, kmw)
                 hit = seeking & (pn >= 0)
                 miss = seeking & (pn < 0)
                 skp_next = skp + 3
@@ -1094,12 +1137,19 @@ def device_index_from_image(image, config: AlignerConfig):
     node_row[:, 4:8] = image.l_edge
     node_row[:, 8:12] = image.r_edge
 
+    bucket_seed = 0
     if config.seed_index == "cuckoo":
         ck = build_cuckoo_fast(
             image.kmer_keys, image.kmer_node, image.kmer_offset
         )
         cuckoo_rows = ck.buckets
         cuckoo_mask = ck.mask
+    elif config.seed_index == "bucket1":
+        from ..index.cuckoo import build_bucket1
+
+        cuckoo_rows, cuckoo_mask, bucket_seed = build_bucket1(
+            image.kmer_keys, image.kmer_node, image.kmer_offset
+        )
     else:
         cuckoo_rows = np.zeros((1, CK_SLOTS * (image.kmer_keys.shape[1] + 2)),
                                np.uint32)
@@ -1131,9 +1181,13 @@ def device_index_from_image(image, config: AlignerConfig):
         tx_words=tx_words,
         seed_index=config.seed_index,
         cuckoo_mask=cuckoo_mask,
+        bucket_seed=bucket_seed,
         pool_pad=pool_pad,
         distinct_cap=config.distinct_cap,
-        lazy_seeds=config.lazy_seeds and config.seed_index == "cuckoo",
+        lazy_seeds=(
+            config.lazy_seeds
+            and config.seed_index in ("cuckoo", "bucket1")
+        ),
         # the cap needs the compact -3 marker channel for exact fallback
         max_walk_iters=(
             config.max_walk_iters if config.distinct_cap > 0 else 0
