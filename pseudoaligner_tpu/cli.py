@@ -186,8 +186,16 @@ def cmd_map(args, outdir: str) -> int:
         if have_native and not args.reads_fastq.endswith(".gz"):
             def progress(n):
                 if args.progress_file:
-                    with open(args.progress_file, "w") as pf:
+                    # crash-safe resume contract: every record counted by
+                    # the progress file is durably flushed BEFORE the
+                    # count advances (flush first, then atomic replace —
+                    # a SIGKILL can lose the tail but never desync the
+                    # progress count from the emitted stream)
+                    sys.stdout.buffer.flush()
+                    tmp = args.progress_file + ".tmp"
+                    with open(tmp, "w") as pf:
                         pf.write(str(args.skip_reads + n))
+                    os.replace(tmp, args.progress_file)
 
             n_reads, n_flagged = aligner.emit_fastq(
                 args.reads_fastq, sys.stdout.buffer,

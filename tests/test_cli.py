@@ -127,6 +127,67 @@ def test_map_resume_skip_reads(cli_index, tmp_path):
     assert int((tmp_path / "prog").read_text()) >= 120
 
 
+def test_map_crash_resume(cli_index, tmp_path):
+    """Failure containment: SIGKILL a map run mid-stream, then resume from
+    the progress file — the combined record stream must equal the
+    uninterrupted run (the progress count only advances after the
+    records it covers are flushed, so a crash never desyncs them)."""
+    import signal
+    import subprocess
+    import time
+
+    fq = tmp_path / "reads.fq"
+    with open("/root/reference/test/small.fq") as f:
+        head = [next(f) for _ in range(2400)]  # 600 reads
+    fq.write_text("".join(head))
+    full = run_cli(["map", "-i", cli_index, str(fq), "--batch-size", "64",
+                    "--max-read-len", "64"])
+    flines = full.stdout.strip().splitlines()
+    assert len(flines) == 600
+
+    prog = tmp_path / "prog"
+    part_out = tmp_path / "part.out"
+    import os as _os
+    import sys as _sys
+
+    env = dict(_os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = REPO
+    env["PSEUDOALIGNER_LOG"] = "WARNING"
+    with open(part_out, "wb") as po:
+        p = subprocess.Popen(
+            [_sys.executable, "-m", "pseudoaligner_tpu", "map", "-i",
+             cli_index, str(fq), "--batch-size", "64", "--max-read-len",
+             "64", "--progress-file", str(prog)],
+            stdout=po, stderr=subprocess.DEVNULL, env=env,
+        )
+        # wait for some progress, then SIGKILL the exact pid mid-run
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if prog.exists() and prog.read_text().strip():
+                if 0 < int(prog.read_text()) < 600:
+                    break
+            if p.poll() is not None:
+                break
+            time.sleep(0.05)
+        if p.poll() is None:
+            p.kill()
+            p.wait()
+    assert prog.exists() and prog.read_text().strip()
+    n_done = int(prog.read_text())
+    assert 0 < n_done <= 600
+    # every record the progress file counts is durably in the stream
+    plines = part_out.read_bytes().decode().splitlines()
+    assert len(plines) >= n_done
+    assert plines[:n_done] == flines[:n_done]
+    # resume from the crash point completes the stream exactly
+    if n_done < 600:
+        res = run_cli(["map", "-i", cli_index, str(fq), "--batch-size",
+                       "64", "--max-read-len", "64", "--skip-reads",
+                       str(n_done)])
+        assert plines[:n_done] + res.stdout.strip().splitlines() == flines
+
+
 def test_map_mphf_seed_index(cli_index, tmp_path):
     fq = tmp_path / "r.fq"
     with open("/root/reference/test/small.fq") as f:
