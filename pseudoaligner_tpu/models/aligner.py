@@ -72,11 +72,6 @@ class Pseudoaligner:
         self._step = jax.jit(partial(map_batch_packed, meta))
         # host-side EC intersection memo for the CSR fallback path
         self._ec_memo: dict[tuple[int, ...], list[int]] = {}
-        # raw-signature-row -> materialized EC array (emit fast path):
-        # steady-state batches repeat almost all signatures, so the per-row
-        # python (dedup-sort + CSR intersect) runs only on first sight
-        self._sig_cache: dict[bytes, np.ndarray] = {}
-        self._single_cache: dict[int, np.ndarray] = {}
         # opt-in serving-phase timers (PA_TIMERS=1): accumulated wall time
         # per emit phase, for pipeline bottleneck hunts (PERF.md)
         self.phase_times: dict[str, float] | None = (
