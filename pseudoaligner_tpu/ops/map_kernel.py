@@ -62,7 +62,15 @@ class DeviceIndex(NamedTuple):
     #                          front/back zero padding of meta.pool_pad bases
     node_row: jnp.ndarray  # [N, 12] int32 — start(+pad), len, exts, ec,
     #                         l_edge[4], r_edge[4]
-    cuckoo: jnp.ndarray  # [NB, CK_SLOTS*(W+2)] uint32 (empty if mphf mode)
+    cuckoo: jnp.ndarray  # cuckoo mode: [NB, CK_SLOTS*W] uint32 keys-only
+    #   rows (empty slots hold all-ones keys; a genuine all-ones k-mer —
+    #   possible only when 2k == 32W — is relocated to meta.ones_node/
+    #   ones_off); bucket1 mode: full [NB, B1_SLOTS*(W+2)] rows; dummy if
+    #   mphf mode.  Keys ride separate from values because gathers are
+    #   priced per ELEMENT consumed and row widths quantize to powers of
+    #   two (PERF.md): the probe compares keys from two 8-word rows and
+    #   fetches only the ONE winning slot's value from cuckoo_vals.
+    cuckoo_vals: jnp.ndarray  # [NB*CK_SLOTS, 2] uint32 (node, offset)
     mphf_bits: jnp.ndarray  # [bw] uint32 (legacy/memory-lean mode)
     mphf_ranks: jnp.ndarray  # [bw] uint32
     kmer_keys: jnp.ndarray  # [nk, W] uint32
@@ -85,6 +93,11 @@ class MapMeta:
     seed_index: str = "cuckoo"  # "cuckoo" | "bucket1" | "mphf"
     cuckoo_mask: int = 0
     bucket_seed: int = 0  # bucket1 mode: the (re-salted) probe hash seed
+    # the all-ones k-mer's payload when it is a REAL key (2k == 32W only;
+    # empty slots reuse the all-ones key pattern, so its entry lives here
+    # and the probe resolves it with a dense compare): (-1, -1) = absent
+    ones_node: int = -1
+    ones_off: int = -1
     pool_pad: int = 256  # zero bases padded at pool front (and >= back)
     # Compact serving outputs: per-read distinct EC ids [B, distinct_cap]
     # instead of node lists + EC bitsets — host->device transfer drops from
@@ -361,31 +374,57 @@ def _segment_math(meta: MapMeta, mm_flags, maxm, allowed):
 def cuckoo_lookup(meta: MapMeta, idx: DeviceIndex, words: jnp.ndarray):
     """[..., W] kmer words -> (node, offset) int32, -1 on miss.
 
-    Two row gathers (buckets h1, h2) + register key compares."""
+    Split key/value probe: gathers are priced per ELEMENT consumed and
+    row widths quantize to powers of two (PERF.md: an 8-word keys row
+    gathers ~1.5x faster than 9- or 16-word), so the two bucket rows
+    carry ONLY the slot keys (SLOTS*W words; empty slots hold all-ones)
+    and the winning slot's (node, offset) comes from a second 2-wide
+    gather — 18 elements per probe instead of the fused layout's 32.
+    A genuine all-ones k-mer (possible only when 2k == 32W) lives in
+    meta.ones_node/ones_off and resolves with a dense compare."""
     from ..index.cuckoo import H1_SEED, H2_SEED
 
     W = words.shape[-1]
     mask = jnp.uint32(meta.cuckoo_mask)
-    node = jnp.full(words.shape[:-1], -1, dtype=jnp.int32)
-    off = jnp.full(words.shape[:-1], -1, dtype=jnp.int32)
     # both candidate buckets in ONE gather (stacked indices): same index
     # count, half the per-op fixed cost
     h1 = hash_kmer_jnp(words, jnp.uint32(H1_SEED)) & mask
     h2 = hash_kmer_jnp(words, jnp.uint32(H2_SEED)) & mask
     hh = jnp.stack([h1, h2], axis=-1).astype(jnp.int32)  # [..., 2]
-    both = jnp.take(idx.cuckoo, hh, axis=0)  # [..., 2, SLOTS*(W+2)]
+    both = jnp.take(idx.cuckoo, hh, axis=0)  # [..., 2, SLOTS*W]
+    found = jnp.zeros(words.shape[:-1], dtype=bool)
+    # first matching slot in (bucket, slot) priority order -> flat value
+    # index (a present key matches in exactly one slot; all-ones queries
+    # are overridden below, so empty-slot matches cannot leak through)
+    vidx = jnp.zeros(words.shape[:-1], dtype=jnp.uint32)
     for b in range(2):
         rows = both[..., b, :]
+        hb = h1 if b == 0 else h2
         for s in range(CK_SLOTS):
-            base = s * (W + 2)
-            keym = jnp.ones(words.shape[:-1], dtype=bool)
-            for w in range(W):
+            base = s * W
+            keym = rows[..., base] == words[..., 0]
+            for w in range(1, W):
                 keym &= rows[..., base + w] == words[..., w]
-            n = rows[..., base + W]
-            keym &= n != jnp.uint32(CK_EMPTY)
-            hit = keym & (node < 0)
-            node = jnp.where(hit, n.astype(jnp.int32), node)
-            off = jnp.where(hit, rows[..., base + W + 1].astype(jnp.int32), off)
+            hit = keym & ~found
+            vidx = jnp.where(hit, hb * jnp.uint32(CK_SLOTS) + s, vidx)
+            found = found | keym
+    vals = jnp.take(
+        idx.cuckoo_vals, vidx.astype(jnp.int32), axis=0
+    )  # [..., 2]
+    node = jnp.where(found, vals[..., 0].astype(jnp.int32), -1)
+    off = jnp.where(found, vals[..., 1].astype(jnp.int32), -1)
+    if meta.k * 2 == 32 * W:
+        # all-ones is a VALID k-mer at word-filling k: its entry rides in
+        # meta scalars; table matches at all-ones are empty slots
+        ones = jnp.ones(words.shape[:-1], dtype=bool)
+        for w in range(W):
+            ones &= words[..., w] == jnp.uint32(0xFFFFFFFF)
+        node = jnp.where(ones, jnp.int32(meta.ones_node), node)
+        off = jnp.where(ones, jnp.int32(meta.ones_off), off)
+    else:
+        # all-ones key words are unreachable for real k-mers (upper bits
+        # zero), so any match there would be an empty slot: none occur
+        pass
     return node, off
 
 
@@ -1138,12 +1177,36 @@ def device_index_from_image(image, config: AlignerConfig):
     node_row[:, 8:12] = image.r_edge
 
     bucket_seed = 0
+    W = image.kmer_keys.shape[1]
+    cuckoo_vals = np.zeros((1, 2), np.uint32)
+    ones_node = ones_off = -1
     if config.seed_index == "cuckoo":
         ck = build_cuckoo_fast(
             image.kmer_keys, image.kmer_node, image.kmer_offset
         )
-        cuckoo_rows = ck.buckets
         cuckoo_mask = ck.mask
+        # split the fused [nb, SLOTS*(W+2)] rows into keys-only rows
+        # (aligned SLOTS*W width; empty slots -> all-ones keys) and a
+        # flat values array: the probe consumes per element and row
+        # widths quantize to powers of two (PERF.md)
+        nb = ck.buckets.shape[0]
+        full = ck.buckets.reshape(nb, CK_SLOTS, W + 2)
+        keys = full[:, :, :W].copy()
+        empty = full[:, :, W] == CK_EMPTY
+        keys[empty] = 0xFFFFFFFF
+        cuckoo_rows = np.ascontiguousarray(keys.reshape(nb, CK_SLOTS * W))
+        cuckoo_vals = np.ascontiguousarray(
+            full[:, :, W : W + 2].reshape(nb * CK_SLOTS, 2)
+        )
+        if image.k * 2 == 32 * W:
+            # the all-ones k-mer is real at word-filling k and collides
+            # with the empty-slot pattern: its payload rides in meta
+            hit = np.all(
+                image.kmer_keys == np.uint32(0xFFFFFFFF), axis=1
+            ).nonzero()[0]
+            if len(hit):
+                ones_node = int(image.kmer_node[hit[0]])
+                ones_off = int(image.kmer_offset[hit[0]])
     elif config.seed_index == "bucket1":
         from ..index.cuckoo import build_bucket1
 
@@ -1151,14 +1214,14 @@ def device_index_from_image(image, config: AlignerConfig):
             image.kmer_keys, image.kmer_node, image.kmer_offset
         )
     else:
-        cuckoo_rows = np.zeros((1, CK_SLOTS * (image.kmer_keys.shape[1] + 2)),
-                               np.uint32)
+        cuckoo_rows = np.zeros((1, CK_SLOTS * W), np.uint32)
         cuckoo_mask = 0
 
     dev = DeviceIndex(
         pool_rows=pool_rows,
         node_row=node_row,
         cuckoo=cuckoo_rows,
+        cuckoo_vals=cuckoo_vals,
         mphf_bits=image.mphf.bits,
         mphf_ranks=image.mphf.ranks,
         kmer_keys=image.kmer_keys,
@@ -1182,6 +1245,8 @@ def device_index_from_image(image, config: AlignerConfig):
         seed_index=config.seed_index,
         cuckoo_mask=cuckoo_mask,
         bucket_seed=bucket_seed,
+        ones_node=ones_node,
+        ones_off=ones_off,
         pool_pad=pool_pad,
         distinct_cap=config.distinct_cap,
         lazy_seeds=(

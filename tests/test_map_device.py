@@ -277,3 +277,46 @@ def test_walk_unroll_parity(small_index, small_reads):
             assert x == y, (x, y)
             n += 1
     assert n == 512
+
+
+def test_all_ones_kmer_k64(small_transcripts):
+    """At word-filling k (2k == 32W) the all-ones key pattern (poly-T) is
+    a REAL k-mer that collides with the keys-only table's empty-slot
+    marker — its payload relocates to meta.ones_node/ones_off and the
+    probe resolves it with a dense compare.  Map poly-T reads through an
+    index that contains a long T run and check golden parity."""
+    from pseudoaligner_tpu.index.builder import build_index
+
+    seqs, names, gene_map = small_transcripts
+    seqs = list(seqs[:20])
+    names = list(names[:20]) + ["POLYT_TX"]
+    gene_map = {n: gene_map.get(n, n) for n in names}
+    rng = np.random.default_rng(5)
+    polyt = np.full(120, 3, dtype=np.uint8)  # 120 T's
+    polyt[:20] = rng.integers(0, 4, 20)  # unique-ish prefix
+    seqs.append(polyt)
+    image = build_index(seqs, names, gene_map, k=64)
+
+    cfg = AlignerConfig(k=64, batch_size=64, max_read_len=96, max_nodes=64,
+                        distinct_cap=0, bitset_tx_threshold=1 << 20)
+    al = Pseudoaligner(image, cfg)
+    assert al.meta.ones_node >= 0  # the poly-T 64-mer really relocated
+    golden = GoldenAligner(image)
+    reads = [
+        ("polyT", np.full(80, 3, dtype=np.uint8)),          # pure poly-T
+        ("mix", np.asarray(seqs[-1][10:90], dtype=np.uint8)),  # crosses in
+        ("ctrl", np.asarray(seqs[0][:80], dtype=np.uint8)),
+    ]
+    for batch in _make_batches(reads, 64, 96):
+        res = al.map_batch_device(batch.codes, batch.lens)
+        recs = al.records_from_result(res, batch)
+        for i, rid in enumerate(batch.ids):
+            if not rid:
+                continue
+            read = batch.codes[i, : batch.lens[i]]
+            g = golden.map_read(read)
+            rec = recs[i]
+            if g is None:
+                assert rec.coverage == 0 and rec.eq_class == [], rid
+            else:
+                assert rec.eq_class == g[0] and rec.coverage == g[1], rid
