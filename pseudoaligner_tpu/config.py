@@ -126,6 +126,17 @@ class AlignerConfig:
     left_compact: float = 0.125
     walk_split: int = 0
     walk_compact: float = 0.25
+    # Two-tier seed probing: grid position 0 probes every lane; the later
+    # grid positions probe only a compacted buffer of ceil(seed_compact *
+    # B) miss-at-0 lanes (most reads hit at position 0 and the probe pass
+    # is the largest single device-step component — PERF.md).  Hit-at-0
+    # lanes re-seed through the in-loop seek probe (their next-hit rows
+    # are not built); over-capacity miss lanes take the -3 exact
+    # fallback.  Requires lazy_seeds + compact outputs.  0 disables.
+    # Measured NEGATIVE on the bench mix (PERF.md): seek re-seeds push
+    # the -3 flagged volume from 4k to 15k/batch and eat the ~5ms probe
+    # saving — stays off; revisit only for low-error read sets.
+    seed_compact: float = 0.0
 
     def __post_init__(self):
         if self.k < 4 or self.k > 64:

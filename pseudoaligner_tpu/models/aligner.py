@@ -195,21 +195,25 @@ class Pseudoaligner:
                     )
             covl = cov.tolist()
             mappedl = mapped.tolist()
+            # any lane whose signature carries the -2/-3 marker re-maps
+            # exactly — including unmapped-LOOKING lanes (e.g. two-tier
+            # seed capacity overflow never probed them at all)
             overflow_rows = [
-                i for i in range(n) if mappedl[i] and eq_of_sig[inv[i]] is None
+                i for i in range(n) if eq_of_sig[inv[i]] is None
             ]
             overflow_res = self._remap_rows(batch, overflow_rows)
             out = []
             for i, rid in enumerate(batch.ids):
-                if not mappedl[i]:
-                    out.append(ReadRecord(False, rid, [], 0))
-                    continue
                 eq = eq_of_sig[inv[i]]
-                c = covl[i]
                 if eq is None:
                     req, rcov = overflow_res[i]
                     eq = [int(x) for x in req]
-                    c = rcov  # iteration-capped lanes have partial coverage
+                    c = rcov  # capped lanes have partial device coverage
+                elif not mappedl[i]:
+                    out.append(ReadRecord(False, rid, [], 0))
+                    continue
+                else:
+                    c = covl[i]
                 out.append(ReadRecord(c >= thresh and not eq, rid, eq, c))
             return out
 

@@ -143,6 +143,15 @@ class MapMeta:
     left_compact: float = 0.0
     walk_split: int = 0
     walk_compact: float = 0.25
+    # Two-tier seed probing (requires lazy_seeds + compact outputs): probe
+    # grid position 0 for ALL lanes, then the 13 later grid positions only
+    # for a compacted buffer of ceil(seed_compact * B) miss-at-0 lanes —
+    # the probe pass is the largest single step component and most lanes
+    # hit at position 0.  Lanes that hit at 0 have no next-hit table, so
+    # their in-loop re-seeds take the seek path (~+1 iteration for the
+    # ~7% of lanes that break on-grid); miss-at-0 lanes beyond capacity
+    # carry the -3 exact-fallback marker.  0 disables.
+    seed_compact: float = 0.0
     # Straight-line capped loops: when an iteration cap is set, apply the
     # (masked) body exactly cap times as unrolled straight-line code
     # instead of a lax.while_loop.  Measured a WASH vs while_loop at
@@ -472,12 +481,42 @@ def _seed_tables(meta: MapMeta, idx: DeviceIndex, reads, lens):
     With meta.lazy_seeds, only the residue-0 positions (the initial
     stride-3 scan's entire search space) are probed eagerly; other
     residues stay misses in the table and are probed lazily inside the
-    walk loop when a re-seed lands there."""
+    walk loop when a re-seed lands there.
+
+    Returns (nh3, has_tbl, seed_over): has_tbl is None for the dense
+    build; with meta.seed_compact (two-tier probing) it marks the lanes
+    whose next-hit rows are COMPLETE (in-loop table re-seeds allowed —
+    others seek), and seed_over marks miss-at-0 lanes beyond the compact
+    capacity (deterministic -3 exact fallback)."""
     P = meta.n_positions
     kmers = all_kmers(reads, meta.k)  # [B, P, W]
     probed = meta.seed_index in ("cuckoo", "bucket1")
+    B = reads.shape[0]
+    use_tier = (
+        probed and meta.lazy_seeds and meta.seed_compact > 0
+        and meta.distinct_cap > 0 and P > 1
+    )
+    if use_tier:
+        # tier 1: grid position 0, every lane
+        node0, off0 = seed_probe(meta, idx, kmers[:, 0])
+        miss0 = node0 < 0
+        # tier 2: the 13 later grid positions, compacted miss@0 lanes
+        Cs = _compact_cap(B, meta.seed_compact)
+        idxs, valids, seed_over = _compact_select(miss0, Cs)
+        kc = jnp.take(kmers[:, 3::3], idxs, axis=0)  # [Cs, P3-1, W]
+        nodec, offc = seed_probe(meta, idx, kc)
+        node = jnp.full((B, P), -1, jnp.int32)
+        off = jnp.full((B, P), -1, jnp.int32)
+        node = node.at[:, 0].set(node0)
+        off = off.at[:, 0].set(off0)
+        tgt = jnp.where(valids, idxs, B)  # dropped for invalid slots
+        node = node.at[tgt, 3::3].set(nodec, mode="drop")
+        off = off.at[tgt, 3::3].set(offc, mode="drop")
+        # complete rows: hit@0 lanes only have row 0 -> they must seek
+        has_tbl = jnp.zeros((B,), bool).at[tgt].set(valids, mode="drop")
+        _, nh3 = next_hit_table(node, off, lens, meta.k, P)
+        return nh3, has_tbl, seed_over
     if probed and meta.lazy_seeds:
-        B = reads.shape[0]
         node3, off3 = seed_probe(meta, idx, kmers[:, ::3])
         node = jnp.full((B, P), -1, jnp.int32)
         off = jnp.full((B, P), -1, jnp.int32)
@@ -496,7 +535,7 @@ def _seed_tables(meta: MapMeta, idx: DeviceIndex, reads, lens):
             idx.kmer_offset,
         )
     _, nh3 = next_hit_table(node, off, lens, meta.k, P)
-    return nh3
+    return nh3, None, None
 
 
 def next_hit_table(seed_node, seed_off, lens, k: int, P: int):
@@ -589,8 +628,9 @@ def map_batch_packed(meta: MapMeta, idx: DeviceIndex, packed, lens) -> MapResult
     """Map a batch of 2-bit-packed reads (the production transfer path)."""
     reads = unpack_reads(packed, meta.read_len)
     lens = lens.astype(jnp.int32)
-    nh3 = _seed_tables(meta, idx, reads, lens)
-    return _walk(meta, idx, packed, reads, lens, nh3)
+    nh3, has_tbl, seed_over = _seed_tables(meta, idx, reads, lens)
+    return _walk(meta, idx, packed, reads, lens, nh3,
+                 has_tbl=has_tbl, seed_over=seed_over)
 
 
 def map_batch(meta: MapMeta, idx: DeviceIndex, reads, lens) -> MapResult:
@@ -598,8 +638,9 @@ def map_batch(meta: MapMeta, idx: DeviceIndex, reads, lens) -> MapResult:
     reads = reads.astype(jnp.int32)
     lens = lens.astype(jnp.int32)
     packed = pack_reads_device(reads)
-    nh3 = _seed_tables(meta, idx, reads, lens)
-    return _walk(meta, idx, packed, reads, lens, nh3)
+    nh3, has_tbl, seed_over = _seed_tables(meta, idx, reads, lens)
+    return _walk(meta, idx, packed, reads, lens, nh3,
+                 has_tbl=has_tbl, seed_over=seed_over)
 
 
 def map_batch_with_seeds(
@@ -632,7 +673,7 @@ def pack_reads_device(reads: jnp.ndarray) -> jnp.ndarray:
 
 
 def _walk(meta, idx, packed, reads, lens, nh3,
-          fetch=None, cond_all=None) -> MapResult:
+          fetch=None, cond_all=None, has_tbl=None, seed_over=None) -> MapResult:
     """The batched graph walk.
 
     fetch(node, delta, want_win) -> (node_row [B, 12], window [B, cmp_words]
@@ -664,6 +705,10 @@ def _walk(meta, idx, packed, reads, lens, nh3,
         node0 = jnp.full((B,), -1, jnp.int32)
         off0 = jnp.full((B,), -1, jnp.int32)
     seeded = q0 < jnp.int32(P)
+    if seed_over is not None:
+        # miss-at-0 lanes beyond the two-tier seed capacity: unprobed ->
+        # inactive here, exact host fallback via the -3 marker below
+        seeded = seeded & ~seed_over
 
     cov = jnp.zeros(B, jnp.int32)
     mm = jnp.zeros(B, jnp.int32)
@@ -837,7 +882,7 @@ def _walk(meta, idx, packed, reads, lens, nh3,
 
     lazy = meta.lazy_seeds and meta.seed_index in ("cuckoo", "bucket1")
 
-    def make_f_body(rp_, lens_, nh3_):
+    def make_f_body(rp_, lens_, nh3_, has_tbl_=None):
         rows_ = jnp.arange(rp_.shape[0])
 
         def f_body(s):
@@ -879,6 +924,10 @@ def _walk(meta, idx, packed, reads, lens, nh3,
             can_seek = act & ~at_end & ~hasr & (kpos <= lens_ - k)
             if lazy:
                 on_grid = (kpos % 3) == 0
+                if has_tbl_ is not None:
+                    # two-tier seeds: lanes without complete next-hit
+                    # rows re-seed through the seek probe instead
+                    on_grid = on_grid & has_tbl_
                 tbl = can_seek & on_grid
                 enter_seek = can_seek & ~on_grid
             else:
@@ -963,7 +1012,7 @@ def _walk(meta, idx, packed, reads, lens, nh3,
             return jnp.any(s["active"]) & (s["it"] < wsplit)
 
         f1 = jax.lax.while_loop(
-            f_cond1, _unrolled(make_f_body(rp, lens, nh3)), f_state
+            f_cond1, _unrolled(make_f_body(rp, lens, nh3, has_tbl)), f_state
         )
         # stage 2: compact the still-active tail and finish it at Cw
         Cw = _compact_cap(B, meta.walk_compact)
@@ -987,6 +1036,7 @@ def _walk(meta, idx, packed, reads, lens, nh3,
                     jnp.take(rp, idxw, axis=0),
                     jnp.take(lens, idxw),
                     jnp.take(nh3, idxw, axis=0),
+                    None if has_tbl is None else jnp.take(has_tbl, idxw),
                 )
             ),
             st2,
@@ -1005,11 +1055,14 @@ def _walk(meta, idx, packed, reads, lens, nh3,
         )
     else:
         f_state = _run(
-            f_cond, _unrolled(make_f_body(rp, lens, nh3)), f_state, cap
+            f_cond, _unrolled(make_f_body(rp, lens, nh3, has_tbl)),
+            f_state, cap
         )
         # lanes cut off by the iteration cap need the exact fallback pass
         capped = f_state["active"] if cap > 0 else jnp.zeros((B,), bool)
     capped = capped | l_capped
+    if seed_over is not None:
+        capped = capped | seed_over
 
     buf = f_state["buf"]
     nodes_buf = buf[:, :, 0]
@@ -1265,6 +1318,7 @@ def device_index_from_image(image, config: AlignerConfig):
         left_compact=config.left_compact,
         walk_split=config.walk_split,
         walk_compact=config.walk_compact,
+        seed_compact=config.seed_compact,
         ec_out_16=config.distinct_cap > 0 and image.n_ecs < 2**15 - 4,
         cov_out_8=config.distinct_cap > 0 and config.max_read_len <= 255,
     )

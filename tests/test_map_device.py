@@ -320,3 +320,30 @@ def test_all_ones_kmer_k64(small_transcripts):
                 assert rec.coverage == 0 and rec.eq_class == [], rid
             else:
                 assert rec.eq_class == g[0] and rec.coverage == g[1], rid
+
+
+def test_two_tier_seed_parity(small_index, small_reads):
+    """Two-tier seed probing (seed_compact) must produce records identical
+    to the dense engine — including when the miss-at-0 compact buffer
+    overflows (over-capacity lanes take the deterministic -3 exact
+    fallback) and in combination with walk caps + lane compaction."""
+    dense = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                          max_nodes=64, distinct_cap=8, max_walk_iters=0,
+                          max_left_iters=0)
+    a1 = Pseudoaligner(small_index, dense)
+    for sc in (0.75, 0.02):  # roomy, then forced overflow
+        tiered = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                               max_nodes=12, distinct_cap=8,
+                               max_walk_iters=6, max_left_iters=2,
+                               seed_compact=sc)
+        a2 = Pseudoaligner(small_index, tiered)
+        n = 0
+        for batch in _make_batches(small_reads[:512], 256, 64):
+            r1 = a1.records_from_result(
+                a1.map_batch_device(batch.codes, batch.lens), batch)
+            r2 = a2.records_from_result(
+                a2.map_batch_device(batch.codes, batch.lens), batch)
+            for x, y in zip(r1, r2):
+                assert x == y, (sc, x, y)
+                n += 1
+        assert n == 512
