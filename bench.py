@@ -124,8 +124,9 @@ def main():
         caps = [(3, 2), (4, 2), (6, 2)]
     # serving shape: compact EC output at distinct_cap=3 (down-transfer is
     # on the critical path of the serialized tunnel; >3-class reads take
-    # the overlapped host remap), node buffer sized to the cap budget
-    # (wcap + lcap + 1; deeper lanes are -3-flagged exactly) — PERF.md
+    # the overlapped host remap), node buffer sized to the push bound
+    # wcap + lcap (one push per capped iteration) plus 2 slack — lanes
+    # that outgrow it are -3-flagged exactly (kernel guard) — PERF.md
     aligners = [
         Pseudoaligner(image, AlignerConfig(
             k=20, batch_size=B, max_read_len=L,

@@ -37,24 +37,9 @@ class _PaCensus(ctypes.Structure):
 
 
 def _ensure_built() -> str:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    try:
-        subprocess.run(
-            ["make", "-C", _DIR, "libpabuilder.so"],
-            check=True,
-            capture_output=True,
-        )
-    except Exception:
-        subprocess.run(
-            [
-                "g++", "-O3", "-march=native", "-std=c++17", "-fPIC",
-                "-shared", "-lpthread", _SRC, "-o", _SO,
-            ],
-            check=True,
-            capture_output=True,
-        )
-    return _SO
+    from ..._nativebuild import ensure_built
+
+    return ensure_built(_SRC, "libpabuilder.so")
 
 
 def _load():

@@ -30,6 +30,19 @@ from ..ops.map_kernel import (
 
 log = logging.getLogger(__name__)
 
+# sentinel for invalid/padding EC ids in canonicalized signature rows
+# (larger than any class id; int64 rows)
+_SENT = np.int64(1) << 40
+
+
+def _canon_id_rows(vals: np.ndarray) -> np.ndarray:
+    """[m, w] int64 id rows (invalid = _SENT) -> canonical form: each
+    row ascending, distinct, _SENT-padded (two sorts + a dup mask)."""
+    vals = np.sort(vals, axis=1)
+    dup = np.zeros(vals.shape, bool)
+    dup[:, 1:] = vals[:, 1:] == vals[:, :-1]
+    return np.sort(np.where(dup, _SENT, vals), axis=1)
+
 
 @dataclass
 class ReadRecord:
@@ -113,9 +126,21 @@ class Pseudoaligner:
             fut = self._fetch_pool.submit(
                 jax.device_get, (result.ec_distinct, result.coverage)
             )
-            if len(self._fetch_futs) > 4:  # bound (depth-2 pipeline)
-                self._fetch_futs.clear()
-            self._fetch_futs[id(result.ec_distinct)] = fut
+            # entries keyed by id(array) self-evict when the result array
+            # dies (weakref callback) — callers that never reach
+            # emit_prepare (records_from_result paths) can't leak host
+            # copies, and in-flight pipeline batches are never dropped
+            import weakref
+
+            key = id(result.ec_distinct)
+            futs = self._fetch_futs
+            ref = weakref.ref(
+                result.ec_distinct,
+                lambda _r, k=key, f=futs: f.pop(k, None),
+            )
+            futs[key] = (fut, ref)
+            while len(futs) > 32:  # belt and braces: evict oldest
+                futs.pop(next(iter(futs)))
         return result
 
     # ------------------------------------------------------------------
@@ -265,11 +290,11 @@ class Pseudoaligner:
         # one batched fetch = one tunnel roundtrip for both arrays (two
         # np.asarray calls pay two ~28ms roundtrips — PERF.md)
         _t = time.time()
-        fut = getattr(self, "_fetch_futs", {}).pop(
+        ent = getattr(self, "_fetch_futs", {}).pop(
             id(result.ec_distinct), None
         )
-        if fut is not None:
-            dist, cov = fut.result()
+        if ent is not None:
+            dist, cov = ent[0].result()
         else:
             dist, cov = jax.device_get((result.ec_distinct, result.coverage))
         self._tick("prep.fetch", _t)
@@ -341,35 +366,9 @@ class Pseudoaligner:
             rowsm = u2.astype(np.int64)
             ovr2 = (rowsm[:, -1] == -2) | (rowsm[:, -1] == -3)
             none_mask[m1:] = ovr2
-            SENT = np.int64(1) << 40
-            vals = np.where(rowsm >= 0, rowsm, SENT)
-            vals = np.sort(vals, axis=1)
-            dup = np.zeros(vals.shape, bool)
-            dup[:, 1:] = vals[:, 1:] == vals[:, :-1]
-            vals = np.sort(np.where(dup, SENT, vals), axis=1)
-            vals[ovr2] = SENT  # overflow groups contribute nothing here
-            try:
-                from ..ops.native import intersect_ecs
-
-                flat2, offs2 = intersect_ecs(vals, eo, et, int(SENT))
-                lens2 = np.diff(offs2)
-            except Exception:
-                parts = []
-                lens2 = np.zeros(m2, np.int64)
-                for j, row in enumerate(vals):
-                    ids = tuple(int(x) for x in row[row < SENT])
-                    if not ids:
-                        continue
-                    eq = (
-                        self.image.ec_list(ids[0])
-                        if len(ids) == 1
-                        else self._ec_from_distinct(ids)
-                    )
-                    parts.append(np.asarray(eq, dtype=np.uint32))
-                    lens2[j] = len(parts[-1])
-                flat2 = (
-                    np.concatenate(parts) if parts else np.zeros(0, np.uint32)
-                )
+            vals = _canon_id_rows(np.where(rowsm >= 0, rowsm, _SENT))
+            vals[ovr2] = _SENT  # overflow groups contribute nothing here
+            flat2, lens2 = self._intersect_rows(vals)
         else:
             flat2 = np.zeros(0, np.uint32)
             lens2 = np.zeros(0, np.int64)
@@ -630,35 +629,66 @@ class Pseudoaligner:
             futures.append((chunk, self._remap_step(self.dev, packed, lens)))
         return futures
 
+    def _intersect_rows(self, vals: np.ndarray):
+        """Canonical (ascending, _SENT-padded) [m, w] EC-id rows ->
+        (flat uint32, lens int64): each row's intersected transcript list.
+
+        C++ batch intersection (ops/native pa_intersect_ecs; re-computed
+        per call — ~1ms for thousands of rows, so no cross-batch cache is
+        kept) with a memoized per-row python fallback."""
+        m = len(vals)
+        try:
+            from ..ops.native import intersect_ecs
+
+            flat, offs = intersect_ecs(
+                vals, self.image.ec_offsets, self.image.ec_txs, int(_SENT)
+            )
+            return flat, np.diff(offs)
+        except Exception:
+            parts = []
+            lens = np.zeros(m, np.int64)
+            for j, row in enumerate(vals):
+                ids = tuple(int(x) for x in row[row < _SENT])
+                if not ids:
+                    continue
+                eq = (
+                    self.image.ec_list(ids[0])
+                    if len(ids) == 1
+                    else self._ec_from_distinct(ids)
+                )
+                parts.append(np.asarray(eq, dtype=np.uint32))
+                lens[j] = len(parts[-1])
+            flat = (
+                np.concatenate(parts) if parts else np.zeros(0, np.uint32)
+            )
+            return flat, lens
+
     def _eq_rows_from_nodes(self, nodes: np.ndarray, nn: np.ndarray):
         """Vectorized [n, cap] visited-node rows -> list of EC arrays.
 
         Canonicalize each row's distinct EC-id set with two row sorts,
-        group identical rows with one lexsort, and materialize each
-        distinct signature once (memoized CSR intersection).  Replaces a
+        group identical rows with one lexsort, and batch-intersect each
+        distinct signature once (C++; see _intersect_rows).  Replaces a
         per-read python loop measured ~29ms per 3k remapped reads."""
         n = len(nn)
         if n == 0:
             return []
         _t0 = time.time()
-        SENT = np.int64(1) << 40
         ec = self.image.node_ec
         cap = max(1, int(nn.max()))
         nodes = nodes[:, :cap]
         mask = np.arange(cap)[None, :] < nn[:, None]
-        vals = np.where(
-            mask & (nodes >= 0),
-            ec[np.clip(nodes, 0, None)].astype(np.int64),
-            SENT,
+        vals = _canon_id_rows(
+            np.where(
+                mask & (nodes >= 0),
+                ec[np.clip(nodes, 0, None)].astype(np.int64),
+                _SENT,
+            )
         )
-        vals = np.sort(vals, axis=1)
-        dup = np.zeros(vals.shape, bool)
-        dup[:, 1:] = vals[:, 1:] == vals[:, :-1]
-        vals = np.sort(np.where(dup, SENT, vals), axis=1)
         # trim to the widest distinct-id count before the lexsort (rows
         # are SENT-padded after the dedup sort; deep-walk reads can carry
         # ~100 visited nodes but only a handful of distinct classes)
-        width = max(1, int((vals < SENT).sum(axis=1).max()))
+        width = max(1, int((vals < _SENT).sum(axis=1).max()))
         vals = vals[:, :width]
         order = np.lexsort(vals.T[::-1])
         sv = vals[order]
@@ -669,30 +699,10 @@ class Pseudoaligner:
         gid[order] = np.cumsum(head) - 1
         self._tick("eqrows.canon", _t0)
         _t0 = time.time()
-        uniq = sv[head]
-        try:
-            from ..ops.native import intersect_ecs
-
-            flat, offs = intersect_ecs(
-                uniq, self.image.ec_offsets, self.image.ec_txs, int(SENT)
-            )
-            mats = [
-                flat[offs[i] : offs[i + 1]] for i in range(len(uniq))
-            ]
-        except Exception:
-            mats = []
-            for row in uniq:
-                ids = tuple(int(x) for x in row[row < SENT])
-                if not ids:
-                    mats.append(np.zeros(0, np.uint32))
-                elif len(ids) == 1:
-                    mats.append(
-                        np.asarray(self.image.ec_list(ids[0]), np.uint32)
-                    )
-                else:
-                    mats.append(
-                        np.asarray(self._ec_from_distinct(ids), np.uint32)
-                    )
+        flat, lens = self._intersect_rows(sv[head])
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        mats = [flat[offs[i] : offs[i + 1]] for i in range(len(lens))]
         self._tick("eqrows.mats", _t0)
         return [mats[g] for g in gid]
 

@@ -609,7 +609,9 @@ def _compact_select(mask: jnp.ndarray, C: int):
 
 def _compact_cap(B: int, frac: float) -> int:
     """Static compact-buffer capacity: ceil(B * frac) rounded up to 8."""
-    c = -(-int(B * frac) // 8) * 8
+    import math
+
+    c = -(-math.ceil(B * frac) // 8) * 8
     return max(8, min(B, c))
 
 
@@ -1070,7 +1072,7 @@ def _walk(meta, idx, packed, reads, lens, nh3,
     n_nodes = f_state["n_nodes"]
     # lanes that pushed past the node buffer lost visits: send them to the
     # exact fallback too (lets serving shrink max_nodes to the cap budget
-    # wcap + lcap + 1 without any silent-truncation hazard)
+    # the wcap + lcap push bound without any silent-truncation hazard)
     capped = capped | (n_nodes > meta.max_nodes)
     mapped = n_nodes > 0
 

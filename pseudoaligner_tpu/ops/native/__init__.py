@@ -17,17 +17,9 @@ _lib = None
 
 
 def _ensure_built() -> str:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    try:
-        subprocess.run(["make", "-C", _DIR, "libpamapper.so"],
-                       check=True, capture_output=True)
-    except Exception:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
-             _SRC, "-o", _SO, "-lpthread"],
-            check=True, capture_output=True)
-    return _SO
+    from ..._nativebuild import ensure_built
+
+    return ensure_built(_SRC, "libpamapper.so")
 
 
 _U32P = ctypes.POINTER(ctypes.c_uint32)
