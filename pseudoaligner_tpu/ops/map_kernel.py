@@ -61,7 +61,8 @@ class DeviceIndex(NamedTuple):
     pool_rows: jnp.ndarray  # [R, 8] uint32 — 2-bit packed pool, 128 bases/row,
     #                          front/back zero padding of meta.pool_pad bases
     node_row: jnp.ndarray  # [N, 12] int32 — start(+pad), len, exts, ec,
-    #                         l_edge[4], r_edge[4]
+    #                         r_edge[4], l_edge[4] (r before l: the
+    #                         forward walk reads a contiguous 0..7 prefix)
     cuckoo: jnp.ndarray  # cuckoo mode: [NB, CK_SLOTS*W] uint32 keys-only
     #   rows (empty slots hold all-ones keys; a genuine all-ones k-mer —
     #   possible only when 2k == 32W — is relocated to meta.ones_node/
@@ -771,10 +772,10 @@ def _walk(meta, idx, packed, reads, lens, nh3,
             exts = nrow[:, 2]
             has = ((exts >> (4 + nb)) & 1) == 1
             follow = act & ~stop & has
-            # l_edge at columns 4..7 (dense 4-way select, no gather)
+            # l_edge at columns 8..11 (dense 4-way select, no gather)
             new_node = jnp.full((Bc,), -1, jnp.int32)
             for b4 in range(4):
-                new_node = jnp.where(nb == b4, nrow[:, 4 + b4], new_node)
+                new_node = jnp.where(nb == b4, nrow[:, 8 + b4], new_node)
             new_row, _ = fetch(new_node, 0, False)
             nbuf, ncnt = _push(
                 s["buf"], s["n_nodes"], new_node, new_row[:, 3], follow
@@ -884,7 +885,10 @@ def _walk(meta, idx, packed, reads, lens, nh3,
 
     lazy = meta.lazy_seeds and meta.seed_index in ("cuckoo", "bucket1")
 
-    def make_f_body(rp_, lens_, nh3_, has_tbl_=None):
+    def make_f_body(rp_, lens_, nh3_, has_tbl_=None, skip_seek=False):
+        # skip_seek elides the unconditional in-loop seek probe (18
+        # elements x B of gathers); ONLY valid for the first iteration,
+        # where no lane can be in seek mode yet
         rows_ = jnp.arange(rp_.shape[0])
 
         def f_body(s):
@@ -915,10 +919,10 @@ def _walk(meta, idx, packed, reads, lens, nh3,
             nb = _base_at(meta, read_win, jnp.clip(matched, 0, L - 1))
             hasr = ~prem & (((exts >> nb) & 1) == 1)
             follow = act & ~at_end & hasr
-            # r_edge at columns 8..11 (dense 4-way select, no gather)
+            # r_edge at columns 4..7 (dense 4-way select, no gather)
             nxt_node = jnp.full((Bc,), -1, jnp.int32)
             for b4 in range(4):
-                nxt_node = jnp.where(nb == b4, nrow[:, 8 + b4], nxt_node)
+                nxt_node = jnp.where(nb == b4, nrow[:, 4 + b4], nxt_node)
 
             # re-seed path (src/pseudoaligner.rs:285-299): residue-0
             # positions resolve via the precomputed next-hit table; in lazy
@@ -952,7 +956,7 @@ def _walk(meta, idx, packed, reads, lens, nh3,
             active2 = follow | found | enter_seek
             seeking2 = enter_seek
 
-            if lazy:
+            if lazy and not skip_seek:
                 # seek lanes: one exact probe at their current position
                 skp = s["kpos"]
                 kmw = _kmer_at(meta, rp_, jnp.clip(skp, 0, L - k))
@@ -1056,10 +1060,18 @@ def _walk(meta, idx, packed, reads, lens, nh3,
             | w_over
         )
     else:
-        f_state = _run(
-            f_cond, _unrolled(make_f_body(rp, lens, nh3, has_tbl)),
-            f_state, cap
-        )
+        body = _unrolled(make_f_body(rp, lens, nh3, has_tbl))
+        if lazy and unroll == 1 and cap != 1 and not global_mode:
+            # peel iteration 1 with the dead seek probe elided (seeking
+            # starts all-False; lanes can only ENTER seek during it)
+            f_state = make_f_body(rp, lens, nh3, has_tbl, skip_seek=True)(
+                f_state
+            )
+            f_state = _run(
+                f_cond, body, f_state, cap - 1 if cap > 0 else 0
+            )
+        else:
+            f_state = _run(f_cond, body, f_state, cap)
         # lanes cut off by the iteration cap need the exact fallback pass
         capped = f_state["active"] if cap > 0 else jnp.zeros((B,), bool)
     capped = capped | l_capped
@@ -1228,8 +1240,12 @@ def device_index_from_image(image, config: AlignerConfig):
     node_row[:, 1] = image.node_len
     node_row[:, 2] = image.node_exts
     node_row[:, 3] = image.node_ec
-    node_row[:, 4:8] = image.l_edge
-    node_row[:, 8:12] = image.r_edge
+    # r_edge before l_edge: the forward walk consumes columns 0..7 as a
+    # contiguous prefix, letting XLA narrow its per-iteration node-row
+    # gather to 8 of the 12 words; the (lane-compacted) left loop reads
+    # the l_edge tail at 8..11
+    node_row[:, 4:8] = image.r_edge
+    node_row[:, 8:12] = image.l_edge
 
     bucket_seed = 0
     W = image.kmer_keys.shape[1]

@@ -118,8 +118,10 @@ def build_sharded_graph(image: IndexImage, meta: MapMeta, n_shards: int):
             nr[:n, 1] = image.node_len[lo:hi]
             nr[:n, 2] = image.node_exts[lo:hi]
             nr[:n, 3] = image.node_ec[lo:hi]
-            nr[:n, 4:8] = image.l_edge[lo:hi]
-            nr[:n, 8:12] = image.r_edge[lo:hi]
+            # column order must match device_index_from_image's node_row
+            # (r_edge at 4:8 — the forward walk's contiguous prefix)
+            nr[:n, 4:8] = image.r_edge[lo:hi]
+            nr[:n, 8:12] = image.l_edge[lo:hi]
         else:
             pool_blocks.append(
                 _pack_pool_rows(np.zeros(0, np.uint8), pool_pad, pool_pad)

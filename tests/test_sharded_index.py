@@ -125,4 +125,5 @@ def test_build_sharded_graph_blocks(small_index):
         blk = gsh.node_rows[s, : hi - lo]
         assert np.array_equal(blk[:, 1], small_index.node_len[lo:hi])
         assert np.array_equal(blk[:, 3], small_index.node_ec[lo:hi])
-        assert np.array_equal(blk[:, 8:12], small_index.r_edge[lo:hi])
+        assert np.array_equal(blk[:, 4:8], small_index.r_edge[lo:hi])
+        assert np.array_equal(blk[:, 8:12], small_index.l_edge[lo:hi])
