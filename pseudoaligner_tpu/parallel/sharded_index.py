@@ -373,7 +373,9 @@ def make_kpart_step(
             meta, idx, reads, lens, nh3,
             fetch=fetch, cond_all=cond_all,
         )
-        if meta.tx_words > 0:
+        if meta.tx_words > 0 and meta.distinct_cap == 0:
+            # bitset TCC counts exist only on the full-output path; in
+            # compact serving mode counting rides the host emit pipeline
             counts = jax.lax.psum(tx_compat_counts(res, n_tx), axis)
         else:
             counts = jnp.zeros(n_tx, jnp.int32)
@@ -431,13 +433,14 @@ class KmerPartitionedAligner:
         import dataclasses
 
         dev, meta = device_index_from_image(image, config)
-        # lazy_seeds must be off here: in-loop lazy probes would hit the
-        # dummy cuckoo table (the routed tables already cover EVERY
-        # position, so the eager next-hit path is complete).  The walk cap
-        # must also be off: its exact-fallback channel (the -3 marker) only
-        # exists in the compact output, which this mode disables.
+        # lazy_seeds (and the two-tier seed knob riding on it) must be off
+        # here: in-loop lazy probes would hit the dummy cuckoo table (the
+        # routed tables already cover EVERY position, so the eager
+        # next-hit path is complete).  Compact outputs + walk caps pass
+        # through from the config: the -3 exact-fallback channel works
+        # per lane exactly as in the replicated engine.
         meta = dataclasses.replace(
-            meta, distinct_cap=0, lazy_seeds=False, max_walk_iters=0, max_left_iters=0
+            meta, lazy_seeds=False, seed_compact=0.0
         )
         self.meta = meta
         self.config = config

@@ -89,26 +89,28 @@ def test_kpart_sharded_graph_matches_replicated(small_index, small_reads, nd):
     assert np.array_equal(np.asarray(base.nodes), np.asarray(res.nodes))
 
 
-def test_kpart_default_config_uncapped(small_index, small_reads):
-    """Regression: with a DEFAULT config (distinct_cap>0, max_walk_iters>0)
-    the kpart mode must zero the inherited walk cap — its exact-fallback
-    channel (-3 marker) only exists in the compact output, which kpart
-    disables, so a leaked cap silently truncates deep walks."""
-    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=64)
+def test_kpart_default_config_serving(small_index, small_reads):
+    """With a DEFAULT config (compact outputs + walk caps) the kpart mode
+    keeps the serving shape: the caps and the -3 exact-fallback channel
+    pass through, producing per-lane outputs identical to the
+    single-device engine under the same (lazy-off, comparability)
+    settings."""
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=64,
+                        lazy_seeds=False, left_compact=0.0)
     assert cfg.distinct_cap > 0 and cfg.max_walk_iters > 0
     B, L = 64, 64
     codes, lens = _batch(small_reads, B, L)
 
-    full_cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64,
-                             max_nodes=64, distinct_cap=0, max_walk_iters=0)
-    base = Pseudoaligner(small_index, full_cfg).map_batch_device(codes, lens)
+    base = Pseudoaligner(small_index, cfg).map_batch_device(codes, lens)
 
     mesh = make_mesh(2)
     kp = KmerPartitionedAligner(small_index, cfg, mesh)
-    assert kp.meta.max_walk_iters == 0
+    assert kp.meta.max_walk_iters == cfg.max_walk_iters
+    assert kp.meta.distinct_cap == cfg.distinct_cap
     res, _ = kp.map_batch(codes, lens)
     assert np.array_equal(np.asarray(base.coverage), np.asarray(res.coverage))
-    assert np.array_equal(np.asarray(base.nodes), np.asarray(res.nodes))
+    assert np.array_equal(np.asarray(base.ec_distinct),
+                          np.asarray(res.ec_distinct))
 
 
 def test_build_sharded_graph_blocks(small_index):
@@ -127,3 +129,29 @@ def test_build_sharded_graph_blocks(small_index):
         assert np.array_equal(blk[:, 3], small_index.node_ec[lo:hi])
         assert np.array_equal(blk[:, 4:8], small_index.r_edge[lo:hi])
         assert np.array_equal(blk[:, 8:12], small_index.l_edge[lo:hi])
+
+
+@pytest.mark.parametrize("shard_graph", [False, True])
+def test_kpart_compact_serving_mode(small_index, small_reads, shard_graph):
+    """The k-mer-partitioned mode now supports the compact serving shape
+    (distinct_cap + walk caps with the per-lane -3 exact-fallback
+    channel): per-lane outputs must be identical to the single-device
+    compact engine (left compaction off so capacities can't differ
+    between the per-device and whole-batch lane sets)."""
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=9,
+                        distinct_cap=4, max_walk_iters=4, max_left_iters=2,
+                        left_compact=0.0, lazy_seeds=False)
+    B, L = 64, 64
+    codes, lens = _batch(small_reads, B, L)
+    single = Pseudoaligner(small_index, cfg)
+    base = single.map_batch_device(codes, lens)
+
+    mesh = make_mesh(4)
+    kp = KmerPartitionedAligner(small_index, cfg, mesh,
+                                shard_graph=shard_graph)
+    res, _counts = kp.map_batch(codes, lens)
+    assert np.array_equal(np.asarray(base.ec_distinct),
+                          np.asarray(res.ec_distinct))
+    assert np.array_equal(np.asarray(base.coverage),
+                          np.asarray(res.coverage))
+    assert np.array_equal(np.asarray(base.mapped), np.asarray(res.mapped))
