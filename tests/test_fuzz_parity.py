@@ -1,0 +1,76 @@
+"""Randomized device-vs-golden parity fuzz.
+
+The bundled-FASTQ parity tests cover the reference's smoke data; this
+sweep feeds the engine random transcriptomes and adversarial read shapes
+(poly-A vs the zero pool padding, exactly-k reads, SNP bursts, junction
+windows) and checks bit-exact agreement with the golden oracle."""
+
+import numpy as np
+
+from pseudoaligner_tpu.index.builder import build_index
+
+from .test_map_device import _check_parity
+
+
+def _random_transcripts(rng, n=24, lo=250, hi=900):
+    seqs = [
+        rng.integers(0, 4, int(rng.integers(lo, hi))).astype(np.uint8)
+        for _ in range(n)
+    ]
+    names = [f"TX{i}" for i in range(n)]
+    return seqs, names, {nm: f"G{i % 7}" for i, nm in enumerate(names)}
+
+
+def _fuzz_reads(rng, seqs, k, n=400, L=80):
+    reads = []
+    cat = np.concatenate(seqs)
+    for i in range(n):
+        kind = i % 8
+        if kind == 0:  # exact window
+            s = seqs[int(rng.integers(len(seqs)))]
+            st = int(rng.integers(0, max(1, len(s) - L)))
+            w = s[st : st + L].copy()
+        elif kind == 1:  # SNP burst (up to 4 errors)
+            s = seqs[int(rng.integers(len(seqs)))]
+            st = int(rng.integers(0, max(1, len(s) - L)))
+            w = s[st : st + L].copy()
+            for _ in range(int(rng.integers(1, 5))):
+                p = int(rng.integers(0, len(w)))
+                w[p] = (w[p] + 1 + rng.integers(0, 3)) % 4
+        elif kind == 2:  # random (mostly unmappable)
+            w = rng.integers(0, 4, L).astype(np.uint8)
+        elif kind == 3:  # poly-A (compares against the zero pool padding)
+            w = np.zeros(int(rng.integers(k, L)), np.uint8)
+        elif kind == 4:  # exactly k long
+            s = seqs[int(rng.integers(len(seqs)))]
+            st = int(rng.integers(0, max(1, len(s) - k)))
+            w = s[st : st + k].copy()
+        elif kind == 5:  # transcript tail crossing into another
+            st = int(rng.integers(0, len(cat) - L))
+            w = cat[st : st + L].copy()
+        elif kind == 6:  # reversed window
+            s = seqs[int(rng.integers(len(seqs)))]
+            st = int(rng.integers(0, max(1, len(s) - L)))
+            w = s[st : st + L][::-1].copy()
+        else:  # short (< k: must be unmapped)
+            w = rng.integers(0, 4, int(rng.integers(1, k))).astype(np.uint8)
+        reads.append((f"fz{i}", np.ascontiguousarray(w, dtype=np.uint8)))
+    return reads
+
+
+def test_fuzz_parity_k20():
+    rng = np.random.default_rng(1234)
+    seqs, names, gmap = _random_transcripts(rng)
+    image = build_index(seqs, names, gmap, k=20)
+    reads = _fuzz_reads(rng, seqs, k=20)
+    n = _check_parity(image, reads, max_read_len=96)
+    assert n == len(reads)
+
+
+def test_fuzz_parity_k20_second_seed():
+    rng = np.random.default_rng(987)
+    seqs, names, gmap = _random_transcripts(rng, n=12, lo=120, hi=400)
+    image = build_index(seqs, names, gmap, k=20)
+    reads = _fuzz_reads(rng, seqs, k=20, n=300, L=64)
+    n = _check_parity(image, reads, max_read_len=96)
+    assert n == len(reads)
