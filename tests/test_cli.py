@@ -199,3 +199,20 @@ def test_map_mphf_seed_index(cli_index, tmp_path):
                  "--max-read-len", "64", "--seed-index", "mphf"])
     assert b.returncode == 0, b.stderr
     assert a.stdout == b.stdout
+
+
+def test_map_empty_and_single_read(cli_index, tmp_path):
+    """Edge inputs: an empty FASTQ emits nothing (exit 0); a single read
+    round-trips through the batch padding."""
+    empty = tmp_path / "empty.fq"
+    empty.write_text("")
+    r = run_cli(["map", "-i", cli_index, str(empty), "--batch-size", "64",
+                 "--max-read-len", "64"])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == ""
+    one = tmp_path / "one.fq"
+    one.write_text("@r1\nACGTACGTACGTACGTACGTACGT\n+\n" + "I" * 24 + "\n")
+    r = run_cli(["map", "-i", cli_index, str(one), "--batch-size", "64",
+                 "--max-read-len", "64"])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == '(false, "r1", [], 0)'
