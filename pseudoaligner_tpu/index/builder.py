@@ -329,7 +329,6 @@ def assemble_native(
 
 def census_numpy(seqs: list[np.ndarray], k: int) -> CensusProduct:
     """Stage A, vectorized NumPy implementation."""
-    W = dna.kmer_words(k)
 
     log.info("k-mer census over %d sequences", len(seqs))
     occ_words, occ_tx, occ_ext = _census(seqs, k)
@@ -452,7 +451,6 @@ def census_sharded(seqs: list[np.ndarray], k: int) -> CensusProduct:
     from ..config import MIN_SHARD_SEQUENCES
     from .msp import group_by_slices, partition_contigs
 
-    W = dna.kmer_words(k)
 
     # per-contig occurrence exts (identical to the flank+interior union)
     runs = []  # (bucket, tx, start, end)

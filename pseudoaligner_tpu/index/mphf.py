@@ -167,7 +167,9 @@ def build_mphf(
         word_off += nwords
         key_off += int(uniq.sum())
         remaining = remaining[~uniq]
-    else:
+    # converging exactly at the last level is success (the native build,
+    # pa_mphf, accepts it too — the for/else form wrongly raised here)
+    if len(remaining):
         raise RuntimeError(
             f"MPHF did not converge in {MAX_LEVELS} levels ({len(remaining)} keys left)"
         )

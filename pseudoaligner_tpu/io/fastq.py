@@ -60,7 +60,8 @@ def read_fastq_records(path: str) -> Iterator[tuple[str, bytes]]:
                 raise ValueError("truncated FASTQ record")
             if not header.startswith(b"@") or not plus.startswith(b"+"):
                 raise ValueError("malformed FASTQ record")
-            rid = header[1:].rstrip(b"\r\n").split(b" ", 1)[0].decode()
+            rid = header[1:].split(None, 1)[0].decode()  # first ws-token
+            # (matches the native scanner, which stops at space/tab)
             yield rid, seq
 
 
@@ -89,6 +90,12 @@ class FastqReader:
         self.max_len = max_len
         self.segment_long = segment_long
         self.window_overlap = window_overlap
+        if segment_long and max_len <= window_overlap:
+            raise ValueError(
+                f"max_read_len={max_len} must exceed the segmentation "
+                f"window overlap ({window_overlap}, = k-1): windows "
+                "could never advance"
+            )
         self._read_index = 0
         self._pending: list[tuple[str, np.ndarray, int, int]] = []
         self._skip = skip_reads
@@ -99,7 +106,13 @@ class FastqReader:
                 import mmap
 
                 f = open(path, "rb")
-                self._buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                try:
+                    self._buf = mmap.mmap(
+                        f.fileno(), 0, access=mmap.ACCESS_READ
+                    )
+                except Exception:
+                    f.close()
+                    raise
                 self._file = f
                 self._off = 0
                 self._native = _native_mod
@@ -109,6 +122,21 @@ class FastqReader:
             self._records = read_fastq_records(path)
         if self._skip:
             self._do_skip(self._skip)
+
+    def close(self) -> None:
+        """Release the mmap/file handles deterministically (also called
+        when iteration completes; safe to call twice)."""
+        buf = getattr(self, "_buf", None)
+        if buf is not None:
+            try:
+                buf.close()
+            except Exception:
+                pass
+            self._buf = None
+        f = getattr(self, "_file", None)
+        if f is not None:
+            f.close()
+            self._file = None
 
     def _do_skip(self, n: int) -> None:
         """Skip the first n reads (restartable streaming / resume)."""
@@ -131,12 +159,15 @@ class FastqReader:
 
     def __iter__(self) -> Iterator[ReadBatch]:
         while True:
+            if self._native is not None and getattr(self, "_buf", None) is None:
+                return  # closed
             batch = (
                 self._next_batch_native()
                 if self._native is not None
                 else self._next_batch()
             )
             if batch is None:
+                self.close()
                 return
             yield batch
 
@@ -195,27 +226,15 @@ class FastqReader:
                     rid = bytes(
                         buf[id_spans[j, 0] : id_spans[j, 0] + id_spans[j, 1]]
                     ).decode()
-                    g = self._read_index
-                    self._read_index += 1
                     slen = int(slens[j])
                     if slen <= L:
+                        g = self._read_index
+                        self._read_index += 1
                         rows.append((rid, scodes[j, :slen], g, 0))
                         continue
-                    if not self.segment_long:
-                        raise ValueError(
-                            f"read {rid!r} length {slen} exceeds "
-                            f"max_read_len={L} (enable segment_long)"
-                        )
+                    # long read: shared encode+window logic (_rows_for)
                     raw = bytes(buf[seq_off[j] : seq_off[j] + slen])
-                    enc = _ENCODE_LUT[np.frombuffer(raw, dtype=np.uint8)]
-                    enc = np.where(enc == 255, 0, enc).astype(np.uint8)
-                    stride = L - self.window_overlap
-                    p = 0
-                    while True:
-                        rows.append((rid, enc[p : p + L], g, p))
-                        if p + L >= slen:
-                            break
-                        p = min(p + stride, slen - L)
+                    rows.extend(self._rows_for(rid, raw))
                 for row in rows:
                     if len(ids) < b:
                         rid, enc, g, off = row

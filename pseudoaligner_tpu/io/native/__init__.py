@@ -4,13 +4,11 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libpaparser.so")
 _SRC = os.path.join(_DIR, "parser.cpp")
 _lock = threading.Lock()
 _lib = None

@@ -196,11 +196,26 @@ class CellCounts:
                             stack.append(v)
         return n_clusters
 
+    def entry_counts(self, method: str = "exact") -> dict:
+        """Molecule count per (cell, class) pool, computed once per
+        method and memoized (directional clustering dominates the cost
+        and write(), cell_totals() and call_cells() all need it —
+        previously each recomputed the full clustering).  The memo keys
+        on n_mapped, which advances with every accumulation."""
+        cache = getattr(self, "_entry_counts_cache", None)
+        if cache is not None and cache[0] == (method, self.n_mapped):
+            return cache[1]
+        out = {
+            k: self.molecule_count(u, method) for k, u in self.umis.items()
+        }
+        self._entry_counts_cache = ((method, self.n_mapped), out)
+        return out
+
     def cell_totals(self, method: str = "exact") -> dict[int, int]:
         """Per-cell total molecule counts."""
         totals: dict[int, int] = {}
-        for (cell, _cls), u in self.umis.items():
-            totals[cell] = totals.get(cell, 0) + self.molecule_count(u, method)
+        for (cell, _cls), n in self.entry_counts(method).items():
+            totals[cell] = totals.get(cell, 0) + n
         return totals
 
     def call_cells(self, method: str = "exact") -> list[str]:
@@ -236,8 +251,8 @@ class CellCounts:
             for i in range(len(self.classes)):
                 f.write(f"{i}\t{','.join(map(str, inv_classes[i]))}\n")
         entries = sorted(
-            (cell, cls, self.molecule_count(u, umi_dedup))
-            for (cell, cls), u in self.umis.items()
+            (cell, cls, n)
+            for (cell, cls), n in self.entry_counts(umi_dedup).items()
         )
         with open(os.path.join(outdir, "matrix.mtx"), "w") as f:
             f.write("%%MatrixMarket matrix coordinate integer general\n")
@@ -263,7 +278,8 @@ def count_single_cell(
     per-read EC lists are never materialized (class identity comes from
     the device's distinct-class signatures, interned in first-appearance
     read order — same ec.tsv/matrix ordering as the record path), and
-    exact barcodes resolve via one vectorized probe per batch.
+    barcodes resolve through the whitelist per read (exact set hit or
+    unique 1-Hamming correction).
     """
     chem = chem or Chemistry()
     if aligner.meta.distinct_cap > 0:

@@ -119,3 +119,40 @@ def test_gzip_falls_back_to_python_reader(small_index, small_reads, tmp_path):
     a = [r.format_reference_style() for r in al.map_fastq(str(plain))]
     b = [r.format_reference_style() for r in al.map_fastq(str(gz))]
     assert a == b and len(a) == 60
+
+
+def test_tab_header_id_parity(small_index, tmp_path):
+    """Read ids stop at the first whitespace (space OR tab) in BOTH the
+    native scanner and the python/gz reader — same data compressed vs
+    plain must emit byte-identical records."""
+    import gzip
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    recs = b"@r1\tdesc here\nACGTACGTACGTACGTACGTACGTACGT\n+\n" + b"I" * 28 + b"\n" \
+        + b"@r2 space desc\nTTTTACGTACGTACGTACGTACGTACGT\n+\n" + b"I" * 28 + b"\n"
+    plain = tmp_path / "t.fq"
+    plain.write_bytes(recs)
+    gz = tmp_path / "t.fq.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(recs)
+    al = Pseudoaligner(small_index, AlignerConfig(
+        k=20, batch_size=16, max_read_len=64))
+    a = [r.format_reference_style() for r in al.map_fastq(str(plain))]
+    b = [r.format_reference_style() for r in al.map_fastq(str(gz))]
+    assert a == b
+    assert a[0].split('"')[1] == "r1" and a[1].split('"')[1] == "r2"
+
+
+def test_segmentation_window_guard(tmp_path):
+    """max_len <= window_overlap can never advance a window — must raise
+    instead of looping forever."""
+    import pytest
+
+    from pseudoaligner_tpu.io.fastq import FastqReader
+
+    fq = tmp_path / "x.fq"
+    fq.write_text("@r\n" + "A" * 40 + "\n+\n" + "I" * 40 + "\n")
+    with pytest.raises(ValueError, match="window overlap"):
+        FastqReader(str(fq), 4, 19, segment_long=True, window_overlap=19)
