@@ -218,14 +218,23 @@ def cmd_map(args, outdir: str) -> int:
     emitted = args.skip_reads
     progress_every = max(1, args.batch_size)
     out = sys.stdout
+
+    def write_progress():
+        # same crash-safe contract as the fast path: flush the records
+        # BEFORE the count advances, atomic replace against torn writes
+        out.flush()
+        tmp = args.progress_file + ".tmp"
+        with open(tmp, "w") as pf:
+            pf.write(str(emitted))
+        os.replace(tmp, args.progress_file)
+
     for rec in records:
         out.write(rec.format_reference_style() + "\n")
         if tcc is not None:
             tcc.add(rec.eq_class, mapped=rec.coverage > 0)
         emitted += 1
         if args.progress_file and emitted % progress_every == 0:
-            with open(args.progress_file, "w") as pf:
-                pf.write(str(emitted))
+            write_progress()
         if rec.flag:
             mapped_read_counter += 1
         read_counter += 1
@@ -235,6 +244,8 @@ def cmd_map(args, outdir: str) -> int:
                 f"\rDone Mapping {read_counter} reads w/ Rate: {_rust_f32_str(frac)}"
             )
             sys.stderr.flush()
+    if args.progress_file:
+        write_progress()  # final count (the loop writes only on multiples)
     sys.stderr.write("\n")
     if tcc is not None:
         ec_path, tsv_path = tcc.write(outdir)
@@ -252,6 +263,11 @@ def cmd_count(args, outdir: str) -> int:
 
     log.info("Reading index from disk")
     image = load_index(args.index)
+    if image.k != args.kmer_size:
+        # same contract as `map`: a -k that disagrees with the index is a
+        # wrong-index mixup, not something to silently ignore
+        print(f"Index was built with k={image.k}, not k={args.kmer_size}")
+        return 1
     cfg = AlignerConfig(
         k=image.k, batch_size=args.batch_size, max_read_len=args.max_read_len
     )

@@ -54,8 +54,15 @@ def _stats_impl(meta: MapMeta, idx: DeviceIndex, packed, lens):
     return n_positions, n_hits, n_fp
 
 
+_jitted_stats: dict = {}
+
+
 def batch_stats(meta: MapMeta, idx: DeviceIndex, packed, lens) -> BatchStats:
-    fn = jax.jit(partial(_stats_impl, meta))
+    # jit once per meta: a fresh jax.jit wrapper per call would re-trace
+    # and recompile the kernel on every batch
+    fn = _jitted_stats.get(meta)
+    if fn is None:
+        fn = _jitted_stats[meta] = jax.jit(partial(_stats_impl, meta))
     n_positions, n_hits, n_fp = (int(x) for x in fn(idx, packed, lens))
     n_reads = int((np.asarray(lens) > 0).sum())
     return BatchStats(

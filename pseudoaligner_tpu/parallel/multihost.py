@@ -88,11 +88,15 @@ def make_count_merge(mesh, n_tx: int, axis: str = READS_AXIS):
     def run(local_counts: np.ndarray):
         import jax
 
-        local_counts = np.asarray(local_counts, dtype=np.int64)
+        # int32 on purpose: without jax_enable_x64 the device collective
+        # would silently downcast int64 anyway, so declare the real
+        # ceiling (2^31 reads/transcript/run) instead of implying 64-bit
+        # safety; callers needing more should host-sum numpy int64.
+        local_counts = np.asarray(local_counts, dtype=np.int32)
         # each host's vector rides on its FIRST local device (zeros on the
         # rest); the psum over all devices is then the sum over hosts
         n_local = len(mesh.local_devices)
-        local_block = np.zeros((n_local, n_tx), dtype=np.int64)
+        local_block = np.zeros((n_local, n_tx), dtype=np.int32)
         local_block[0] = local_counts
         garr = jax.make_array_from_process_local_data(
             NamedSharding(mesh, P(axis)), local_block, (ndev, n_tx)

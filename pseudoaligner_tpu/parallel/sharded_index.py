@@ -100,7 +100,14 @@ def build_sharded_graph(image: IndexImage, meta: MapMeta, n_shards: int):
     Nb = (N + S - 1) // S
     starts = image.node_start.astype(np.int64)
     lens_ = image.node_len.astype(np.int64)
-    assert np.all(np.diff(starts) >= 0), "node_start must be nondecreasing"
+    # the real invariant the block slicing relies on: the pool is a strict
+    # contiguous concatenation of node sequences, so each block's slice
+    # [starts[lo], starts[hi-1]+lens[hi-1]) covers EVERY member's span
+    # (nondecreasing starts alone would allow an earlier node to extend
+    # past the slice end and silently read a truncated window)
+    assert np.all(starts[1:] == starts[:-1] + lens_[:-1]), (
+        "seq_pool must be the contiguous concatenation of node sequences"
+    )
     pool_pad = meta.pool_pad
 
     node_blocks, pool_blocks = [], []
@@ -269,6 +276,15 @@ def _routed_seed_tables(
     owner = (hash_kmer_jnp(flat, jnp.uint32(OWNER_SEED)) & jnp.uint32(S - 1)).astype(
         jnp.int32
     )
+    # route only VALID positions: zero-padded read tails all produce the
+    # IDENTICAL poly-A k-mer, which hashes to ONE owner — without this
+    # mask a short-read batch skews ~P-L positions per lane onto a single
+    # destination and overflows its CAP bucket.  Invalid positions take
+    # owner S (no destination -> the scatter's dump slot); their table
+    # entries stay -1, exactly what next_hit_table expects for them.
+    pos_grid = jnp.arange(P_, dtype=jnp.int32)[None, :]
+    valid = (pos_grid <= (lens[:, None] - meta.k)).reshape(n)
+    owner = jnp.where(valid, owner, jnp.int32(S))
 
     # bucket queries by owner: stable sort by owner, then position within
     # bucket = rank among same-owner entries
@@ -277,7 +293,9 @@ def _routed_seed_tables(
     pos_in_bucket = jnp.arange(n, dtype=jnp.int32) - jnp.searchsorted(
         owner_sorted, owner_sorted, side="left"
     ).astype(jnp.int32)
-    overflow = jnp.sum((pos_in_bucket >= CAP).astype(jnp.int32))
+    overflow = jnp.sum(
+        ((pos_in_bucket >= CAP) & (owner_sorted < S)).astype(jnp.int32)
+    )
 
     # fixed-capacity per-destination buffers with a dump slot (index CAP)
     # for overflow entries, so every scatter target is unique
@@ -496,6 +514,11 @@ class KmerPartitionedAligner:
     def map_batch(self, reads: np.ndarray, lens: np.ndarray):
         from ..ops.map_kernel import pack_reads_host
 
+        nd = int(self.mesh.devices.size)
+        if reads.shape[0] % nd:
+            raise ValueError(
+                f"batch {reads.shape[0]} not divisible by mesh size {nd}"
+            )
         packed = pack_reads_host(np.asarray(reads, dtype=np.uint8))
         r, l = self._shard_batch(packed, lens.astype(np.int32), self.mesh)
         res, counts, overflow = self._step(

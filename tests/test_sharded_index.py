@@ -155,3 +155,26 @@ def test_kpart_compact_serving_mode(small_index, small_reads, shard_graph):
     assert np.array_equal(np.asarray(base.coverage),
                           np.asarray(res.coverage))
     assert np.array_equal(np.asarray(base.mapped), np.asarray(res.mapped))
+
+
+def test_kpart_short_reads_no_routing_skew(small_index, small_reads):
+    """Zero-padded read tails all produce the identical poly-A k-mer;
+    routing them would send ~P-L positions per lane to ONE shard and
+    overflow its bucket.  Short reads (24bp at max_read_len=64) must map
+    without overflow and match the single-device engine."""
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=64,
+                        distinct_cap=0)
+    B, L = 64, 64
+    codes = np.zeros((B, L), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for j, (_, c) in enumerate(small_reads[:B]):
+        c = c[:24]
+        codes[j, : len(c)] = c
+        lens[j] = len(c)
+
+    base = Pseudoaligner(small_index, cfg).map_batch_device(codes, lens)
+    mesh = make_mesh(8)
+    kp = KmerPartitionedAligner(small_index, cfg, mesh)
+    res, _ = kp.map_batch(codes, lens)  # must not raise routing overflow
+    assert np.array_equal(np.asarray(base.coverage), np.asarray(res.coverage))
+    assert np.array_equal(np.asarray(base.ec_bits), np.asarray(res.ec_bits))
