@@ -174,6 +174,26 @@ def cmd_map(args, outdir: str) -> int:
         if args.skip_reads:
             print("--skip-reads is not supported in paired mode")
             return 1
+        try:
+            from .io import native  # noqa: F401
+
+            have_native_p = True
+        except Exception:
+            have_native_p = False
+        gz = args.reads_fastq.endswith(".gz") or args.reads_fastq2.endswith(
+            ".gz"
+        )
+        if (have_native_p and not gz and tcc is None
+                and aligner.meta.distinct_cap > 0):
+            # paired serving fast path: native signature-indirect emitter,
+            # fragment ECs intersected per distinct pair group in C++
+            n_reads = aligner.emit_fastq_paired(
+                args.reads_fastq, args.reads_fastq2, sys.stdout.buffer
+            )
+            sys.stdout.buffer.flush()
+            sys.stderr.write("\n")
+            log.info("Done Mapping Reads (%d pairs)", n_reads)
+            return 0
         records = aligner.map_fastq_paired(args.reads_fastq, args.reads_fastq2)
     else:
         # single-end fast path: whole-batch native record emission

@@ -35,6 +35,30 @@ log = logging.getLogger(__name__)
 _SENT = np.int64(1) << 40
 
 
+def _csr_rows(flat: np.ndarray, start: np.ndarray, idxs: np.ndarray):
+    """Select rows `idxs` of a CSR (flat, start) -> (sel_flat, sel_offs),
+    fully vectorized (np.repeat positional trick)."""
+    lens = np.diff(start)[idxs]
+    offs = np.zeros(len(idxs) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    if total == 0:
+        return np.zeros(0, flat.dtype), offs
+    pos = np.arange(total, dtype=np.int64)
+    pos += np.repeat(start[idxs] - offs[:-1], lens)
+    return flat[pos], offs
+
+
+def _fill_rows(dst_flat, dst_start, row_idxs, src_flat, src_offs):
+    """Write src CSR rows into dst rows `row_idxs` (orders aligned)."""
+    if len(row_idxs) == 0 or int(src_offs[-1]) == 0:
+        return
+    lens = np.diff(src_offs)
+    pos = np.arange(int(src_offs[-1]), dtype=np.int64)
+    pos += np.repeat(dst_start[row_idxs] - src_offs[:-1], lens)
+    dst_flat[pos] = src_flat
+
+
 def _canon_id_rows(vals: np.ndarray) -> np.ndarray:
     """[m, w] int64 id rows (invalid = _SENT) -> canonical form: each
     row ascending, distinct, _SENT-padded (two sorts + a dup mask)."""
@@ -811,6 +835,173 @@ class Pseudoaligner:
         cov = min(rec.coverage, total_len)
         flag = cov >= self.config.read_coverage_threshold and len(rec.eq_class) == 0
         return ReadRecord(flag, rec.read_id, rec.eq_class, cov)
+
+    def emit_fastq_paired(self, path1: str, path2: str, out) -> int:
+        """Paired-end serving fast path: both mates map through the
+        compact pipeline; per-read records are rendered by the native
+        signature-indirect emitter with fragment ECs intersected once per
+        distinct (case, sig, sig) group in C++ (pa_intersect_pairs).
+        Record-identical to map_fastq_paired; returns the read count."""
+        bs, L = self.config.batch_size, self.config.max_read_len
+        r1 = FastqReader(path1, bs, L)
+        r2 = FastqReader(path2, bs, L)
+        self._paired_emitted = 0
+        pending = prepared = None
+        for b1, b2 in zip(r1, r2):
+            if b1.n_reads != b2.n_reads:
+                raise ValueError("paired FASTQs have different read counts")
+            f1 = self.map_batch_device(b1.codes, b1.lens)
+            f2 = self.map_batch_device(b2.codes, b2.lens)
+            if pending is not None:
+                st = (
+                    self.emit_prepare(pending[0], pending[2]),
+                    self.emit_prepare(pending[1], pending[3]),
+                )
+                if prepared is not None:
+                    out.write(self.emit_finish_paired(*prepared))
+                prepared = st
+            pending = (f1, f2, b1, b2)
+        if pending is not None:
+            st = (
+                self.emit_prepare(pending[0], pending[2]),
+                self.emit_prepare(pending[1], pending[3]),
+            )
+            if prepared is not None:
+                out.write(self.emit_finish_paired(*prepared))
+            prepared = st
+        if prepared is not None:
+            out.write(self.emit_finish_paired(*prepared))
+        return self._paired_emitted
+
+    def emit_finish_paired(self, st1, st2) -> bytes:
+        """Phase 2 for one paired batch (semantics of _paired_rows:
+        both mates mapped -> EC intersection, one mapped -> its set,
+        coverage summed, ids from R1)."""
+        from ..golden import intersect as _gx
+        from ..io import native as _native
+
+        n = st1["n"]
+        ov1 = self._remap_collect(st1["remap_fut"])
+        ov2 = self._remap_collect(st2["remap_fut"])
+        cov1, cov2 = st1["cov"], st2["cov"]
+        for i in st1["overflow_rows"]:
+            cov1[i] = ov1[i][1]
+        for i in st2["overflow_rows"]:
+            cov2[i] = ov2[i][1]
+        cov = cov1 + cov2
+        inv1, inv2 = st1["inv"], st2["inv"]
+        sf1, ss1 = st1["sig_flat"], st1["sig_start"]
+        sf2, ss2 = st2["sig_flat"], st2["sig_start"]
+        has_ovr = st1["none_mask"][inv1] | st2["none_mask"][inv2]
+        m1 = cov1 > 0
+        m2 = cov2 > 0
+        case = m1.astype(np.int64) * 2 + m2.astype(np.int64)
+        key1 = np.where(m1, inv1, -1)
+        key2 = np.where(m2, inv2, -1)
+        simple = ~has_ovr
+        ks = np.stack([case, key1, key2], axis=1)[simple]
+        if len(ks):
+            order = np.lexsort(ks.T[::-1])
+            srt = ks[order]
+            head = np.ones(len(srt), bool)
+            head[1:] = np.any(srt[1:] != srt[:-1], axis=1)
+            kinv = np.empty(len(ks), np.int64)
+            kinv[order] = np.cumsum(head) - 1
+            uk = srt[head]
+        else:
+            kinv = np.zeros(0, np.int64)
+            uk = np.zeros((0, 3), np.int64)
+        U = len(uk)
+        c_u, g1_u, g2_u = uk[:, 0], uk[:, 1], uk[:, 2]
+        both = c_u == 3
+        only1 = c_u == 2
+        only2 = c_u == 1
+        lens_u = np.zeros(U, np.int64)
+        flat3 = np.zeros(0, np.uint32)
+        offs3 = np.zeros(1, np.int64)
+        if both.any():
+            fa, oa = _csr_rows(sf1, ss1, g1_u[both])
+            fb, ob = _csr_rows(sf2, ss2, g2_u[both])
+            try:
+                from ..ops.native import intersect_pairs
+
+                flat3, offs3 = intersect_pairs(fa, oa, fb, ob)
+            except Exception:
+                parts = []
+                nb = int(both.sum())
+                offs3 = np.zeros(nb + 1, np.int64)
+                for j in range(nb):
+                    eq = _gx(
+                        [int(x) for x in fa[oa[j] : oa[j + 1]]],
+                        [int(x) for x in fb[ob[j] : ob[j + 1]]],
+                    )
+                    parts.append(np.asarray(eq, np.uint32))
+                    offs3[j + 1] = offs3[j] + len(parts[-1])
+                flat3 = (
+                    np.concatenate(parts) if parts else np.zeros(0, np.uint32)
+                )
+            lens_u[both] = np.diff(offs3)
+        lens_u[only1] = np.diff(ss1)[g1_u[only1]]
+        lens_u[only2] = np.diff(ss2)[g2_u[only2]]
+        sig_start = np.zeros(U + 1, np.int64)
+        np.cumsum(lens_u, out=sig_start[1:])
+        sig_flat = np.empty(int(sig_start[-1]), np.uint32)
+        _fill_rows(sig_flat, sig_start, np.nonzero(both)[0], flat3, offs3)
+        for mask, sf, ss, gu in (
+            (only1, sf1, ss1, g1_u), (only2, sf2, ss2, g2_u)
+        ):
+            idxs = np.nonzero(mask)[0]
+            if len(idxs):
+                src_flat, src_offs = _csr_rows(sf, ss, gu[idxs])
+                _fill_rows(sig_flat, sig_start, idxs, src_flat, src_offs)
+
+        sig_of_read = np.full(n, -1, np.int64)
+        sig_of_read[simple] = kinv
+
+        def _mate_list(st, ov, invm, i):
+            g = invm[i]
+            if st["none_mask"][g]:
+                return np.asarray(ov[i][0], np.uint32)
+            sf, ss = st["sig_flat"], st["sig_start"]
+            return sf[ss[g] : ss[g + 1]]
+
+        ovr_rows = np.nonzero(has_ovr)[0].astype(np.int64)
+        ovr_lists = []
+        for i in ovr_rows:
+            la = _mate_list(st1, ov1, inv1, i) if m1[i] else None
+            lb = _mate_list(st2, ov2, inv2, i) if m2[i] else None
+            if la is not None and lb is not None:
+                eq = np.asarray(
+                    _gx([int(x) for x in la], [int(x) for x in lb]),
+                    np.uint32,
+                )
+            elif la is not None:
+                eq = np.asarray(la, np.uint32)
+            elif lb is not None:
+                eq = np.asarray(lb, np.uint32)
+            else:
+                eq = np.zeros(0, np.uint32)
+            ovr_lists.append(eq)
+        ovr_start = np.zeros(len(ovr_rows) + 1, np.int64)
+        if len(ovr_rows):
+            np.cumsum(
+                np.array([len(x) for x in ovr_lists], np.int64),
+                out=ovr_start[1:],
+            )
+        ovr_ids = (
+            np.concatenate(ovr_lists) if ovr_lists else np.zeros(0, np.uint32)
+        )
+
+        batch = st1["batch"]
+        id_lens = np.array([len(s) for s in batch.ids], dtype=np.int64)
+        id_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(id_lens, out=id_offs[1:])
+        ids_concat = "".join(batch.ids).encode()
+        self._paired_emitted = getattr(self, "_paired_emitted", 0) + n
+        return _native.emit_records_sig(
+            cov, self.config.read_coverage_threshold, ids_concat, id_offs,
+            sig_of_read, sig_start, sig_flat, ovr_rows, ovr_start, ovr_ids,
+        )
 
     def map_fastq_paired(self, path1: str, path2: str):
         """Paired-end mapping (BASELINE config 3): both mates are mapped

@@ -49,6 +49,11 @@ def _load():
                 _I64P, _U32P, ctypes.c_int64,                    # EC CSR, sent
                 _U32P, _I64P,                                    # outputs
             ]
+            lib.pa_intersect_pairs.restype = None
+            lib.pa_intersect_pairs.argtypes = [
+                _U32P, _I64P, _U32P, _I64P,                      # A, B CSRs
+                ctypes.c_int64, _U32P, _I64P,                    # m, outputs
+            ]
             _lib = lib
     return _lib
 
@@ -168,3 +173,23 @@ def intersect_ecs(rows: np.ndarray, ec_offsets: np.ndarray,
         sent, out.ctypes.data_as(_U32P), offs.ctypes.data_as(_I64P),
     )
     return out, offs
+
+
+def intersect_pairs(flat_a, offs_a, flat_b, offs_b):
+    """Batch intersection of sorted uint32 list pairs (C++): row i ->
+    intersect(A[i], B[i]).  Returns (flat uint32, offsets int64[m+1])."""
+    lib = _load()
+    flat_a = np.ascontiguousarray(flat_a, dtype=np.uint32)
+    flat_b = np.ascontiguousarray(flat_b, dtype=np.uint32)
+    offs_a = np.ascontiguousarray(offs_a, dtype=np.int64)
+    offs_b = np.ascontiguousarray(offs_b, dtype=np.int64)
+    m = len(offs_a) - 1
+    cap = int(np.minimum(np.diff(offs_a), np.diff(offs_b)).sum())
+    out = np.empty(cap, np.uint32)
+    oo = np.empty(m + 1, np.int64)
+    lib.pa_intersect_pairs(
+        flat_a.ctypes.data_as(_U32P), offs_a.ctypes.data_as(_I64P),
+        flat_b.ctypes.data_as(_U32P), offs_b.ctypes.data_as(_I64P),
+        m, out.ctypes.data_as(_U32P), oo.ctypes.data_as(_I64P),
+    )
+    return out[: int(oo[-1])], oo  # trim to the used prefix

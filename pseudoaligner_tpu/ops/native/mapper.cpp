@@ -310,4 +310,26 @@ void pa_intersect_ecs(
   }
 }
 
+// Batch intersection of sorted uint32 list PAIRS (the paired-end
+// fragment-compatibility sets: row i = intersect(A[i], B[i])).
+// out must have room for sum_i min(|A_i|, |B_i|).
+void pa_intersect_pairs(const uint32_t* fa, const int64_t* oa,
+                        const uint32_t* fb, const int64_t* ob, int64_t m,
+                        uint32_t* out, int64_t* oo) {
+  int64_t pos = 0;
+  oo[0] = 0;
+  for (int64_t i = 0; i < m; i++) {
+    const uint32_t* a = fa + oa[i];
+    const uint32_t* ae = fa + oa[i + 1];
+    const uint32_t* b = fb + ob[i];
+    const uint32_t* be = fb + ob[i + 1];
+    while (a < ae && b < be) {
+      if (*a < *b) a++;
+      else if (*b < *a) b++;
+      else { out[pos++] = *a; a++; b++; }
+    }
+    oo[i + 1] = pos;
+  }
+}
+
 }  // extern "C"

@@ -216,3 +216,24 @@ def test_map_empty_and_single_read(cli_index, tmp_path):
                  "--max-read-len", "64"])
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip() == '(false, "r1", [], 0)'
+
+
+def test_map_paired_fast_path_matches_record_path(cli_index, tmp_path):
+    """The paired CLI fast path (native signature-indirect emitter) must
+    print records identical to the record path (forced here via --tcc,
+    which keeps the per-read path)."""
+    r1 = tmp_path / "p1.fq"
+    r2 = tmp_path / "p2.fq"
+    with open("/root/reference/test/small.fq") as f:
+        lines = [next(f) for _ in range(1600)]
+    r1.write_text("".join(lines[:800]))
+    r2.write_text("".join(lines[800:]))
+    fast = run_cli(["map", "-i", cli_index, str(r1), str(r2),
+                    "--batch-size", "64", "--max-read-len", "64"])
+    assert fast.returncode == 0, fast.stderr
+    slow = run_cli(["map", "-i", cli_index, str(r1), str(r2),
+                    "--batch-size", "64", "--max-read-len", "64",
+                    "--tcc", "-o", str(tmp_path / "t")])
+    assert slow.returncode == 0, slow.stderr
+    assert fast.stdout == slow.stdout
+    assert len(fast.stdout.strip().splitlines()) == 200

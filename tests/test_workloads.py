@@ -292,3 +292,34 @@ def test_segmentation_preserves_short_read_parity(aligner, small_reads, tmp_path
             eq, cov = r
             assert rec.eq_class == eq, rid
             assert rec.coverage == cov, rid
+
+
+def test_paired_fast_path_matches_record_path(small_index, small_reads, tmp_path):
+    """emit_fastq_paired (signature-indirect native paired emitter) must be
+    byte-identical to the map_fastq_paired record path."""
+    import io as iomod
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    r1 = tmp_path / "p1.fq"
+    r2 = tmp_path / "p2.fq"
+    dec = "ACGT"
+    n = 500
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(n):
+            a = "".join(dec[b] for b in small_reads[i][1][:60])
+            b_ = "".join(dec[b] for b in small_reads[n + i][1][:60])
+            f1.write(f"@p{i}\n{a}\n+\n{'I'*len(a)}\n")
+            f2.write(f"@p{i}\n{b_}\n+\n{'I'*len(b_)}\n")
+    al = Pseudoaligner(small_index, AlignerConfig(
+        k=20, batch_size=128, max_read_len=64, max_nodes=9,
+        distinct_cap=3, max_walk_iters=4, max_left_iters=2))
+    want = "".join(
+        rec.format_reference_style() + "\n"
+        for rec in al.map_fastq_paired(str(r1), str(r2))
+    ).encode()
+    buf = iomod.BytesIO()
+    n_out = al.emit_fastq_paired(str(r1), str(r2), buf)
+    assert n_out == n
+    assert buf.getvalue() == want
