@@ -348,6 +348,17 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         r2_path, aligner.config.batch_size, aligner.config.max_read_len
     )
 
+    import numpy as np
+
+    bc_lut = np.full(256, 255, np.uint8)
+    for _j, _b in enumerate(b"ACGT"):
+        bc_lut[_b] = _j
+    wl_sorted = None
+    if whitelist is not None:
+        wl_sorted = np.sort(
+            np.fromiter(whitelist.exact, np.uint64, len(whitelist.exact))
+        )
+
     def consume(state, seq1s):
         overflow = aligner._remap_collect(state["remap_fut"])
         inv = state["inv"]
@@ -355,14 +366,54 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         sig_start = state["sig_start"]
         sig_flat = state["sig_flat"]
         ov_rows = set(state["overflow_rows"])
+        n = state["n"]
+        # vectorized R1 screen: fixed-width prefixes, short/bad mask, and
+        # (with a whitelist) the exact-hit mask — the per-read loop below
+        # then only touches dicts for pre-resolved values.  0xFF never
+        # appears in FASTQ seq bytes, so it marks too-short rows.
+        ml = chem.r1_min_len
+        bl = chem.bc_len
+        BADROW = b"\xff" * ml
+        pref = b"".join(
+            s[:ml] if len(s) >= ml else BADROW for s in seq1s[:n]
+        )
+        arr = np.frombuffer(pref, np.uint8).reshape(n, ml)
+        short = arr[:, 0] == 0xFF
+        exact_hit = None
+        if wl_sorted is not None:
+            codes = bc_lut[arr[:, :bl]]
+            clean = ~short & np.all(codes != 255, axis=1)
+            packed = np.zeros(n, np.uint64)
+            for j in range(bl):
+                packed = (packed << np.uint64(2)) | codes[:, j].astype(
+                    np.uint64
+                )
+            if len(wl_sorted):
+                pos = np.minimum(
+                    np.searchsorted(wl_sorted, packed), len(wl_sorted) - 1
+                )
+                exact_hit = clean & (wl_sorted[pos] == packed)
+            else:
+                exact_hit = np.zeros(n, bool)
+        shortl = short.tolist()
+        hitl = exact_hit.tolist() if exact_hit is not None else None
         # class ids interned lazily at first READ appearance (exact
         # ordering parity with the record path's counts.classes)
         sig_cid: dict = {}
-        for i in range(state["n"]):
-            seq1 = seq1s[i]
-            bc, umi = _process_r1(counts, seq1, chem, whitelist)
-            if bc is None:
+        for i in range(n):
+            if shortl[i]:
+                counts.n_bad_r1 += 1
+                counts.n_reads += 1
                 continue
+            seq1 = seq1s[i]
+            if hitl is None or hitl[i]:
+                # no whitelist (face value) or exact whitelist hit
+                bc = seq1[:bl].decode()
+                umi = seq1[bl:ml].decode()
+            else:
+                bc, umi = _process_r1(counts, seq1, chem, whitelist)
+                if bc is None:
+                    continue
             if i in ov_rows:
                 eq = overflow[i][0]
                 counts.add(bc, umi, eq)
