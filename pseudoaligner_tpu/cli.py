@@ -187,8 +187,17 @@ def cmd_map(args, outdir: str) -> int:
                 and aligner.meta.distinct_cap > 0):
             # paired serving fast path: native signature-indirect emitter,
             # fragment ECs intersected per distinct pair group in C++
+            def pprog(nn):
+                if args.progress_file:
+                    sys.stdout.buffer.flush()
+                    tmp = args.progress_file + ".tmp"
+                    with open(tmp, "w") as pf:
+                        pf.write(str(nn))
+                    os.replace(tmp, args.progress_file)
+
             n_reads = aligner.emit_fastq_paired(
-                args.reads_fastq, args.reads_fastq2, sys.stdout.buffer
+                args.reads_fastq, args.reads_fastq2, sys.stdout.buffer,
+                progress_cb=pprog if args.progress_file else None,
             )
             sys.stdout.buffer.flush()
             sys.stderr.write("\n")

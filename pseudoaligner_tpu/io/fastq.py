@@ -69,10 +69,23 @@ def read_fastq_seqs(path: str, chunk_bytes: int = 1 << 26) -> Iterator[bytes]:
     """Yield each record's SEQ line (raw bytes, N preserved) from a
     (possibly gzipped) FASTQ — chunked bulk reads + one split per chunk
     instead of a per-record readline loop (~20x faster; the R1
-    barcode/UMI stream of the count pipeline is parse-bound)."""
+    barcode/UMI stream of the count pipeline is parse-bound).  Validates
+    the 4-line structure ('@' headers, '+' separators, complete final
+    record) so a malformed file raises instead of silently desyncing."""
     with _open(path) as f:
         carry = b""
         lineno = 0  # cycles 0 header, 1 seq, 2 plus, 3 qual
+
+        def take(ln):
+            nonlocal lineno
+            if lineno == 0 and not ln.startswith(b"@"):
+                raise ValueError("malformed FASTQ record")
+            if lineno == 2 and not ln.startswith(b"+"):
+                raise ValueError("malformed FASTQ record")
+            out = ln.rstrip(b"\r") if lineno == 1 else None
+            lineno = (lineno + 1) & 3
+            return out
+
         while True:
             chunk = f.read(chunk_bytes)
             if not chunk:
@@ -80,11 +93,15 @@ def read_fastq_seqs(path: str, chunk_bytes: int = 1 << 26) -> Iterator[bytes]:
             lines = (carry + chunk).split(b"\n")
             carry = lines.pop()  # possibly-partial tail line
             for ln in lines:
-                if lineno == 1:
-                    yield ln.rstrip(b"\r")
-                lineno = (lineno + 1) & 3
-        if carry and lineno == 1:
-            yield carry.rstrip(b"\r")
+                seq = take(ln)
+                if seq is not None:
+                    yield seq
+        if carry:
+            seq = take(carry)
+            if seq is not None:
+                yield seq
+        if lineno != 0:
+            raise ValueError("truncated FASTQ record")
 
 
 class FastqReader:

@@ -59,6 +59,22 @@ def _fill_rows(dst_flat, dst_start, row_idxs, src_flat, src_offs):
     dst_flat[pos] = src_flat
 
 
+def _group_rows(mat: np.ndarray):
+    """Group identical rows -> (uniq_rows, inverse), group ids in
+    lexicographic order (one lexsort + adjacent compare; np.unique(axis=0)
+    void-sorts ~9x slower on the same rows)."""
+    m = len(mat)
+    if m == 0:
+        return mat, np.zeros(0, np.int64)
+    order = np.lexsort(mat.T[::-1])
+    srt = mat[order]
+    head = np.ones(m, bool)
+    head[1:] = np.any(srt[1:] != srt[:-1], axis=1)
+    inv = np.empty(m, np.int64)
+    inv[order] = np.cumsum(head) - 1
+    return srt[head], inv
+
+
 def _canon_id_rows(vals: np.ndarray) -> np.ndarray:
     """[m, w] int64 id rows (invalid = _SENT) -> canonical form: each
     row ascending, distinct, _SENT-padded (two sorts + a dup mask)."""
@@ -342,22 +358,7 @@ class Pseudoaligner:
         )
         u1, inv1 = np.unique(dist[single, 0], return_inverse=True)
         multi = dist[~single]
-        if len(multi):
-            # exact lexicographic row grouping: lexsort + adjacent compare
-            # (np.unique(axis=0)'s void-view sort measured ~9x slower on
-            # the same rows)
-            order = np.lexsort(multi.T[::-1])
-            sm = multi[order]
-            head = np.ones(len(sm), dtype=bool)
-            if len(sm) > 1:
-                head[1:] = np.any(sm[1:] != sm[:-1], axis=1)
-            gid_sorted = np.cumsum(head) - 1
-            u2 = sm[head]
-            inv2 = np.empty(len(multi), dtype=np.int64)
-            inv2[order] = gid_sorted
-        else:
-            u2 = np.zeros((0, dist.shape[1]), dist.dtype)
-            inv2 = np.zeros(0, np.int64)
+        u2, inv2 = _group_rows(multi)
         inv = np.empty(n, dtype=np.int64)
         inv[single] = inv1
         inv[~single] = inv2 + len(u1)
@@ -836,7 +837,8 @@ class Pseudoaligner:
         flag = cov >= self.config.read_coverage_threshold and len(rec.eq_class) == 0
         return ReadRecord(flag, rec.read_id, rec.eq_class, cov)
 
-    def emit_fastq_paired(self, path1: str, path2: str, out) -> int:
+    def emit_fastq_paired(self, path1: str, path2: str, out,
+                          progress_cb=None) -> int:
         """Paired-end serving fast path: both mates map through the
         compact pipeline; per-read records are rendered by the native
         signature-indirect emitter with fragment ECs intersected once per
@@ -846,31 +848,40 @@ class Pseudoaligner:
         r1 = FastqReader(path1, bs, L)
         r2 = FastqReader(path2, bs, L)
         self._paired_emitted = 0
+        it1, it2 = iter(r1), iter(r2)
         pending = prepared = None
-        for b1, b2 in zip(r1, r2):
-            if b1.n_reads != b2.n_reads:
+
+        def flush_prepared():
+            nonlocal prepared
+            if prepared is not None:
+                out.write(self.emit_finish_paired(*prepared))
+                if progress_cb is not None:
+                    progress_cb(self._paired_emitted)
+            prepared = None
+
+        while True:
+            b1 = next(it1, None)
+            b2 = next(it2, None)
+            # whole-batch mismatches must error too (zip would silently
+            # drop the longer file's tail)
+            if (b1 is None) != (b2 is None) or (
+                b1 is not None and b1.n_reads != b2.n_reads
+            ):
                 raise ValueError("paired FASTQs have different read counts")
-            f1 = self.map_batch_device(b1.codes, b1.lens)
-            f2 = self.map_batch_device(b2.codes, b2.lens)
+            if b1 is not None:
+                f1 = self.map_batch_device(b1.codes, b1.lens)
+                f2 = self.map_batch_device(b2.codes, b2.lens)
             if pending is not None:
                 st = (
                     self.emit_prepare(pending[0], pending[2]),
                     self.emit_prepare(pending[1], pending[3]),
                 )
-                if prepared is not None:
-                    out.write(self.emit_finish_paired(*prepared))
+                flush_prepared()
                 prepared = st
+            if b1 is None:
+                break
             pending = (f1, f2, b1, b2)
-        if pending is not None:
-            st = (
-                self.emit_prepare(pending[0], pending[2]),
-                self.emit_prepare(pending[1], pending[3]),
-            )
-            if prepared is not None:
-                out.write(self.emit_finish_paired(*prepared))
-            prepared = st
-        if prepared is not None:
-            out.write(self.emit_finish_paired(*prepared))
+        flush_prepared()
         return self._paired_emitted
 
     def emit_finish_paired(self, st1, st2) -> bytes:
@@ -899,18 +910,7 @@ class Pseudoaligner:
         key1 = np.where(m1, inv1, -1)
         key2 = np.where(m2, inv2, -1)
         simple = ~has_ovr
-        ks = np.stack([case, key1, key2], axis=1)[simple]
-        if len(ks):
-            order = np.lexsort(ks.T[::-1])
-            srt = ks[order]
-            head = np.ones(len(srt), bool)
-            head[1:] = np.any(srt[1:] != srt[:-1], axis=1)
-            kinv = np.empty(len(ks), np.int64)
-            kinv[order] = np.cumsum(head) - 1
-            uk = srt[head]
-        else:
-            kinv = np.zeros(0, np.int64)
-            uk = np.zeros((0, 3), np.int64)
+        uk, kinv = _group_rows(np.stack([case, key1, key2], axis=1)[simple])
         U = len(uk)
         c_u, g1_u, g2_u = uk[:, 0], uk[:, 1], uk[:, 2]
         both = c_u == 3
@@ -1021,11 +1021,18 @@ class Pseudoaligner:
         """
         r1 = FastqReader(path1, self.config.batch_size, self.config.max_read_len)
         r2 = FastqReader(path2, self.config.batch_size, self.config.max_read_len)
+        it1, it2 = iter(r1), iter(r2)
         pending = None
         pair_memo: dict = {}
-        for b1, b2 in zip(r1, r2):
-            if b1.n_reads != b2.n_reads:
+        while True:
+            b1 = next(it1, None)
+            b2 = next(it2, None)
+            if (b1 is None) != (b2 is None) or (
+                b1 is not None and b1.n_reads != b2.n_reads
+            ):
                 raise ValueError("paired FASTQs have different read counts")
+            if b1 is None:
+                break
             res1 = self.map_batch_device(b1.codes, b1.lens)
             res2 = self.map_batch_device(b2.codes, b2.lens)
             if pending is not None:

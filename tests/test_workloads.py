@@ -323,3 +323,46 @@ def test_paired_fast_path_matches_record_path(small_index, small_reads, tmp_path
     n_out = al.emit_fastq_paired(str(r1), str(r2), buf)
     assert n_out == n
     assert buf.getvalue() == want
+
+
+def test_paired_batch_count_mismatch_raises(small_index, small_reads, tmp_path):
+    """Whole-batch length mismatches must raise, not silently truncate
+    (zip-based iteration dropped the longer file's tail)."""
+    import io as iomod
+
+    import pytest
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    dec = "ACGT"
+    r1 = tmp_path / "m1.fq"
+    r2 = tmp_path / "m2.fq"
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(96):  # 2 batches of 48 vs 1 batch
+            a = "".join(dec[b] for b in small_reads[i][1][:60])
+            f1.write(f"@p{i}\n{a}\n+\n{'I'*len(a)}\n")
+            if i < 48:
+                f2.write(f"@p{i}\n{a}\n+\n{'I'*len(a)}\n")
+    al = Pseudoaligner(small_index, AlignerConfig(
+        k=20, batch_size=48, max_read_len=64, max_nodes=9, distinct_cap=3,
+        max_walk_iters=4, max_left_iters=2))
+    with pytest.raises(ValueError, match="different read counts"):
+        al.emit_fastq_paired(str(r1), str(r2), iomod.BytesIO())
+    with pytest.raises(ValueError, match="different read counts"):
+        list(al.map_fastq_paired(str(r1), str(r2)))
+
+
+def test_read_fastq_seqs_rejects_malformed(tmp_path):
+    import pytest
+
+    from pseudoaligner_tpu.io.fastq import read_fastq_seqs
+
+    bad = tmp_path / "bad.fq"
+    bad.write_text("@r1\nACGT\nACGT\nIIII\n")  # missing '+' line
+    with pytest.raises(ValueError, match="malformed"):
+        list(read_fastq_seqs(str(bad)))
+    trunc = tmp_path / "trunc.fq"
+    trunc.write_text("@r1\nACGT\n+\n")  # no qual line
+    with pytest.raises(ValueError, match="truncated"):
+        list(read_fastq_seqs(str(trunc)))
