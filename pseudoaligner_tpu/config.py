@@ -137,6 +137,12 @@ class AlignerConfig:
     # the -3 flagged volume from 4k to 15k/batch and eat the ~5ms probe
     # saving — stays off; revisit only for low-error read sets.
     seed_compact: float = 0.0
+    # Overlapping pool rows (rows start every 128 - 16*(cmp_words+1)
+    # bases): every compare window fits ONE row, halving the window
+    # gather elements per walk iteration.  CPU-validated bit-exact;
+    # default off pending on-chip validation (the TPU tunnel was down
+    # when this landed) — flip after measuring.
+    pool_overlap: bool = False
 
     def __post_init__(self):
         if self.k < 4 or self.k > 64:

@@ -100,6 +100,11 @@ class MapMeta:
     ones_node: int = -1
     ones_off: int = -1
     pool_pad: int = 256  # zero bases padded at pool front (and >= back)
+    # Overlapping pool rows: rows start every pool_stride bases (0 =
+    # legacy 128-aligned rows).  Set to 128 - 16*(cmp_words+1) when that
+    # is >= 16, making every compare window single-row (8 gathered
+    # elements instead of 16 per lane per walk iteration — PERF.md).
+    pool_stride: int = 0
     # Compact serving outputs: per-read distinct EC ids [B, distinct_cap]
     # instead of node lists + EC bitsets — host->device transfer drops from
     # ~360B to ~34B per read (the tunnel/PCIe link is the serving
@@ -269,6 +274,17 @@ def _extract_pool_window_rows(meta: MapMeta, pool_rows: jnp.ndarray, q: jnp.ndar
     """_extract_pool_window against an explicit [R, 8] pool-row array
     (used by the graph-sharded mode, where each shard extracts windows
     from its local pool slice)."""
+    if meta.pool_stride:
+        # overlapping rows: r = q // stride always covers [q, q + W)
+        # (W = 16*(cmp_words+1) and stride = 128 - W, so q mod stride
+        # <= stride <= 128 - W); one 8-word row gather per lane
+        S = meta.pool_stride
+        r = jnp.clip(q // S, 0, pool_rows.shape[0] - 1)
+        row = jnp.take(pool_rows, r, axis=0)  # [B, 8]
+        o = q - r * S
+        sel = _select_words(row, (o >> 4).astype(jnp.int32),
+                            meta.cmp_words + 1)
+        return _shift_words(sel, (o & 15) * 2, meta.cmp_words)
     NR = meta.pool_fetch_rows
     r0 = (q >> 7).astype(jnp.int32)
     # one gather for all NR consecutive rows (stacked indices) — same index
@@ -1208,8 +1224,15 @@ def build_ec_bitsets(ec_offsets: np.ndarray, ec_txs: np.ndarray, n_tx: int) -> n
     return bits
 
 
-def _pack_pool_rows(seq_pool: np.ndarray, pad_front: int, pad_back: int) -> np.ndarray:
-    """uint8 base codes -> [R, 8] uint32 rows (128 bases/row), zero padded."""
+def _pack_pool_rows(seq_pool: np.ndarray, pad_front: int, pad_back: int,
+                    stride: int = 0) -> np.ndarray:
+    """uint8 base codes -> [R, 8] uint32 rows (128 bases/row), zero padded.
+
+    stride > 0 builds OVERLAPPING rows starting every `stride` bases
+    (stride a multiple of 16): with stride = 128 - 16*(cmp_words+1),
+    every compare window fits in ONE row — the window fetch gathers 8
+    elements per lane instead of 16 (gathers price per element consumed;
+    PERF.md).  Memory cost: x(128/stride) on the (small) packed pool."""
     from .. import dna
 
     total = pad_front + len(seq_pool) + pad_back
@@ -1217,6 +1240,12 @@ def _pack_pool_rows(seq_pool: np.ndarray, pad_front: int, pad_back: int) -> np.n
     codes = np.zeros(total, dtype=np.uint8)
     codes[pad_front : pad_front + len(seq_pool)] = seq_pool
     words = dna.pack_codes_2bit(codes)
+    if stride:
+        assert stride % 16 == 0 and 16 <= stride < 128
+        sw = stride // 16
+        flat = np.ascontiguousarray(words)
+        win = np.lib.stride_tricks.sliding_window_view(flat, 8)[::sw]
+        return np.ascontiguousarray(win)
     return words.reshape(-1, 8)
 
 
@@ -1232,7 +1261,13 @@ def device_index_from_image(image, config: AlignerConfig):
 
     L = config.max_read_len
     pool_pad = ((L + 127) // 128 + 1) * 128
-    pool_rows = _pack_pool_rows(image.seq_pool, pool_pad, pool_pad)
+    cmp_words = (L + 15) // 16 + 1
+    pool_stride = 128 - 16 * (cmp_words + 1) if config.pool_overlap else 0
+    if pool_stride < 16:
+        pool_stride = 0  # window wider than a row: legacy 2-row fetch
+    pool_rows = _pack_pool_rows(
+        image.seq_pool, pool_pad, pool_pad, stride=pool_stride
+    )
 
     N = image.n_nodes
     node_row = np.zeros((N, 12), dtype=np.int32)
@@ -1319,6 +1354,7 @@ def device_index_from_image(image, config: AlignerConfig):
         ones_node=ones_node,
         ones_off=ones_off,
         pool_pad=pool_pad,
+        pool_stride=pool_stride,
         distinct_cap=config.distinct_cap,
         lazy_seeds=(
             config.lazy_seeds

@@ -118,7 +118,8 @@ def build_sharded_graph(image: IndexImage, meta: MapMeta, n_shards: int):
             base = starts[lo]
             end = starts[hi - 1] + lens_[hi - 1]
             pool_blocks.append(
-                _pack_pool_rows(image.seq_pool[base:end], pool_pad, pool_pad)
+                _pack_pool_rows(image.seq_pool[base:end], pool_pad,
+                                pool_pad, stride=meta.pool_stride)
             )
             n = hi - lo
             nr[:n, 0] = (starts[lo:hi] - base + pool_pad).astype(np.int32)
@@ -131,7 +132,8 @@ def build_sharded_graph(image: IndexImage, meta: MapMeta, n_shards: int):
             nr[:n, 8:12] = image.l_edge[lo:hi]
         else:
             pool_blocks.append(
-                _pack_pool_rows(np.zeros(0, np.uint8), pool_pad, pool_pad)
+                _pack_pool_rows(np.zeros(0, np.uint8), pool_pad,
+                                pool_pad, stride=meta.pool_stride)
             )
         node_blocks.append(nr)
 

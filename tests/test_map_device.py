@@ -347,3 +347,27 @@ def test_two_tier_seed_parity(small_index, small_reads):
                 assert x == y, (sc, x, y)
                 n += 1
         assert n == 512
+
+
+def test_pool_overlap_parity(small_index, small_reads):
+    """Overlapping pool rows (single-row window fetch) must be
+    record-identical to the legacy 2-row layout."""
+    base = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                         max_nodes=9, distinct_cap=3, max_walk_iters=4,
+                         max_left_iters=2)
+    over = AlignerConfig(k=20, batch_size=256, max_read_len=64,
+                         max_nodes=9, distinct_cap=3, max_walk_iters=4,
+                         max_left_iters=2, pool_overlap=True)
+    a1 = Pseudoaligner(small_index, base)
+    a2 = Pseudoaligner(small_index, over)
+    assert a2.meta.pool_stride == 128 - 16 * (a2.meta.cmp_words + 1)
+    n = 0
+    for batch in _make_batches(small_reads[:512], 256, 64):
+        r1 = a1.records_from_result(
+            a1.map_batch_device(batch.codes, batch.lens), batch)
+        r2 = a2.records_from_result(
+            a2.map_batch_device(batch.codes, batch.lens), batch)
+        for x, y in zip(r1, r2):
+            assert x == y, (x, y)
+            n += 1
+    assert n == 512
