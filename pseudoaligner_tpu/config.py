@@ -139,9 +139,10 @@ class AlignerConfig:
     seed_compact: float = 0.0
     # Overlapping pool rows (rows start every 128 - 16*(cmp_words+1)
     # bases): every compare window fits ONE row, halving the window
-    # gather elements per walk iteration.  CPU-validated bit-exact;
-    # default off pending on-chip validation (the TPU tunnel was down
-    # when this landed) — flip after measuring.
+    # gather elements per walk iteration.  Engages only for
+    # max_read_len <= 80 (wider windows span a row regardless; a warning
+    # is logged).  CPU-validated bit-exact; default off pending on-chip
+    # validation (the TPU tunnel was down when this landed).
     pool_overlap: bool = False
 
     def __post_init__(self):

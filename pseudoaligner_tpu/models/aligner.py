@@ -180,7 +180,10 @@ class Pseudoaligner:
             )
             futs[key] = (fut, ref)
             while len(futs) > 32:  # belt and braces: evict oldest
-                futs.pop(next(iter(futs)))
+                try:
+                    futs.pop(next(iter(futs)), None)
+                except (StopIteration, RuntimeError):
+                    break  # weakref callbacks mutate concurrently
         return result
 
     # ------------------------------------------------------------------
@@ -196,21 +199,10 @@ class Pseudoaligner:
         """Host CSR intersection fallback (large transcriptomes) —
         set-equivalent to src/pseudoaligner.rs:323-356."""
         img = self.image
-        ec_ids = tuple(sorted(set(int(img.node_ec[n]) for n in nodes if n >= 0)))
-        hit = self._ec_memo.get(ec_ids)
-        if hit is not None:
-            return hit
-        lists = sorted(
-            (img.ec_list(e) for e in ec_ids), key=len
+        ec_ids = tuple(
+            sorted(set(int(img.node_ec[n]) for n in nodes if n >= 0))
         )
-        acc = lists[0]
-        for other in lists[1:]:
-            acc = np.intersect1d(acc, other, assume_unique=True)
-            if len(acc) == 0:
-                break
-        out = [int(x) for x in acc]
-        self._ec_memo[ec_ids] = out
-        return out
+        return self._ec_from_distinct(ec_ids)
 
     def _ec_from_distinct(self, ids: tuple[int, ...]) -> list[int]:
         """Materialize the EC list from distinct interned class ids
@@ -374,19 +366,15 @@ class Pseudoaligner:
         et = np.asarray(self.image.ec_txs, dtype=np.uint32)
         m1, m2 = len(u1), len(u2)
         none_mask = np.zeros(m1 + m2, dtype=bool)
+        # single-class groups: CSR row gather with unmapped (-1) ids
+        # mapped to the empty row (class id n_ecs, one past the CSR end)
         ids1 = u1.astype(np.int64)
-        c1 = np.clip(ids1, 0, None)
-        starts1 = eo[c1]
-        lens1 = np.where(ids1 >= 0, eo[c1 + 1] - starts1, 0)
-        total1 = int(lens1.sum())
-        if total1:
-            cum1 = np.zeros(m1 + 1, np.int64)
-            np.cumsum(lens1, out=cum1[1:])
-            pos = np.arange(total1, dtype=np.int64)
-            pos += np.repeat(starts1 - cum1[:-1], lens1)
-            flat1 = et[pos]
-        else:
-            flat1 = np.zeros(0, np.uint32)
+        n_ec = len(eo) - 1
+        eo_pad = np.append(eo, eo[-1])  # row n_ec is empty
+        flat1, offs1 = _csr_rows(
+            et, eo_pad, np.where(ids1 >= 0, ids1, n_ec)
+        )
+        lens1 = np.diff(offs1)
         if m2:
             rowsm = u2.astype(np.int64)
             ovr2 = (rowsm[:, -1] == -2) | (rowsm[:, -1] == -3)
@@ -536,7 +524,9 @@ class Pseudoaligner:
             data = self.emit_finish(st)
             out.write(data)
             n_reads += n
-            n_flagged += int(data.count(b"(true"))
+            n_flagged += int(data.startswith(b"(true")) + int(
+                data.count(b"\n(true")
+            )
 
         def flush(res, batch, next_first_group):
             nonlocal n_reads, n_flagged, merge_state, prepared

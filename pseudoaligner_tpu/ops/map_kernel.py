@@ -1264,6 +1264,15 @@ def device_index_from_image(image, config: AlignerConfig):
     cmp_words = (L + 15) // 16 + 1
     pool_stride = 128 - 16 * (cmp_words + 1) if config.pool_overlap else 0
     if pool_stride < 16:
+        if config.pool_overlap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pool_overlap requested but max_read_len=%d needs a "
+                "compare window wider than one 128-base row (supported "
+                "for max_read_len <= 80); using the legacy 2-row fetch",
+                L,
+            )
         pool_stride = 0  # window wider than a row: legacy 2-row fetch
     pool_rows = _pack_pool_rows(
         image.seq_pool, pool_pad, pool_pad, stride=pool_stride
