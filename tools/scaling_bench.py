@@ -46,8 +46,11 @@ def main():
     results = {}
     for nd in sizes:
         B = args.batch_per_device * nd
-        cfg = AlignerConfig(k=20, batch_size=B, max_read_len=60, max_nodes=32,
-                            distinct_cap=0)
+        # the serving shape (compact outputs + caps) for dp; the kpart
+        # engine accepts the same shape (caps + -3 channel pass through)
+        cfg = AlignerConfig(k=20, batch_size=B, max_read_len=60,
+                            max_nodes=9, distinct_cap=3,
+                            max_walk_iters=3, max_left_iters=2)
         mesh = make_mesh(nd)
         eng = (
             ShardedAligner(image, cfg, mesh)
