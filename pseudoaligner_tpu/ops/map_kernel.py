@@ -183,8 +183,14 @@ class MapMeta:
 
     @property
     def pool_fetch_rows(self) -> int:
-        """Pool rows fetched per window (covers L bases at any alignment)."""
-        return (self.read_len + 127) // 128 + 1
+        """Pool rows fetched per window: the word select reads
+        (cmp_words + 1) words starting at any in-row word offset (up to
+        7), so coverage must span 127 + 16*(cmp_words+1) bases.  The old
+        `(L+127)//128 + 1` under-provisioned for L in [81, 128]: at pool
+        offsets o > 128*NR - 16*(cmp_words+1) the select ran off the
+        fetched rows and _select_words silently produced zeros — wrong
+        compare windows (caught by the k=64 L=120 fuzz parity test)."""
+        return (127 + 16 * (self.cmp_words + 1) + 127) // 128
 
 
 class MapResult(NamedTuple):

@@ -74,3 +74,12 @@ def test_fuzz_parity_k20_second_seed():
     reads = _fuzz_reads(rng, seqs, k=20, n=300, L=64)
     n = _check_parity(image, reads, max_read_len=96)
     assert n == len(reads)
+
+
+def test_fuzz_parity_k64():
+    rng = np.random.default_rng(55)
+    seqs, names, gmap = _random_transcripts(rng, n=10, lo=200, hi=500)
+    image = build_index(seqs, names, gmap, k=64)
+    reads = _fuzz_reads(rng, seqs, k=64, n=200, L=96)
+    n = _check_parity(image, reads, max_read_len=120)
+    assert n == len(reads)
