@@ -83,3 +83,19 @@ def test_fuzz_parity_k64():
     reads = _fuzz_reads(rng, seqs, k=64, n=200, L=96)
     n = _check_parity(image, reads, max_read_len=120)
     assert n == len(reads)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("pad_L", [80, 112, 128, 144])
+def test_fuzz_parity_padded_width_sweep(pad_L):
+    """The compare-window provisioning depends on the PADDED batch width
+    (max_read_len), not the read length — sweep the width range where
+    the row under-provisioning bug lived (fixed: pool_fetch_rows)."""
+    rng = np.random.default_rng(pad_L)
+    seqs, names, gmap = _random_transcripts(rng, n=8, lo=150, hi=400)
+    image = build_index(seqs, names, gmap, k=20)
+    reads = _fuzz_reads(rng, seqs, k=20, n=120, L=min(72, pad_L - 8))
+    n = _check_parity(image, reads, max_read_len=pad_L)
+    assert n == len(reads)
