@@ -99,3 +99,16 @@ def test_fuzz_parity_padded_width_sweep(pad_L):
     reads = _fuzz_reads(rng, seqs, k=20, n=120, L=min(72, pad_L - 8))
     n = _check_parity(image, reads, max_read_len=pad_L)
     assert n == len(reads)
+
+
+@pytest.mark.parametrize("am", [0, 1, 4])
+def test_fuzz_parity_mismatch_budget(am):
+    """The per-segment SNP budget (allowed_mismatches) drives segment
+    math, premature stops, and re-seeding — pin parity across budgets
+    on SNP-heavy reads."""
+    rng = np.random.default_rng(100 + am)
+    seqs, names, gmap = _random_transcripts(rng, n=8, lo=150, hi=400)
+    image = build_index(seqs, names, gmap, k=20)
+    reads = _fuzz_reads(rng, seqs, k=20, n=160, L=64)
+    n = _check_parity(image, reads, max_read_len=80, allowed_mismatches=am)
+    assert n == len(reads)

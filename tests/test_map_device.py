@@ -23,7 +23,8 @@ def _make_batches(reads, B, L):
         yield ReadBatch(codes=codes, lens=lens, ids=ids)
 
 
-def _check_parity(image, reads, use_bitset=True, max_read_len=64):
+def _check_parity(image, reads, use_bitset=True, max_read_len=64,
+                  allowed_mismatches=2):
     cfg = AlignerConfig(
         k=image.k,
         batch_size=256,
@@ -31,6 +32,7 @@ def _check_parity(image, reads, use_bitset=True, max_read_len=64):
         max_nodes=64,
         bitset_tx_threshold=1 << 20 if use_bitset else 0,
         distinct_cap=0,  # full debug outputs for node-level parity
+        allowed_mismatches=allowed_mismatches,
     )
     al = Pseudoaligner(image, cfg)
     golden = GoldenAligner(image)
