@@ -112,3 +112,39 @@ def test_fuzz_parity_mismatch_budget(am):
     reads = _fuzz_reads(rng, seqs, k=20, n=160, L=64)
     n = _check_parity(image, reads, max_read_len=80, allowed_mismatches=am)
     assert n == len(reads)
+
+
+def test_fuzz_serving_emit_parity(tmp_path):
+    """The native serving emit pipeline (compact outputs, caps, lane
+    compaction, -3/-2 host remap, signature-indirect emitter) must print
+    records identical to the full-output record path on random data."""
+    import io as iomod
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    rng = np.random.default_rng(77)
+    seqs, names, gmap = _random_transcripts(rng, n=16, lo=200, hi=600)
+    image = build_index(seqs, names, gmap, k=20)
+    reads = _fuzz_reads(rng, seqs, k=20, n=500, L=72)
+    fq = tmp_path / "fz.fq"
+    dec = "ACGT"
+    with open(fq, "w") as f:
+        for rid, w in reads:
+            s = "".join(dec[b] for b in w)
+            f.write(f"@{rid}\n{s}\n+\n{'I' * len(s)}\n")
+
+    ref = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=128, max_read_len=96, max_nodes=64,
+        distinct_cap=0))
+    want = "".join(
+        r.format_reference_style() + "\n" for r in ref.map_fastq(str(fq))
+    ).encode()
+
+    srv = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=128, max_read_len=96, max_nodes=8,
+        distinct_cap=3, max_walk_iters=3, max_left_iters=2))
+    buf = iomod.BytesIO()
+    n, _fl = srv.emit_fastq(str(fq), buf)
+    assert n == len(reads)
+    assert buf.getvalue() == want
