@@ -148,3 +148,35 @@ def test_fuzz_serving_emit_parity(tmp_path):
     n, _fl = srv.emit_fastq(str(fq), buf)
     assert n == len(reads)
     assert buf.getvalue() == want
+
+
+@pytest.mark.parametrize("shard_graph", [False, True])
+def test_fuzz_kpart_identity(shard_graph):
+    """K-mer-partitioned mapping (lookup- and graph-sharded) must be
+    bit-identical to the single-device engine on random data too."""
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+    from pseudoaligner_tpu.parallel.mesh import make_mesh
+    from pseudoaligner_tpu.parallel.sharded_index import (
+        KmerPartitionedAligner,
+    )
+
+    rng = np.random.default_rng(31 + int(shard_graph))
+    seqs, names, gmap = _random_transcripts(rng, n=10, lo=150, hi=400)
+    image = build_index(seqs, names, gmap, k=20)
+    reads = _fuzz_reads(rng, seqs, k=20, n=64, L=64)
+    B, L = 64, 72
+    codes = np.zeros((B, L), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for j, (_, c) in enumerate(reads[:B]):
+        codes[j, : len(c)] = c
+        lens[j] = len(c)
+    cfg = AlignerConfig(k=20, batch_size=B, max_read_len=L, max_nodes=64,
+                        distinct_cap=0)
+    base = Pseudoaligner(image, cfg).map_batch_device(codes, lens)
+    kp = KmerPartitionedAligner(image, cfg, make_mesh(4),
+                                shard_graph=shard_graph)
+    res, _ = kp.map_batch(codes, lens)
+    for f in ("mapped", "coverage", "mismatches", "nodes", "ec_bits"):
+        assert np.array_equal(np.asarray(getattr(base, f)),
+                              np.asarray(getattr(res, f))), f
