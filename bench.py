@@ -124,7 +124,9 @@ def main():
         # pool_overlap (single-row window fetch, bit-exact, CPU-validated)
         # proves itself on the real chip here — a candidate that fails to
         # compile/run is skipped below
-        caps = [(3, 2, False), (4, 2, False), (6, 2, False), (3, 2, True)]
+        # (6,2) never won a session sweep; dropping it keeps the compile
+        # budget flat after adding the pool_overlap candidate
+        caps = [(3, 2, False), (4, 2, False), (3, 2, True)]
     # serving shape: compact EC output at distinct_cap=3 (down-transfer is
     # on the critical path of the serialized tunnel; >3-class reads take
     # the overlapped host remap), node buffer sized to the push bound
