@@ -103,8 +103,49 @@ def synth_reads(image, n_reads, read_len=60, seed=0):
     return reads, lens
 
 
+def _fail(msg: str) -> int:
+    """One machine-readable line + rc=1 — never a traceback wall."""
+    print(json.dumps({
+        "metric": "map_throughput", "value": 0, "unit": "reads/s",
+        "vs_baseline": 0.0, "error": msg,
+        "retry": "re-run when the TPU tunnel returns (check a plain "
+                 "`python -c 'import jax; jax.devices()'` first); free "
+                 "any worker holding the chip (touch /tmp/tpu_spool/_quit)",
+    }))
+    return 1
+
+
+def _init_backend(timeout_s: float):
+    """Bounded jax backend init.  A tunneled-TPU claim can block
+    indefinitely when the tunnel is down or another tenant holds the
+    chip (observed round 1: >9.5min with zero output) — probe in a
+    daemon thread so a dead backend becomes a clear error, not a hang."""
+    import threading
+
+    res: dict = {}
+
+    def probe():
+        try:
+            import jax
+
+            res["devices"] = jax.devices()
+        except Exception as e:
+            res["error"] = f"backend init failed: {e!r}"
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        return (f"backend init did not return within {timeout_s:.0f}s "
+                "(TPU tunnel down, or the single-tenant chip is claimed)")
+    return res.get("error")
+
+
 def main():
     t_setup = time.time()
+    err = _init_backend(float(os.environ.get("BENCH_INIT_TIMEOUT", 900)))
+    if err:
+        return _fail(err)
     import jax
 
     from pseudoaligner_tpu.config import AlignerConfig
@@ -264,7 +305,12 @@ def main():
             }
         )
     )
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        rc = main()
+    except Exception as e:  # any setup/runtime failure -> one JSON line
+        rc = _fail(f"{type(e).__name__}: {e}")
+    sys.exit(rc)

@@ -101,6 +101,10 @@ def _build_parser() -> argparse.ArgumentParser:
                     default="exact",
                     help="molecule counting: exact distinct UMIs, or "
                          "UMI-tools directional clustering")
+    sp.add_argument("--no-bc-correct", action="store_true",
+                    help="without a whitelist, skip the knee-call + "
+                         "1-Hamming barcode folding (take barcodes at "
+                         "face value)")
     sp.add_argument("--call-cells", action="store_true",
                     help="knee-point cell calling: also write cells.tsv "
                          "with the called barcodes (rank order)")
@@ -304,7 +308,8 @@ def cmd_count(args, outdir: str) -> int:
     chem = Chemistry(bc_len=args.bc_len, umi_len=args.umi_len)
     wl = Whitelist.load(args.whitelist, args.bc_len) if args.whitelist else None
     counts = count_single_cell(
-        aligner, args.r1_fastq, args.r2_fastq, chem, whitelist=wl
+        aligner, args.r1_fastq, args.r2_fastq, chem, whitelist=wl,
+        bc_correct=not args.no_bc_correct, umi_dedup=args.umi_dedup,
     )
     counts.write(outdir, umi_dedup=args.umi_dedup)
     if args.call_cells:

@@ -84,6 +84,62 @@ def _canon_id_rows(vals: np.ndarray) -> np.ndarray:
     return np.sort(np.where(dup, _SENT, vals), axis=1)
 
 
+_ID_ESCAPE_RE = None  # compiled lazily; see _concat_ids_for_emit
+
+
+def _concat_ids_for_emit(ids: list[str]) -> tuple[bytes, np.ndarray]:
+    """Concatenated id bytes + [n+1] int64 offsets for the native record
+    emitters, with Rust-Debug escaping applied (src/pseudoaligner.rs:490).
+    One regex scan of the joined ids skips the per-id escape pass on the
+    (overwhelmingly common) clean-id hot path."""
+    global _ID_ESCAPE_RE
+    if _ID_ESCAPE_RE is None:
+        import re
+
+        _ID_ESCAPE_RE = re.compile(r'[\\"\x00-\x1f\x7f]')
+    joined = "".join(ids)
+    if _ID_ESCAPE_RE.search(joined) is not None:
+        ids = [_rust_debug_escape(s) for s in ids]
+        joined = "".join(ids)
+    concat = joined.encode()
+    if len(concat) != len(joined):  # non-ASCII ids: per-id byte lengths
+        id_lens = np.array([len(s.encode()) for s in ids], dtype=np.int64)
+    else:
+        id_lens = np.array([len(s) for s in ids], dtype=np.int64)
+    id_offs = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(id_lens, out=id_offs[1:])
+    return concat, id_offs
+
+
+def _rust_debug_escape(s: str) -> str:
+    """Escape a read id like Rust `str`'s Debug impl (`escape_debug` with
+    escape_single_quote=false, escape_double_quote=true) so map-record
+    output stays byte-identical to `println!("{:?}", _)` on adversarial
+    ids (src/pseudoaligner.rs:490).  ASCII-exact; printable non-ASCII
+    passes through unchanged, matching Rust for non-grapheme-extended
+    printables."""
+    out: list[str] = []
+    for ch in s:
+        o = ord(ch)
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == '"':
+            out.append('\\"')
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\0":
+            out.append("\\0")
+        elif o < 0x20 or o == 0x7F:
+            out.append(f"\\u{{{o:x}}}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 @dataclass
 class ReadRecord:
     """Per-read mapping record — mirrors the reference's output tuple
@@ -98,10 +154,16 @@ class ReadRecord:
     coverage: int
 
     def format_reference_style(self) -> str:
-        """Render exactly like Rust's `println!("{:?}", read_data)`."""
+        """Render exactly like Rust's `println!("{:?}", read_data)`.
+
+        The read id goes through `str`'s Debug impl in the reference
+        (src/pseudoaligner.rs:490), which escapes `\\`, `"`, and control
+        characters (`str::escape_debug`: \\t/\\r/\\n named, other
+        non-printables as `\\u{..}` lowercase hex, `'` NOT escaped)."""
         flag = "true" if self.flag else "false"
         eq = "[" + ", ".join(str(x) for x in self.eq_class) + "]"
-        return f'({flag}, "{self.read_id}", {eq}, {self.coverage})'
+        rid = _rust_debug_escape(self.read_id)
+        return f'({flag}, "{rid}", {eq}, {self.coverage})'
 
 
 class Pseudoaligner:
@@ -445,10 +507,7 @@ class Pseudoaligner:
             else np.zeros(0, np.uint32)
         )
 
-        id_lens = np.array([len(s) for s in batch.ids], dtype=np.int64)
-        id_offs = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(id_lens, out=id_offs[1:])
-        ids_concat = "".join(batch.ids).encode()
+        ids_concat, id_offs = _concat_ids_for_emit(batch.ids)
 
         if tcc is not None:
             tcc.n_reads += n
@@ -983,10 +1042,7 @@ class Pseudoaligner:
         )
 
         batch = st1["batch"]
-        id_lens = np.array([len(s) for s in batch.ids], dtype=np.int64)
-        id_offs = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(id_lens, out=id_offs[1:])
-        ids_concat = "".join(batch.ids).encode()
+        ids_concat, id_offs = _concat_ids_for_emit(batch.ids)
         self._paired_emitted = getattr(self, "_paired_emitted", 0) + n
         return _native.emit_records_sig(
             cov, self.config.read_coverage_threshold, ids_concat, id_offs,

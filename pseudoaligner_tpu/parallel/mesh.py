@@ -12,8 +12,9 @@ The TPU-native equivalent is a first-class sharding layer:
 - multi-host: each host feeds its local FASTQ shard (per-host input
   pipeline), with `jax.distributed` initialization left to the launcher.
 
-A k-mer-partitioned (sharded-index) mode with all-to-all lookup exchange is
-the planned config-5 extension (SURVEY.md §7.2 step 6).
+The k-mer-partitioned (sharded-index) mode with all-to-all lookup exchange
+ships in `parallel/sharded_index.py` (lookup-sharded and graph-sharded
+variants; SURVEY.md §7.2 step 6).
 """
 
 from __future__ import annotations
@@ -36,8 +37,12 @@ from ..ops.map_kernel import (
 READS_AXIS = "reads"
 
 
-def make_mesh(n_devices: int | None = None, axis: str = READS_AXIS) -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = READS_AXIS,
+              devices=None) -> Mesh:
+    """1-D mesh over `devices` (default: all global devices).  Multi-host
+    per-host engines pass jax.local_devices() — pod serving is per-host
+    data parallel, with only the count merge on the global mesh."""
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))

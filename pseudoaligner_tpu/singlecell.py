@@ -14,8 +14,11 @@ Barcode handling follows the CellRanger/alevin convention: with a
 whitelist, exact matches are accepted and non-matching barcodes are
 corrected to a whitelist entry iff exactly one 1-Hamming-distance
 candidate is on the list (a single N counts as a mismatch position);
-ambiguous or distant barcodes are dropped.  Without a whitelist, exact
-barcodes are taken at face value (round-1 behavior).
+ambiguous or distant barcodes are dropped.  Without a whitelist, the
+pipeline knee-calls abundant barcodes from the molecule-count curve and
+folds each uncalled barcode's molecules into the unique called barcode
+at Hamming distance 1 (CellCounts.correct_barcodes) — the same
+two-stage convention alevin uses when no external list is given.
 """
 
 from __future__ import annotations
@@ -240,6 +243,57 @@ class CellCounts:
         knee = int(np.argmax(dist))
         return [inv_cells[c] for c, _ in ranked[: knee + 1]]
 
+    def correct_barcodes(self, method: str = "exact") -> int:
+        """Whitelist-free barcode error correction (alevin convention):
+        knee-call abundant barcodes (`call_cells`), then fold each
+        uncalled barcode's molecules into the unique called barcode at
+        Hamming distance 1.  Ambiguous (>=2 called candidates) or
+        distant barcodes keep their own cell.  Folded UMI pools merge
+        (same molecule, misread barcode).  Returns the number of
+        barcodes folded; `n_corrected` advances by the same amount."""
+        called = self.call_cells(method)
+        if not called or len(called) == len(self.cells) or not self.umis:
+            return 0
+        # face-value accumulation can intern N-containing barcodes; they
+        # can still FOLD (single-N match) but cannot be fold TARGETS
+        acgt = set("ACGT")
+        wl_bcs = [b for b in called if set(b) <= acgt]
+        if not wl_bcs:
+            return 0
+        wl = Whitelist(wl_bcs, len(wl_bcs[0]))
+        called_set = set(called)
+        inv = {v: k for k, v in self.cells.items()}
+        target: dict[int, int] = {}
+        folded = 0
+        for bc, cid in self.cells.items():
+            m = (wl.match(bc.encode())
+                 if bc not in called_set and len(bc) == wl.bc_len else None)
+            if m is not None and m != bc:
+                target[cid] = self.cells[m]
+                folded += 1
+            else:
+                target[cid] = cid
+        if not folded:
+            return 0
+        new_cells: dict[str, int] = {}
+        for cid in range(len(inv)):  # keep first-appearance order
+            if target[cid] == cid:
+                new_cells[inv[cid]] = len(new_cells)
+        new_umis: dict[tuple[int, int], dict] = {}
+        for (cell, cls), d in self.umis.items():
+            nk = (new_cells[inv[target[cell]]], cls)
+            nd = new_umis.get(nk)
+            if nd is None:
+                new_umis[nk] = d if target[cell] == cell else dict(d)
+            else:
+                for u, c in d.items():
+                    nd[u] = nd.get(u, 0) + c
+        self.cells = new_cells
+        self.umis = new_umis
+        self.n_corrected += folded
+        self._entry_counts_cache = None
+        return folded
+
     def write(self, outdir: str, umi_dedup: str = "exact") -> None:
         os.makedirs(outdir, exist_ok=True)
         inv_cells = {v: k for k, v in self.cells.items()}
@@ -267,11 +321,17 @@ def count_single_cell(
     r2_path: str,
     chem: Chemistry | None = None,
     whitelist: Whitelist | None = None,
+    bc_correct: bool = True,
+    umi_dedup: str = "exact",
 ) -> CellCounts:
     """Run the 10x counting pipeline.  R1: barcode+UMI; R2: cDNA.
 
     With a whitelist, barcodes are corrected/filtered per the module
     docstring; corrected reads count toward their corrected cell.
+    Without one (and `bc_correct`), knee-called abundant barcodes absorb
+    their unique 1-Hamming neighbors post-accumulation
+    (CellCounts.correct_barcodes; `umi_dedup` picks the molecule-count
+    method behind the knee).
 
     Uses the batched fast path when the aligner serves compact outputs
     (the default): R2 maps through the same depth-1 pipeline as `map`,
@@ -283,8 +343,12 @@ def count_single_cell(
     """
     chem = chem or Chemistry()
     if aligner.meta.distinct_cap > 0:
-        return _count_batched(aligner, r1_path, r2_path, chem, whitelist)
-    return _count_records(aligner, r1_path, r2_path, chem, whitelist)
+        counts = _count_batched(aligner, r1_path, r2_path, chem, whitelist)
+    else:
+        counts = _count_records(aligner, r1_path, r2_path, chem, whitelist)
+    if whitelist is None and bc_correct:
+        counts.correct_barcodes(umi_dedup)
+    return counts
 
 
 def _process_r1(counts, seq1: bytes, chem: Chemistry, whitelist):

@@ -83,6 +83,31 @@ def test_map_output_format(cli_index, tmp_path):
         assert pat.match(ln), ln
 
 
+def test_map_adversarial_read_ids(cli_index, tmp_path):
+    """Read ids pass through Rust `str`'s Debug impl in the reference
+    (println!("{:?}", ..) at src/pseudoaligner.rs:490): `"`, `\\` and
+    control chars must be escaped identically on BOTH output paths
+    (ReadRecord.format_reference_style and the native sig-emitter)."""
+    from pseudoaligner_tpu.models.aligner import _rust_debug_escape
+
+    assert _rust_debug_escape('a"b\\c') == 'a\\"b\\\\c'
+    assert _rust_debug_escape("x\ty\rz\n") == "x\\ty\\rz\\n"
+    assert _rust_debug_escape("\x01\x7f'") == "\\u{1}\\u{7f}'"
+
+    fq = tmp_path / "adv.fq"
+    seq = "ACGTACGTACGTACGTACGTACGTACGT"
+    ids = ['q"uote', "back\\slash", "pl.ain:1/2"]
+    fq.write_text("".join(f"@{i}\n{seq}\n+\n{'I' * len(seq)}\n" for i in ids))
+    r = run_cli(["map", "-i", cli_index, str(fq), "--batch-size", "8",
+                 "--max-read-len", "32"])
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    assert len(lines) == 3
+    assert '"q\\"uote"' in lines[0]
+    assert '"back\\\\slash"' in lines[1]
+    assert '"pl.ain:1/2"' in lines[2]
+
+
 def test_idxstats(cli_index):
     r = run_cli(["idxstats", "-i", cli_index])
     assert r.returncode == 0, r.stderr

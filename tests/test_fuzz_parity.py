@@ -150,6 +150,93 @@ def test_fuzz_serving_emit_parity(tmp_path):
     assert buf.getvalue() == want
 
 
+def _ascii_with_ns(rng, codes, n_frac=0.03, run_p=0.3):
+    """Base codes -> ASCII bytes with random N sprinkles and N runs."""
+    s = np.frombuffer(b"ACGT", np.uint8)[codes].copy()
+    n_mask = rng.random(len(s)) < n_frac
+    if rng.random() < run_p and len(s) > 40:
+        st = int(rng.integers(0, len(s) - 12))
+        n_mask[st : st + int(rng.integers(3, 12))] = True
+    s[n_mask] = ord("N")
+    return s.tobytes()
+
+
+def test_fuzz_parity_n_bases(tmp_path):
+    """N-containing transcriptome + N-containing reads, end to end.
+
+    The exact `DnaString::from_acgt_bytes_hashn` of the unvendored
+    debruijn crate (reference call site src/utils.rs:76) is not
+    observable here; `dna.from_acgt_bytes_hashn` is a documented
+    stand-in.  This fuzz pins the substitution path as internally
+    bit-stable: FASTA load (hashn applied) -> NumPy and C++ builders
+    bit-identical; N-containing FASTQ reads (N->A, matching debruijn's
+    `base_to_bits` default used by src/pseudoaligner.rs:449-450) map
+    bit-exact device vs golden, full-output vs compact serving emit."""
+    import io as iomod
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.io.fasta import read_transcripts
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    rng = np.random.default_rng(4242)
+    raw = [rng.integers(0, 4, int(rng.integers(250, 700))).astype(np.uint8)
+           for _ in range(14)]
+    fa = tmp_path / "n.fa"
+    with open(fa, "wb") as f:
+        for i, codes in enumerate(raw):
+            f.write(f">TXN{i} gene=G{i % 5}\n".encode())
+            f.write(_ascii_with_ns(rng, codes) + b"\n")
+
+    seqs, names, gmap = read_transcripts(str(fa))
+    assert any((s != r[: len(s)]).any() for s, r in zip(seqs, raw)), \
+        "fixture produced no substituted base"
+    image = build_index(seqs, names, gmap, k=20, native="never")
+    try:
+        img_native = build_index(seqs, names, gmap, k=20, native="require")
+    except Exception:
+        img_native = None  # native lib unavailable on this host
+    if img_native is not None:
+        for f in ("node_start", "node_len", "node_exts", "node_ec",
+                  "seq_pool", "l_edge", "r_edge", "ec_offsets", "ec_txs",
+                  "kmer_node", "kmer_offset", "kmer_keys"):
+            assert np.array_equal(getattr(image, f),
+                                  getattr(img_native, f)), f
+
+    # N-containing reads: windows of the SUBSTITUTED transcripts with Ns
+    # re-sprinkled, so N->A produces mismatches the oracle must agree on.
+    reads, k, L = [], 20, 72
+    fq = tmp_path / "n.fq"
+    with open(fq, "wb") as f:
+        for i in range(240):
+            s = seqs[int(rng.integers(len(seqs)))]
+            st = int(rng.integers(0, max(1, len(s) - L)))
+            w = s[st : st + L]
+            ascii_read = _ascii_with_ns(rng, w, n_frac=0.05)
+            f.write(b"@nr%d\n" % i + ascii_read + b"\n+\n" +
+                    b"I" * len(ascii_read) + b"\n")
+            codes = np.frombuffer(ascii_read, np.uint8)
+            codes = np.where(codes == ord("N"), ord("A"), codes)
+            enc = np.zeros(len(codes), np.uint8)
+            for v, ch in enumerate(b"ACGT"):
+                enc[codes == ch] = v
+            reads.append((f"nr{i}", enc))
+    n = _check_parity(image, reads, max_read_len=80)
+    assert n == len(reads)
+
+    # end-to-end FASTQ (reader does the N->A mapping) vs serving emit
+    ref = Pseudoaligner(image, AlignerConfig(
+        k=k, batch_size=128, max_read_len=80, max_nodes=64, distinct_cap=0))
+    want = "".join(
+        r.format_reference_style() + "\n" for r in ref.map_fastq(str(fq))
+    ).encode()
+    srv = Pseudoaligner(image, AlignerConfig(
+        k=k, batch_size=128, max_read_len=80, max_nodes=8,
+        distinct_cap=3, max_walk_iters=3, max_left_iters=2))
+    buf = iomod.BytesIO()
+    nn, _fl = srv.emit_fastq(str(fq), buf)
+    assert nn == 240 and buf.getvalue() == want
+
+
 @pytest.mark.parametrize("shard_graph", [False, True])
 def test_fuzz_kpart_identity(shard_graph):
     """K-mer-partitioned mapping (lookup- and graph-sharded) must be

@@ -259,6 +259,52 @@ def test_knee_cell_calling():
     assert set(called) == {f"CELL{i:012d}" for i in range(5)}
 
 
+def test_barcode_correction_no_whitelist():
+    """Whitelist-free correction: knee-called abundant barcodes absorb
+    unique 1-Hamming neighbors (incl. single-N); ambiguous (two called
+    candidates) and distant barcodes keep their own cells."""
+    from pseudoaligner_tpu.singlecell import CellCounts
+
+    rng = np.random.default_rng(3)
+    real = ["AAAAGGGGCCCCTTTT", "CCCCAAAATTTTGGGG", "GGGGTTTTAAAACCCC",
+            "TTTTCCCCGGGGAAAA", "AGAGAGAGTCTCTCTC"]
+    c = CellCounts()
+    for bc in real:
+        for j in range(400 + int(rng.integers(0, 40))):
+            c.add(bc, f"U{j}", [1])
+    # ambient noise so the knee has a tail to cut
+    for i in range(30):
+        amb = "".join("ACGT"[int(b)] for b in rng.integers(0, 4, 16))
+        for j in range(1 + int(rng.integers(0, 2))):
+            c.add(amb, f"V{j}", [1])
+    err = "T" + real[0][1:]            # 1-Hamming from real[0] only
+    c.add(err, "U0", [1])              # shared UMI -> merges on fold
+    c.add(err, "W_new", [1])
+    nerr = real[1][:7] + "N" + real[1][8:]   # single-N neighbor of real[1]
+    c.add(nerr, "W_n", [1])
+    # ambiguous: distance 1 from BOTH real[2] and a manufactured called
+    twin = "A" + real[2][1:]
+    for j in range(420):
+        c.add(twin, f"U{j}", [1])
+    ambig = "C" + real[2][1:]          # 1 from real[2] AND from twin
+    c.add(ambig, "W_a", [1])
+
+    called = c.call_cells()
+    assert set(real) | {twin} <= set(called)
+    assert err not in called and ambig not in called
+    before_cells = len(c.cells)
+    folded = c.correct_barcodes()
+    assert folded == 2                       # err + nerr fold
+    assert len(c.cells) == before_cells - 2
+    assert err not in c.cells and nerr not in c.cells
+    assert ambig in c.cells                  # ambiguous stays
+    ec = c.entry_counts()
+    cls0 = c.classes[(1,)]
+    # real[0]: ~400+ own UMIs, W_new adds 1, shared U0 dedups away
+    assert ec[(c.cells[real[0]], cls0)] >= 401
+    assert c.n_corrected == 2
+
+
 def test_long_read_segmentation(aligner, small_transcripts, tmp_path):
     """A whole transcript streamed as a long read: windows are merged and
     the transcript is in the resulting equivalence class."""

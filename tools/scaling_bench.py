@@ -7,11 +7,26 @@ validates the mechanics with virtual devices (compute scaling on virtual
 CPU devices is NOT a performance signal — host cores are shared).
 
 Usage:
-    python tools/scaling_bench.py [--devices 1 2 4 8] [--mode dp|kpart]
+    # real pod slice (N chips): weak scaling, the headline number
+    python tools/scaling_bench.py --scaling weak
+    # virtual CPU mesh (4-core host): sharding-OVERHEAD efficiency only
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python tools/scaling_bench.py --scaling overhead --json
 
 Measures pipelined batch throughput of the sharded mapping step (index
 replicated, reads sharded, TCC counts psum-reduced) at each mesh size and
 reports efficiency vs the single-device baseline.
+
+Two scaling modes:
+- weak: fixed per-device batch; efficiency = rps(N) / (N * rps(1)).  The
+  BASELINE >=80% target refers to THIS mode on real chips; on a virtual
+  CPU mesh the N devices share the host cores, so weak efficiency there
+  measures the host's core count, not the framework.
+- overhead: fixed TOTAL batch; efficiency = t(1) / t(N).  Compute is
+  constant, so this isolates what sharding adds (collectives, infeed
+  splitting, per-shard padding) — the one scaling property a virtual
+  mesh CAN validate honestly.
 """
 
 import argparse
@@ -28,8 +43,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=None)
     ap.add_argument("--mode", choices=["dp", "kpart"], default="dp")
+    ap.add_argument("--scaling", choices=["weak", "overhead"], default="weak")
     ap.add_argument("--batch-per-device", type=int, default=8192)
     ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--json", action="store_true",
+                    help="emit one machine-readable JSON line at the end")
     args = ap.parse_args()
 
     import jax
@@ -43,9 +61,11 @@ def main():
     sizes = args.devices or [d for d in (1, 2, 4, 8) if d <= n_avail]
     image = benchmod.build_or_load_index()
 
+    total_fixed = args.batch_per_device * max(sizes)
     results = {}
     for nd in sizes:
-        B = args.batch_per_device * nd
+        B = total_fixed if args.scaling == "overhead" \
+            else args.batch_per_device * nd
         # the serving shape (compact outputs + caps) for dp; the kpart
         # engine accepts the same shape (caps + -3 channel pass through)
         cfg = AlignerConfig(k=20, batch_size=B, max_read_len=60,
@@ -70,9 +90,30 @@ def main():
         dt = time.time() - t0
         rps = B * args.batches / dt
         results[nd] = rps
-        eff = rps / (results[sizes[0]] * nd / sizes[0]) if nd != sizes[0] else 1.0
+        if args.scaling == "overhead":
+            eff = rps / results[sizes[0]]  # same total work: t1/tN
+        else:
+            eff = rps / (results[sizes[0]] * nd / sizes[0])
         print(f"devices={nd}: {rps:,.0f} reads/s  efficiency={eff:.1%}")
 
+    if args.json:
+        import json
+
+        base = results[sizes[0]]
+        effs = {
+            str(nd): round(
+                (results[nd] / base) if args.scaling == "overhead"
+                else results[nd] / (base * nd / sizes[0]), 4)
+            for nd in sizes
+        }
+        print(json.dumps({
+            "mode": args.mode, "scaling": args.scaling,
+            "platform": jax.devices()[0].platform,
+            "batch": ("total=%d" % total_fixed) if args.scaling == "overhead"
+                     else "per_device=%d" % args.batch_per_device,
+            "reads_per_s": {str(nd): round(results[nd]) for nd in sizes},
+            "efficiency": effs,
+        }))
     return 0
 
 
