@@ -104,6 +104,85 @@ def read_fastq_seqs(path: str, chunk_bytes: int = 1 << 26) -> Iterator[bytes]:
             raise ValueError("truncated FASTQ record")
 
 
+class R1PrefixReader:
+    """Bulk fixed-width R1 prefix stream for the single-cell count path:
+    `take(n)` returns an [m, P] uint8 array of each record's first P RAW
+    sequence bytes (N and case PRESERVED — barcode/UMI handling needs the
+    original bytes; too-short records are 0xFF rows, a byte that never
+    occurs in FASTQ text).  Plain files scan via one C++ call per batch
+    (no per-record Python objects); gz falls back to the chunked seq
+    stream."""
+
+    def __init__(self, path: str, P: int, use_native: bool = True):
+        self.P = P
+        self._native = None
+        if use_native and not path.endswith(".gz"):
+            try:
+                import mmap
+
+                from . import native as _native_mod
+
+                f = open(path, "rb")
+                try:
+                    self._buf = mmap.mmap(
+                        f.fileno(), 0, access=mmap.ACCESS_READ
+                    )
+                except Exception:
+                    f.close()
+                    raise
+                self._file = f
+                self._off = 0
+                self._native = _native_mod
+            except Exception:
+                self._native = None
+        if self._native is None:
+            self._seqs = read_fastq_seqs(path)
+
+    def take(self, n: int) -> np.ndarray:
+        """Next n records' prefixes; fewer rows only at end of stream."""
+        P = self.P
+        out = np.empty((n, P), dtype=np.uint8)
+        if self._native is not None:
+            got = 0
+            while got < n:
+                m, _, resume = self._native.fastq_scan_prefix(
+                    self._buf, self._off, n - got, P, out[got:]
+                )
+                if m == 0:
+                    if resume < len(self._buf):
+                        raise ValueError("truncated FASTQ record")
+                    break
+                self._off = resume
+                got += m
+            return out[:got]
+        rows = []
+        for _ in range(n):
+            s = next(self._seqs, None)
+            if s is None:
+                break
+            rows.append(s)
+        got = len(rows)
+        for i, s in enumerate(rows):
+            if len(s) < P:
+                out[i] = 0xFF
+            else:
+                out[i] = np.frombuffer(s[:P], np.uint8)
+        return out[:got]
+
+    def close(self) -> None:
+        buf = getattr(self, "_buf", None)
+        if buf is not None:
+            try:
+                buf.close()
+            except Exception:
+                pass
+            self._buf = None
+        f = getattr(self, "_file", None)
+        if f is not None:
+            f.close()
+            self._file = None
+
+
 class FastqReader:
     """Batching FASTQ reader producing fixed-shape ReadBatch objects.
 

@@ -67,6 +67,36 @@ def fastq_scan(buf, start: int, max_reads: int, L: int):
     )
 
 
+def fastq_scan_prefix(buf, start: int, max_reads: int, P: int,
+                      out: np.ndarray | None = None):
+    """Scan up to max_reads records from buf[start:], copying each
+    record's first P RAW seq bytes (N/case preserved) into a [max,P]
+    uint8 array; too-short rows are 0xFF-filled.  Returns
+    (n, out, resume_off)."""
+    lib = _load()
+    if not hasattr(lib, "_prefix_ready"):
+        lib.pa_fastq_scan_prefix.restype = ctypes.c_int64
+        lib.pa_fastq_scan_prefix.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._prefix_ready = True
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if out is None:
+        out = np.empty((max_reads, P), dtype=np.uint8)
+    resume = ctypes.c_int64(0)
+    n = lib.pa_fastq_scan_prefix(
+        arr.ctypes.data, len(arr), start, max_reads, P,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(resume),
+    )
+    if n < 0:
+        raise ValueError("malformed FASTQ record")
+    return int(n), out, int(resume.value)
+
+
 def _load_emit():
     lib = _load()
     if not hasattr(lib, "_emit_ready"):

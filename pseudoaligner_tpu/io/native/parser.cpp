@@ -99,6 +99,56 @@ int64_t pa_fastq_scan(const char* buf, int64_t n, int64_t start,
   return count;
 }
 
+// R1 prefix scan (single-cell count path): copy the first P RAW sequence
+// bytes per record (N and case PRESERVED — barcode/UMI semantics need
+// the original bytes, unlike the code-emitting scan above) into
+// out[count*P..].  Records whose sequence is shorter than P get a row of
+// 0xFF (the too-short marker: 0xFF never occurs in FASTQ text).  Same
+// structure validation + resume contract as pa_fastq_scan.
+int64_t pa_fastq_scan_prefix(const char* buf, int64_t n, int64_t start,
+                             int64_t max_reads, int32_t P, uint8_t* out,
+                             int64_t* resume_off) {
+  const char* base = buf;
+  const char* end = buf + n;
+  const char* p = buf + start;
+  int64_t count = 0;
+
+  while (count < max_reads) {
+    const char* rec_start = p;
+    if (p >= end) break;
+    if (*p != '@') return -1;
+    const char* h_end = find_nl(p, end);
+    if (!h_end) break;
+
+    const char* s = h_end + 1;
+    const char* s_end = find_nl(s, end);
+    if (!s_end) { p = rec_start; break; }
+    const char* s_stop = (s_end > s && s_end[-1] == '\r') ? s_end - 1 : s_end;
+
+    const char* plus = s_end + 1;
+    const char* plus_end = find_nl(plus, end);
+    if (!plus_end) { p = rec_start; break; }
+    if (plus >= end || *plus != '+') return -1;
+
+    const char* q = plus_end + 1;
+    const char* q_end = find_nl(q, end);
+    if (!q_end) {
+      if (end - q >= s_stop - s) q_end = end - 1; else { p = rec_start; break; }
+    }
+
+    uint8_t* dst = out + count * (int64_t)P;
+    if (s_stop - s < P) {
+      memset(dst, 0xFF, (size_t)P);
+    } else {
+      memcpy(dst, s, (size_t)P);
+    }
+    count++;
+    p = q_end + 1;
+  }
+  *resume_off = p - base;
+  return count;
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -27,7 +27,7 @@ import gzip
 import os
 from dataclasses import dataclass, field
 
-from .io.fastq import read_fastq_records, read_fastq_seqs
+from .io.fastq import read_fastq_records
 from .models.aligner import Pseudoaligner
 
 _BASE_CODE = {65: 0, 67: 1, 71: 2, 84: 3}  # A C G T
@@ -401,13 +401,23 @@ def _count_records(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
 
 
 def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
-    """Batched counting over compact signatures (the serving fast path)."""
-    counts = CellCounts()
-    # bulk seq-only R1 stream: the barcode/UMI side is parse-bound and
-    # needs no read ids (read_fastq_seqs is ~20x read_fastq_records)
-    r1 = read_fastq_seqs(r1_path)
-    from .io.fastq import FastqReader
+    """Batched counting over compact signatures (the serving fast path).
 
+    R1 streams as fixed-width RAW prefix rows through one native scan per
+    batch (io/fastq.R1PrefixReader: N/case preserved, too-short rows are
+    0xFF), and the per-batch accumulation is vectorized: barcode/UMI pack
+    to ints, class/cell interning runs over unique keys in
+    first-appearance READ order (exact ordering parity with the record
+    path), and UMI counts accumulate per unique (cell, class, umi) triple
+    instead of per read.  Rows the vector path can't represent (whitelist
+    corrections, non-ACGT barcodes/UMIs) resolve in a small per-row loop."""
+    counts = CellCounts()
+    from .io.fastq import FastqReader, R1PrefixReader
+
+    ml = chem.r1_min_len
+    bl = chem.bc_len
+    ul = ml - bl
+    r1 = R1PrefixReader(r1_path, ml)
     r2 = FastqReader(
         r2_path, aligner.config.batch_size, aligner.config.max_read_len
     )
@@ -422,96 +432,171 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         wl_sorted = np.sort(
             np.fromiter(whitelist.exact, np.uint64, len(whitelist.exact))
         )
+    # int keys: packed 2-bit strings (>= 0) or side-interned odd strings
+    # (< -1; -1 = invalid row).  Packing needs 2*len bits in an int64.
+    packable = 2 * bl <= 62 and 2 * ul <= 62
+    side_keys: dict[bytes, int] = {}
+    side_strs: list[str] = []
 
-    def consume(state, seq1s):
+    def _side_key(raw: bytes) -> int:
+        k = side_keys.get(raw)
+        if k is None:
+            k = -2 - len(side_strs)
+            side_keys[raw] = k
+            side_strs.append(raw.decode())
+        return k
+
+    def _decode_packed(key: int, width: int) -> str:
+        return "".join(
+            "ACGT"[(key >> (2 * (width - 1 - j))) & 3] for j in range(width)
+        )
+
+    def _key_str(key: int, width: int) -> str:
+        return (_decode_packed(key, width) if key >= 0
+                else side_strs[-2 - key])
+
+    cell_of_key: dict[int, int] = {}
+
+    def consume(state, arr):
         overflow = aligner._remap_collect(state["remap_fut"])
-        inv = state["inv"]
+        inv = np.asarray(state["inv"], dtype=np.int64)
         none_mask = state["none_mask"]
         sig_start = state["sig_start"]
         sig_flat = state["sig_flat"]
-        ov_rows = set(state["overflow_rows"])
         n = state["n"]
-        # vectorized R1 screen: fixed-width prefixes, short/bad mask, and
-        # (with a whitelist) the exact-hit mask — the per-read loop below
-        # then only touches dicts for pre-resolved values.  0xFF never
-        # appears in FASTQ seq bytes, so it marks too-short rows.
-        ml = chem.r1_min_len
-        bl = chem.bc_len
-        BADROW = b"\xff" * ml
-        pref = b"".join(
-            s[:ml] if len(s) >= ml else BADROW for s in seq1s[:n]
-        )
-        arr = np.frombuffer(pref, np.uint8).reshape(n, ml)
+        arr = arr[:n]
         short = arr[:, 0] == 0xFF
-        exact_hit = None
+        counts.n_reads += n
+        counts.n_bad_r1 += int(short.sum())
+
+        codes = bc_lut[arr]
+        clean = ~short & (codes != 255).all(axis=1)
+        pk_bc = np.zeros(n, np.uint64)
+        for j in range(bl):
+            pk_bc = (pk_bc << np.uint64(2)) | codes[:, j].astype(np.uint64)
+        pk_umi = np.zeros(n, np.uint64)
+        for j in range(bl, ml):
+            pk_umi = (pk_umi << np.uint64(2)) | codes[:, j].astype(np.uint64)
+
         if wl_sorted is not None:
-            codes = bc_lut[arr[:, :bl]]
-            clean = ~short & np.all(codes != 255, axis=1)
-            packed = np.zeros(n, np.uint64)
-            for j in range(bl):
-                packed = (packed << np.uint64(2)) | codes[:, j].astype(
-                    np.uint64
-                )
             if len(wl_sorted):
                 pos = np.minimum(
-                    np.searchsorted(wl_sorted, packed), len(wl_sorted) - 1
+                    np.searchsorted(wl_sorted, pk_bc), len(wl_sorted) - 1
                 )
-                exact_hit = clean & (wl_sorted[pos] == packed)
+                exact = clean & (wl_sorted[pos] == pk_bc)
             else:
-                exact_hit = np.zeros(n, bool)
-        shortl = short.tolist()
-        hitl = exact_hit.tolist() if exact_hit is not None else None
-        # class ids interned lazily at first READ appearance (exact
-        # ordering parity with the record path's counts.classes)
-        sig_cid: dict = {}
-        for i in range(n):
-            if shortl[i]:
-                counts.n_bad_r1 += 1
-                counts.n_reads += 1
-                continue
-            seq1 = seq1s[i]
-            if hitl is None or hitl[i]:
-                # no whitelist (face value) or exact whitelist hit
-                bc = seq1[:bl].decode()
-                umi = seq1[bl:ml].decode()
-            else:
-                bc, umi = _process_r1(counts, seq1, chem, whitelist)
+                exact = np.zeros(n, bool)
+        else:
+            exact = clean
+        if not packable:
+            exact = np.zeros(n, bool)  # everything through the row loop
+
+        bckey = np.where(exact, pk_bc.astype(np.int64), np.int64(-1))
+        ukey = np.where(exact, pk_umi.astype(np.int64), np.int64(-1))
+
+        # rows the vector path can't represent: whitelist corrections,
+        # non-ACGT barcodes/UMIs (face value), unpackable chemistry
+        for i in np.nonzero(~short & ~exact)[0]:
+            raw = arr[i].tobytes()
+            raw_bc = raw[:bl]
+            if whitelist is not None:
+                bc = whitelist.match(raw_bc)
                 if bc is None:
+                    counts.n_bad_barcode += 1
                     continue
-            if i in ov_rows:
-                eq = overflow[i][0]
-                counts.add(bc, umi, eq)
-                continue
-            s = int(inv[i])
-            cid = sig_cid.get(s)
-            if cid is None:
-                if none_mask[s]:
-                    tup = ()
-                else:
-                    lst = sig_flat[sig_start[s] : sig_start[s + 1]]
-                    tup = tuple(int(x) for x in lst)
-                cid = counts._class_id(tup) if tup else -1
-                sig_cid[s] = cid
-            counts.n_reads += 1
-            if cid < 0:
-                continue
-            counts.n_mapped += 1
-            key = (counts._cell_id(bc), cid)
+                if bc != raw_bc.decode():
+                    counts.n_corrected += 1
+                bcb = bc.encode()
+            else:
+                bcb = raw_bc
+            bcodes = bc_lut[np.frombuffer(bcb, np.uint8)]
+            if packable and (bcodes != 255).all():
+                k = 0
+                for c in bcodes:
+                    k = (k << 2) | int(c)
+                bckey[i] = k
+            else:
+                bckey[i] = _side_key(bcb)
+            ucodes = codes[i, bl:ml]
+            if packable and (ucodes != 255).all():
+                ukey[i] = int(pk_umi[i])
+            else:
+                ukey[i] = _side_key(raw[bl:ml])
+
+        valid = np.zeros(n, bool)
+        valid[~short] = True
+        if whitelist is not None or not packable:
+            valid &= bckey != -1  # dropped barcodes
+
+        # class id per row: token = signature id, or a unique per-row
+        # token for overflow rows; interned over unique tokens in
+        # first-appearance read order (record-path parity — _class_id
+        # dedups content across tokens)
+        n_sig = len(none_mask)
+        tok = inv[:n].copy()
+        for i in state["overflow_rows"]:
+            tok[i] = n_sig + int(i)
+        vrows = np.nonzero(valid)[0]
+        vtok = tok[vrows]
+        uniq_t, first_t = np.unique(vtok, return_index=True)
+        cid_of_uniq = np.empty(len(uniq_t), np.int64)
+        for u in np.argsort(first_t, kind="stable"):
+            t = int(uniq_t[u])
+            if t >= n_sig:
+                tup = tuple(int(x) for x in overflow[t - n_sig][0])
+            elif none_mask[t]:
+                tup = ()
+            else:
+                tup = tuple(
+                    int(x) for x in sig_flat[sig_start[t] : sig_start[t + 1]]
+                )
+            cid_of_uniq[u] = counts._class_id(tup) if tup else -1
+        vcid = cid_of_uniq[np.searchsorted(uniq_t, vtok)]
+
+        mapped = vcid >= 0
+        counts.n_mapped += int(mapped.sum())
+        mrows = vrows[mapped]
+        if not len(mrows):
+            return
+        mcid = vcid[mapped]
+        mbc = bckey[mrows]
+        mumi = ukey[mrows]
+
+        # cell interning in first-appearance read order among mapped rows
+        uniq_b, first_b = np.unique(mbc, return_index=True)
+        cell_of_uniq = np.empty(len(uniq_b), np.int64)
+        for u in np.argsort(first_b, kind="stable"):
+            key = int(uniq_b[u])
+            cell = cell_of_key.get(key)
+            if cell is None:
+                cell = counts._cell_id(_key_str(key, bl))
+                cell_of_key[key] = cell
+            cell_of_uniq[u] = cell
+        mcell = cell_of_uniq[np.searchsorted(uniq_b, mbc)]
+
+        # bulk UMI accumulation per unique (cell, class, umi) triple
+        order = np.lexsort((mumi, mcid, mcell))
+        sc, si, su = mcell[order], mcid[order], mumi[order]
+        changed = (sc[1:] != sc[:-1]) | (si[1:] != si[:-1]) | (su[1:] != su[:-1])
+        starts = np.concatenate(([0], np.nonzero(changed)[0] + 1, [len(order)]))
+        for g in range(len(starts) - 1):
+            a = starts[g]
+            cnt = int(starts[g + 1] - a)
+            key = (int(sc[a]), int(si[a]))
+            umi = _key_str(int(su[a]), ul)
             d = counts.umis.setdefault(key, {})
-            d[umi] = d.get(umi, 0) + 1
+            d[umi] = d.get(umi, 0) + cnt
 
     pending = None
     for batch in r2:
         fut = aligner.map_batch_device(batch.codes, batch.lens)
-        seq1s = []
-        for _ in range(len(batch.ids)):
-            try:
-                seq1s.append(next(r1))
-            except StopIteration:
-                raise ValueError("R1 has fewer reads than R2")
+        arr = r1.take(len(batch.ids))
+        if arr.shape[0] < len(batch.ids):
+            raise ValueError("R1 has fewer reads than R2")
         if pending is not None:
             consume(*pending)
-        pending = (aligner.emit_prepare(fut, batch), seq1s)
+        pending = (aligner.emit_prepare(fut, batch), arr)
     if pending is not None:
         consume(*pending)
+    r1.close()
     return counts

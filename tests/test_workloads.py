@@ -216,6 +216,73 @@ def test_count_batched_matches_record_path(small_index, small_transcripts, tmp_p
     assert fa == fb
 
 
+def test_count_batched_parity_fuzz(small_index, small_transcripts, tmp_path):
+    """Adversarial count parity: UMI duplication, N/lowercase barcodes
+    and UMIs (face-value side path), short R1s, whitelist corrections and
+    drops, reads that overflow distinct_cap — batched (vectorized) vs
+    record path must write identical outputs on every axis."""
+    from pseudoaligner_tpu.singlecell import (
+        Chemistry,
+        Whitelist,
+        count_single_cell,
+    )
+
+    rng = np.random.default_rng(23)
+    bcs = ["".join("ACGT"[b] for b in rng.integers(0, 4, 16))
+           for _ in range(6)]
+    r1, r2 = [], []
+    umis = ["".join("ACGT"[b] for b in rng.integers(0, 4, 12))
+            for _ in range(25)]  # small pool -> heavy duplication
+    for i in range(400):
+        kind = i % 10
+        bc = bcs[int(rng.integers(0, len(bcs)))]
+        umi = umis[int(rng.integers(0, len(umis)))]
+        if kind == 0:
+            bc = bc[:4] + "N" + bc[5:]            # N barcode
+        elif kind == 1:
+            umi = umi[:3] + "N" + umi[4:]         # N umi
+        elif kind == 2:
+            bc = bc.lower()                       # lowercase barcode
+        elif kind == 3:
+            p = int(rng.integers(0, 16))          # 1-Hamming error
+            bc = bc[:p] + "ACGT"[(("ACGT".index(bc[p])) + 1) % 4] + bc[p + 1:]
+        elif kind == 4:
+            r1.append((f"m{i}", bc + umi[:3]))    # too-short R1
+            r2.append((f"m{i}", _tx_window(small_transcripts, 3, 10, 60)))
+            continue
+        tx = int(rng.integers(0, 60))
+        r1.append((f"m{i}", bc + umi))
+        r2.append((f"m{i}", _tx_window(small_transcripts, tx,
+                                       int(rng.integers(0, 40)), 60)))
+    _write_fastq(tmp_path / "r1.fq", r1)
+    _write_fastq(tmp_path / "r2.fq", r2)
+
+    for wl in (None, Whitelist(bcs, 16)):
+        outs = []
+        for dc in (3, 0):  # tight distinct_cap -> real overflow rows
+            cfg = AlignerConfig(k=20, batch_size=64, max_read_len=96,
+                                max_nodes=64 if not dc else 9,
+                                distinct_cap=dc,
+                                max_walk_iters=6 if dc else 0,
+                                max_left_iters=2 if dc else 0)
+            al = Pseudoaligner(small_index, cfg)
+            c = count_single_cell(al, str(tmp_path / "r1.fq"),
+                                  str(tmp_path / "r2.fq"), Chemistry(),
+                                  whitelist=wl, bc_correct=False)
+            d = str(tmp_path / f"out_{dc}_{wl is None}")
+            c.write(d, umi_dedup="directional")
+            outs.append((c, {
+                f: open(os.path.join(d, f)).read()
+                for f in ("barcodes.tsv", "ec.tsv", "matrix.mtx")
+            }))
+        (ca, fa), (cb, fb) = outs
+        assert (ca.n_reads, ca.n_mapped, ca.n_bad_r1, ca.n_bad_barcode,
+                ca.n_corrected) == (
+            cb.n_reads, cb.n_mapped, cb.n_bad_r1, cb.n_bad_barcode,
+            cb.n_corrected), ("stats", wl is None)
+        assert fa == fb, ("files", wl is None)
+
+
 def test_directional_umi_dedup():
     from pseudoaligner_tpu.singlecell import CellCounts
 
