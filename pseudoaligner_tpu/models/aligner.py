@@ -1014,23 +1014,47 @@ class Pseudoaligner:
             sf, ss = st["sig_flat"], st["sig_start"]
             return sf[ss[g] : ss[g + 1]]
 
+        # override rows (either mate -2/-3-flagged): single-mate rows take
+        # their list as-is; both-mapped rows batch through ONE C++
+        # intersect_pairs call instead of a per-row python intersect
         ovr_rows = np.nonzero(has_ovr)[0].astype(np.int64)
-        ovr_lists = []
-        for i in ovr_rows:
+        ovr_lists: list = [None] * len(ovr_rows)
+        pair_j, la_parts, lb_parts = [], [], []
+        for j, i in enumerate(ovr_rows):
             la = _mate_list(st1, ov1, inv1, i) if m1[i] else None
             lb = _mate_list(st2, ov2, inv2, i) if m2[i] else None
             if la is not None and lb is not None:
-                eq = np.asarray(
-                    _gx([int(x) for x in la], [int(x) for x in lb]),
-                    np.uint32,
-                )
+                pair_j.append(j)
+                la_parts.append(np.asarray(la, np.uint32))
+                lb_parts.append(np.asarray(lb, np.uint32))
             elif la is not None:
-                eq = np.asarray(la, np.uint32)
+                ovr_lists[j] = np.asarray(la, np.uint32)
             elif lb is not None:
-                eq = np.asarray(lb, np.uint32)
+                ovr_lists[j] = np.asarray(lb, np.uint32)
             else:
-                eq = np.zeros(0, np.uint32)
-            ovr_lists.append(eq)
+                ovr_lists[j] = np.zeros(0, np.uint32)
+        if pair_j:
+            oa = np.zeros(len(pair_j) + 1, np.int64)
+            np.cumsum([len(x) for x in la_parts], out=oa[1:])
+            ob = np.zeros(len(pair_j) + 1, np.int64)
+            np.cumsum([len(x) for x in lb_parts], out=ob[1:])
+            fa = np.concatenate(la_parts)
+            fb = np.concatenate(lb_parts)
+            try:
+                from ..ops.native import intersect_pairs
+
+                flat_o, offs_o = intersect_pairs(fa, oa, fb, ob)
+                for t, j in enumerate(pair_j):
+                    ovr_lists[j] = flat_o[offs_o[t] : offs_o[t + 1]]
+            except Exception:
+                for t, j in enumerate(pair_j):
+                    ovr_lists[j] = np.asarray(
+                        _gx(
+                            [int(x) for x in fa[oa[t] : oa[t + 1]]],
+                            [int(x) for x in fb[ob[t] : ob[t + 1]]],
+                        ),
+                        np.uint32,
+                    )
         ovr_start = np.zeros(len(ovr_rows) + 1, np.int64)
         if len(ovr_rows):
             np.cumsum(

@@ -237,6 +237,70 @@ def test_fuzz_parity_n_bases(tmp_path):
     assert nn == 240 and buf.getvalue() == want
 
 
+def test_fuzz_paired_emit_parity(tmp_path):
+    """Paired serving emit (compact caps, batched override intersection)
+    vs the full-output paired record path on random family-structured
+    data: transcripts share long stretches so walks cross EC boundaries
+    and rows genuinely overflow distinct_cap/max_nodes (-2/-3 -> host
+    remap -> both-mapped override rows through pa_intersect_pairs)."""
+    import io as iomod
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    rng = np.random.default_rng(9001)
+    # isoform families: 6 bases x 4 splice variants -> wide, varied ECs
+    seqs, names, gmap = [], [], {}
+    for g in range(6):
+        base = rng.integers(0, 4, 1200).astype(np.uint8)
+        for i in range(4):
+            if i == 0:
+                s = base
+            else:
+                a = int(rng.integers(50, 500))
+                b = int(rng.integers(a + 60, a + 400))
+                s = np.concatenate([base[:a], base[b:]])
+            nm = f"fx{g}_{i}"
+            seqs.append(s)
+            names.append(nm)
+            gmap[nm] = f"fg{g}"
+    image = build_index(seqs, names, gmap, k=20)
+
+    reads1 = _fuzz_reads(rng, seqs, k=20, n=400, L=72)
+    reads2 = _fuzz_reads(rng, seqs, k=20, n=400, L=72)
+    # every 5th mate2 is unmappable noise: a flagged mate1 paired with an
+    # unmapped mate2 exercises the SINGLE-mate override branch
+    reads2 = [
+        (rid, rng.integers(0, 4, 72).astype(np.uint8)) if i % 5 == 0
+        else (rid, w)
+        for i, (rid, w) in enumerate(reads2)
+    ]
+    dec = "ACGT"
+    r1, r2 = tmp_path / "p1.fq", tmp_path / "p2.fq"
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for (rid, wa), (_, wb) in zip(reads1, reads2):
+            a = "".join(dec[b] for b in wa)
+            b_ = "".join(dec[b] for b in wb)
+            f1.write(f"@{rid}\n{a}\n+\n{'I' * len(a)}\n")
+            f2.write(f"@{rid}\n{b_}\n+\n{'I' * len(b_)}\n")
+
+    ref = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=128, max_read_len=80, max_nodes=64,
+        distinct_cap=0))
+    want = "".join(
+        rec.format_reference_style() + "\n"
+        for rec in ref.map_fastq_paired(str(r1), str(r2))
+    ).encode()
+
+    srv = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=128, max_read_len=80, max_nodes=8,
+        distinct_cap=3, max_walk_iters=3, max_left_iters=2))
+    buf = iomod.BytesIO()
+    n_out = srv.emit_fastq_paired(str(r1), str(r2), buf)
+    assert n_out == len(reads1)
+    assert buf.getvalue() == want
+
+
 @pytest.mark.parametrize("shard_graph", [False, True])
 def test_fuzz_kpart_identity(shard_graph):
     """K-mer-partitioned mapping (lookup- and graph-sharded) must be
