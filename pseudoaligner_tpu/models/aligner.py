@@ -174,17 +174,30 @@ class Pseudoaligner:
         image: IndexImage,
         config: AlignerConfig | None = None,
         device=None,
+        map_step=None,
+        meta=None,
     ):
+        """`map_step(codes, lens) -> MapResult` plugs an external device
+        engine (e.g. KmerPartitionedAligner.serving_aligner) under the
+        full serving surface (map_fastq / emit_fastq / paired / count);
+        the replicated device index is then not built — pass the engine's
+        `meta` alongside."""
         if config is None:
             config = AlignerConfig(k=image.k)
         if config.k != image.k:
             raise ValueError(f"config k={config.k} != index k={image.k}")
         self.image = image
         self.config = config
-        dev, meta = device_index_from_image(image, config)
-        self.meta = meta
-        self.dev = jax.device_put(dev, device)
-        self._step = jax.jit(partial(map_batch_packed, meta))
+        self._map_step = map_step
+        if map_step is None:
+            dev, meta = device_index_from_image(image, config)
+            self.meta = meta
+            self.dev = jax.device_put(dev, device)
+            self._step = jax.jit(partial(map_batch_packed, meta))
+        else:
+            if meta is None:
+                raise ValueError("map_step requires the engine's meta")
+            self.meta = meta
         # host-side EC intersection memo for the CSR fallback path
         self._ec_memo: dict[tuple[int, ...], list[int]] = {}
         # opt-in serving-phase timers (PA_TIMERS=1): accumulated wall time
@@ -206,8 +219,11 @@ class Pseudoaligner:
     def map_batch_device(self, codes: np.ndarray, lens: np.ndarray) -> MapResult:
         """Run the jitted mapping step on a [B, L] batch (codes are packed
         2-bit on the host so the host->device transfer is 16x smaller)."""
-        packed = pack_reads_host(np.asarray(codes, dtype=np.uint8))
-        result = self._step(self.dev, packed, lens.astype(np.int32))
+        if self._map_step is not None:
+            result = self._map_step(codes, lens)
+        else:
+            packed = pack_reads_host(np.asarray(codes, dtype=np.uint8))
+            result = self._step(self.dev, packed, lens.astype(np.int32))
         if self.meta.distinct_cap > 0:
             # fetch the compact outputs on a BACKGROUND thread now: the
             # ~1.6MB result rides the ~55MB/s tunnel (~38ms measured

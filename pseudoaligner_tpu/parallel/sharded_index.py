@@ -464,6 +464,7 @@ class KmerPartitionedAligner:
         )
         self.meta = meta
         self.config = config
+        self.image = image  # host-side: serving_aligner's emit/remap needs it
         self.n_tx = len(image.tx_names)
 
         lookup_np, n_levels = build_sharded_lookup(image, S)
@@ -512,6 +513,21 @@ class KmerPartitionedAligner:
         )
         self._step = make_kpart_step(meta, self.kmeta, mesh, self.n_tx)
         self._shard_batch = shard_batch
+
+    def serving_aligner(self):
+        """A Pseudoaligner whose device step routes through this sharded
+        engine: the FULL serving surface (map_fastq, emit_fastq, paired,
+        count, tcc) over a k-mer-partitioned index.  Host-side emit,
+        overflow remap and record semantics are shared with the
+        replicated engine — kpart results are bit-identical to it
+        (tests/test_fuzz_kpart_identity), so output bytes are too."""
+        from ..models.aligner import Pseudoaligner
+
+        return Pseudoaligner(
+            self.image, self.config,
+            map_step=lambda codes, lens: self.map_batch(codes, lens)[0],
+            meta=self.meta,
+        )
 
     def map_batch(self, reads: np.ndarray, lens: np.ndarray):
         from ..ops.map_kernel import pack_reads_host

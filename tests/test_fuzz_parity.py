@@ -114,10 +114,14 @@ def test_fuzz_parity_mismatch_budget(am):
     assert n == len(reads)
 
 
-def test_fuzz_serving_emit_parity(tmp_path):
+@pytest.mark.parametrize("max_nodes", [7, 8, 16])
+def test_fuzz_serving_emit_parity(tmp_path, max_nodes):
     """The native serving emit pipeline (compact outputs, caps, lane
     compaction, -3/-2 host remap, signature-indirect emitter) must print
-    records identical to the full-output record path on random data."""
+    records identical to the full-output record path on random data.
+    max_nodes sweeps the node-buffer EDGE: 7 is exactly the wcap+lcap+2
+    push bound at caps (3,2) — lanes that outgrow it must -3-flag
+    exactly, never truncate silently."""
     import io as iomod
 
     from pseudoaligner_tpu.config import AlignerConfig
@@ -142,7 +146,7 @@ def test_fuzz_serving_emit_parity(tmp_path):
     ).encode()
 
     srv = Pseudoaligner(image, AlignerConfig(
-        k=20, batch_size=128, max_read_len=96, max_nodes=8,
+        k=20, batch_size=128, max_read_len=96, max_nodes=max_nodes,
         distinct_cap=3, max_walk_iters=3, max_left_iters=2))
     buf = iomod.BytesIO()
     n, _fl = srv.emit_fastq(str(fq), buf)

@@ -113,6 +113,47 @@ def test_kpart_default_config_serving(small_index, small_reads):
                           np.asarray(res.ec_distinct))
 
 
+@pytest.mark.parametrize("shard_graph", [False, True])
+def test_kpart_serving_surface(small_index, small_reads, tmp_path,
+                               shard_graph):
+    """serving_aligner(): the FULL serving surface over the sharded
+    engine — single-end emit and paired emit must be byte-identical to
+    the replicated engine under the same serving config (kpart+paired /
+    kpart+emit fuzz combos)."""
+    import io as iomod
+
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=9,
+                        distinct_cap=3, max_walk_iters=3, max_left_iters=2,
+                        lazy_seeds=False, left_compact=0.0)
+    base = Pseudoaligner(small_index, cfg)
+    kp = KmerPartitionedAligner(small_index, cfg, make_mesh(2),
+                                shard_graph=shard_graph)
+    srv = kp.serving_aligner()
+
+    fq = tmp_path / "r.fq"
+    r1 = tmp_path / "m1.fq"
+    r2 = tmp_path / "m2.fq"
+    dec = "ACGT"
+    n = 150
+    with open(fq, "w") as f, open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(n):
+            a = "".join(dec[b] for b in small_reads[i][1][:60])
+            b_ = "".join(dec[b] for b in small_reads[n + i][1][:60])
+            f.write(f"@s{i}\n{a}\n+\n{'I' * len(a)}\n")
+            f1.write(f"@p{i}\n{a}\n+\n{'I' * len(a)}\n")
+            f2.write(f"@p{i}\n{b_}\n+\n{'I' * len(b_)}\n")
+
+    buf_b, buf_k = iomod.BytesIO(), iomod.BytesIO()
+    assert base.emit_fastq(str(fq), buf_b)[0] == n
+    assert srv.emit_fastq(str(fq), buf_k)[0] == n
+    assert buf_b.getvalue() == buf_k.getvalue()
+
+    pb, pk = iomod.BytesIO(), iomod.BytesIO()
+    assert base.emit_fastq_paired(str(r1), str(r2), pb) == n
+    assert srv.emit_fastq_paired(str(r1), str(r2), pk) == n
+    assert pb.getvalue() == pk.getvalue()
+
+
 def test_build_sharded_graph_blocks(small_index):
     from pseudoaligner_tpu.ops.map_kernel import device_index_from_image
     from pseudoaligner_tpu.parallel.sharded_index import build_sharded_graph
