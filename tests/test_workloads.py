@@ -283,6 +283,48 @@ def test_count_batched_parity_fuzz(small_index, small_transcripts, tmp_path):
         assert fa == fb, ("files", wl is None)
 
 
+def test_count_gz_inputs_match_plain(small_index, small_transcripts, tmp_path):
+    """Gzipped R1/R2 through the count pipeline (R1PrefixReader falls back
+    to the chunked python stream; R2 to the python record reader) must
+    produce outputs identical to the plain-file native path."""
+    import gzip
+
+    from pseudoaligner_tpu.singlecell import Chemistry, count_single_cell
+
+    rng = np.random.default_rng(41)
+    bcs = ["".join("ACGT"[b] for b in rng.integers(0, 4, 16))
+           for _ in range(4)]
+    r1, r2 = [], []
+    for i in range(150):
+        bc = bcs[int(rng.integers(0, 4))]
+        if i % 7 == 0:
+            bc = bc[:2] + "N" + bc[3:]
+        umi = "".join("ACGT"[b] for b in rng.integers(0, 4, 12))
+        r1.append((f"g{i}", bc + umi))
+        r2.append((f"g{i}", _tx_window(small_transcripts,
+                                       int(rng.integers(0, 50)), 5, 60)))
+    _write_fastq(tmp_path / "r1.fq", r1)
+    _write_fastq(tmp_path / "r2.fq", r2)
+    for nm in ("r1.fq", "r2.fq"):
+        with open(tmp_path / nm, "rb") as f, \
+                gzip.open(tmp_path / (nm + ".gz"), "wb") as g:
+            g.write(f.read())
+
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=96, max_nodes=9,
+                        distinct_cap=3, max_walk_iters=3, max_left_iters=2)
+    al = Pseudoaligner(small_index, cfg)
+    outs = []
+    for suffix in ("", ".gz"):
+        c = count_single_cell(
+            al, str(tmp_path / f"r1.fq{suffix}"),
+            str(tmp_path / f"r2.fq{suffix}"), Chemistry(), bc_correct=False)
+        d = str(tmp_path / f"gzout{len(outs)}")
+        c.write(d)
+        outs.append({f: open(os.path.join(d, f)).read()
+                     for f in ("barcodes.tsv", "ec.tsv", "matrix.mtx")})
+    assert outs[0] == outs[1]
+
+
 def test_directional_umi_dedup():
     from pseudoaligner_tpu.singlecell import CellCounts
 
