@@ -223,7 +223,12 @@ class Pseudoaligner:
             result = self._map_step(codes, lens)
         else:
             packed = pack_reads_host(np.asarray(codes, dtype=np.uint8))
-            result = self._step(self.dev, packed, lens.astype(np.int32))
+            # lens ride the link at the narrowest width that fits the
+            # padded batch (uint8 for L<=255 saves 3/4 of the vector on
+            # the serialized tunnel); the kernel casts to int32 in-graph
+            ldt = (np.uint8 if self.meta.read_len <= 255 else
+                   np.uint16 if self.meta.read_len <= 65535 else np.int32)
+            result = self._step(self.dev, packed, lens.astype(ldt))
         if self.meta.distinct_cap > 0:
             # fetch the compact outputs on a BACKGROUND thread now: the
             # ~1.6MB result rides the ~55MB/s tunnel (~38ms measured

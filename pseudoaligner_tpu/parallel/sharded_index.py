@@ -538,7 +538,11 @@ class KmerPartitionedAligner:
                 f"batch {reads.shape[0]} not divisible by mesh size {nd}"
             )
         packed = pack_reads_host(np.asarray(reads, dtype=np.uint8))
-        r, l = self._shard_batch(packed, lens.astype(np.int32), self.mesh)
+        # narrowest lens width that fits (the kpart step casts in-graph)
+        ldt = (np.uint8 if self.meta.read_len <= 255 else
+               np.uint16 if self.meta.read_len <= 65535 else np.int32)
+        r, l = self._shard_batch(packed, np.asarray(lens).astype(ldt),
+                                 self.mesh)
         res, counts, overflow = self._step(
             self.dev, self.lookup, self.gshards, r, l
         )
