@@ -34,6 +34,101 @@ print("child", pid, "ok")
 """
 
 
+_KPART_CHILD = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+from pseudoaligner_tpu.parallel.multihost import init_from_env, global_mesh
+from pseudoaligner_tpu.parallel.sharded_index import KmerPartitionedAligner
+from pseudoaligner_tpu.models.aligner import Pseudoaligner
+from pseudoaligner_tpu.serde import load_index
+from pseudoaligner_tpu.config import AlignerConfig
+
+pid, n = init_from_env()
+assert n == 2, n
+import jax
+image = load_index({index!r})
+cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=64,
+                    lazy_seeds=False, left_compact=0.0)
+mesh = global_mesh()  # 2 procs x 2 local devices -> 4-way kpart
+assert mesh.devices.size == 4
+kp = KmerPartitionedAligner(image, cfg, mesh, shard_graph={shard_graph})
+data = np.load({reads!r})
+codes, lens = data["codes"], data["lens"]
+res, counts = kp.map_batch(codes, lens)
+# expected: the replicated single-device engine on this host
+base = Pseudoaligner(image, cfg).map_batch_device(codes, lens)
+exp = {{f: np.asarray(getattr(base, f))
+       for f in ("mapped", "coverage", "mismatches", "ec_distinct")}}
+for f, e in exp.items():
+    arr = getattr(res, f)
+    shards = arr.addressable_shards
+    assert shards, f
+    for sh in shards:
+        assert np.array_equal(np.asarray(sh.data), e[sh.index]), (f, pid)
+open(os.path.join({outdir!r}, f"kpart-ok-{{pid}}"), "w").write("ok")
+print("child", pid, "kpart ok")
+"""
+
+
+@pytest.mark.full
+@pytest.mark.parametrize("shard_graph", [False, True])
+def test_two_process_kpart_sharded_index(small_index, small_reads, tmp_path,
+                                         shard_graph):
+    """The k-mer-partitioned engine over a GLOBAL mesh spanning two OS
+    processes (2 local devices each): index shards live per-process
+    (the index-beyond-one-host mode), all_to_all routing crosses the
+    process boundary, and every addressable output shard must be
+    bit-identical to the replicated single-device engine."""
+    from pseudoaligner_tpu.config import AlignerConfig  # noqa: F401
+    from pseudoaligner_tpu.serde import save_index
+
+    index_path = str(tmp_path / "idx.bin")
+    save_index(small_index, index_path)
+    B, L = 64, 64
+    codes = np.zeros((B, L), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for j, (_, c) in enumerate(small_reads[:B]):
+        w = c[:60]
+        codes[j, : len(w)] = w
+        lens[j] = len(w)
+    reads_path = str(tmp_path / "reads.npz")
+    np.savez(reads_path, codes=codes, lens=lens)
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir, exist_ok=True)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env_base = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS", "PYTHONPATH")
+    }
+    procs = []
+    for pid in range(2):
+        env = dict(
+            env_base,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            PA_COORDINATOR=f"127.0.0.1:{port}",
+            PA_NUM_PROCESSES="2",
+            PA_PROCESS_ID=str(pid),
+        )
+        code = _KPART_CHILD.format(repo=REPO, index=index_path,
+                                   reads=reads_path, outdir=outdir,
+                                   shard_graph=shard_graph)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        ))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    for pid in range(2):
+        assert os.path.exists(os.path.join(outdir, f"kpart-ok-{pid}"))
+
+
 @pytest.mark.full
 def test_two_process_global_count_merge(small_index, small_reads, tmp_path):
     from pseudoaligner_tpu.config import AlignerConfig
