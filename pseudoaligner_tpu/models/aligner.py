@@ -25,6 +25,7 @@ from ..ops.map_kernel import (
     MapResult,
     device_index_from_image,
     map_batch_packed,
+    lens_link_dtype,
     pack_reads_host,
 )
 
@@ -96,7 +97,9 @@ def _concat_ids_for_emit(ids: list[str]) -> tuple[bytes, np.ndarray]:
     if _ID_ESCAPE_RE is None:
         import re
 
-        _ID_ESCAPE_RE = re.compile(r'[\\"\x00-\x1f\x7f]')
+        # any non-ASCII char routes through the escaper too: Rust
+        # unicode-escapes non-printables and grapheme-extended chars
+        _ID_ESCAPE_RE = re.compile(r'[\\"\x00-\x1f\x7f]|[^\x00-\x7e]')
     joined = "".join(ids)
     if _ID_ESCAPE_RE.search(joined) is not None:
         ids = [_rust_debug_escape(s) for s in ids]
@@ -111,32 +114,65 @@ def _concat_ids_for_emit(ids: list[str]) -> tuple[bytes, np.ndarray]:
     return concat, id_offs
 
 
+# Rust `char::is_printable` treats these general categories as
+# non-printable (library/core/src/unicode/printable.py: Cc Cf Cs Co Cn
+# Zl Zp Zs, with U+0020 SPACE carved back out).
+_RUST_NONPRINTABLE_CATS = frozenset(
+    {"Cc", "Cf", "Cs", "Co", "Cn", "Zl", "Zp", "Zs"}
+)
+# Unicode Grapheme_Extend = Me + Mn + Other_Grapheme_Extend; the
+# Other_Grapheme_Extend members that are NOT already non-printable (the
+# Cf ones are) — Mc/Lm codepoints from PropList.txt.
+_OTHER_GRAPHEME_EXTEND = frozenset(
+    [0x09BE, 0x09D7, 0x0B3E, 0x0B57, 0x0BBE, 0x0BD7, 0x0CC2, 0x0CD5,
+     0x0CD6, 0x0D3E, 0x0D57, 0x0DCF, 0x0DDF, 0x1B35, 0x302E, 0x302F,
+     0xFF9E, 0xFF9F, 0x1133E, 0x11357, 0x114B0, 0x114BD, 0x115AF,
+     0x11930, 0x1D165, 0x1D16E, 0x1D16F, 0x1D170, 0x1D171, 0x1D172]
+)
+
+
 def _rust_debug_escape(s: str) -> str:
-    """Escape a read id like Rust `str`'s Debug impl (`escape_debug` with
-    escape_single_quote=false, escape_double_quote=true) so map-record
-    output stays byte-identical to `println!("{:?}", _)` on adversarial
-    ids (src/pseudoaligner.rs:490).  ASCII-exact; printable non-ASCII
-    passes through unchanged, matching Rust for non-grapheme-extended
-    printables."""
+    """Escape a read id like Rust `str`'s Debug impl (`escape_debug_ext`
+    with escape_grapheme_extended=true, escape_single_quote=false,
+    escape_double_quote=true) so map-record output stays byte-identical
+    to `println!("{:?}", _)` on adversarial ids (src/pseudoaligner.rs:490).
+
+    Beyond the ASCII specials, Rust unicode-escapes (a) grapheme-extended
+    chars (Mn/Me + Other_Grapheme_Extend) and (b) non-printable chars
+    (categories Cc/Cf/Cs/Co/Cn/Zl/Zp/Zs except SPACE), as `\\u{..}`
+    lowercase hex.  Category data comes from this Python's unicodedata;
+    a Unicode-version skew vs the reference binary's tables could differ
+    on recently-assigned codepoints only."""
+    import unicodedata
+
     out: list[str] = []
     for ch in s:
         o = ord(ch)
-        if ch == "\\":
-            out.append("\\\\")
-        elif ch == '"':
-            out.append('\\"')
+        if ch == "\0":
+            out.append("\\0")
         elif ch == "\t":
             out.append("\\t")
         elif ch == "\r":
             out.append("\\r")
         elif ch == "\n":
             out.append("\\n")
-        elif ch == "\0":
-            out.append("\\0")
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch == '"':
+            out.append('\\"')
         elif o < 0x20 or o == 0x7F:
             out.append(f"\\u{{{o:x}}}")
-        else:
+        elif o < 0x80:
             out.append(ch)
+        else:
+            cat = unicodedata.category(ch)
+            grapheme_ext = (
+                cat in ("Mn", "Me") or o in _OTHER_GRAPHEME_EXTEND
+            )
+            if grapheme_ext or cat in _RUST_NONPRINTABLE_CATS:
+                out.append(f"\\u{{{o:x}}}")
+            else:
+                out.append(ch)
     return "".join(out)
 
 
@@ -223,11 +259,7 @@ class Pseudoaligner:
             result = self._map_step(codes, lens)
         else:
             packed = pack_reads_host(np.asarray(codes, dtype=np.uint8))
-            # lens ride the link at the narrowest width that fits the
-            # padded batch (uint8 for L<=255 saves 3/4 of the vector on
-            # the serialized tunnel); the kernel casts to int32 in-graph
-            ldt = (np.uint8 if self.meta.read_len <= 255 else
-                   np.uint16 if self.meta.read_len <= 65535 else np.int32)
+            ldt = lens_link_dtype(self.meta.read_len)
             result = self._step(self.dev, packed, lens.astype(ldt))
         if self.meta.distinct_cap > 0:
             # fetch the compact outputs on a BACKGROUND thread now: the
@@ -702,13 +734,24 @@ class Pseudoaligner:
 
             from ..ops.map_kernel import map_batch_packed
 
+            if hasattr(self, "dev"):
+                base_meta, remap_dev = self.meta, self.dev
+            else:
+                # map_step engines (e.g. the kpart serving aligner) carry
+                # no replicated device index; build one lazily from the
+                # host image for this rare exact-remap fallback
+                dev, base_meta = device_index_from_image(
+                    self.image, self.config
+                )
+                remap_dev = jax.device_put(dev)
+            self._remap_dev = remap_dev
             # the fallback is UNCAPPED and must be exact: decouple its
             # node-buffer size from the serving meta (the serving kernel
             # may run with max_nodes as small as walk caps + margin)
             meta_full = dataclasses.replace(
-                self.meta, distinct_cap=0, tx_words=0, max_walk_iters=0,
+                base_meta, distinct_cap=0, tx_words=0, max_walk_iters=0,
                 max_left_iters=0,
-                max_nodes=max(self.meta.max_nodes, 2 * self.meta.read_len),
+                max_nodes=max(base_meta.max_nodes, 2 * base_meta.read_len),
             )
             self._remap_step = jax.jit(partial(map_batch_packed, meta_full))
         L = self.meta.read_len
@@ -721,7 +764,9 @@ class Pseudoaligner:
                 codes[j] = batch.codes[i]
                 lens[j] = batch.lens[i]
             packed = pack_reads_host(codes)
-            futures.append((chunk, self._remap_step(self.dev, packed, lens)))
+            futures.append(
+                (chunk, self._remap_step(self._remap_dev, packed, lens))
+            )
         return futures
 
     def _intersect_rows(self, vals: np.ndarray):

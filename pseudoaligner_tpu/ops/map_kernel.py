@@ -241,6 +241,15 @@ def pack_reads_host(codes: np.ndarray) -> np.ndarray:
     return np.bitwise_or.reduce(padded << shifts, axis=2).astype(np.uint32)
 
 
+def lens_link_dtype(read_len: int):
+    """Narrowest numpy dtype that fits read lengths up to `read_len`, for
+    the lens vector on the serialized host->device link (uint8 saves 3/4
+    of the vector for L<=255); every kernel casts lens to int32 in-graph,
+    so this is the ONE place the width/cast contract lives."""
+    return (np.uint8 if read_len <= 255 else
+            np.uint16 if read_len <= 65535 else np.int32)
+
+
 def _select_words(wcat: jnp.ndarray, wo: jnp.ndarray, nw_out: int) -> jnp.ndarray:
     """Per-lane word-granularity shift: out[:, i] = wcat[:, wo + i].
 

@@ -530,7 +530,7 @@ class KmerPartitionedAligner:
         )
 
     def map_batch(self, reads: np.ndarray, lens: np.ndarray):
-        from ..ops.map_kernel import pack_reads_host
+        from ..ops.map_kernel import lens_link_dtype, pack_reads_host
 
         nd = int(self.mesh.devices.size)
         if reads.shape[0] % nd:
@@ -538,9 +538,7 @@ class KmerPartitionedAligner:
                 f"batch {reads.shape[0]} not divisible by mesh size {nd}"
             )
         packed = pack_reads_host(np.asarray(reads, dtype=np.uint8))
-        # narrowest lens width that fits (the kpart step casts in-graph)
-        ldt = (np.uint8 if self.meta.read_len <= 255 else
-               np.uint16 if self.meta.read_len <= 65535 else np.int32)
+        ldt = lens_link_dtype(self.meta.read_len)
         r, l = self._shard_batch(packed, np.asarray(lens).astype(ldt),
                                  self.mesh)
         res, counts, overflow = self._step(

@@ -49,6 +49,15 @@ def _encode_bc(seq: bytes):
     return code, n_pos
 
 
+def _decode_2bit(code: int, width: int) -> str:
+    """Big-endian 2-bit-packed ACGT decode — the single inverse of
+    `_encode_bc`'s packing convention (shared by Whitelist and the
+    batched count path)."""
+    return "".join(
+        "ACGT"[(code >> (2 * (width - 1 - i))) & 3] for i in range(width)
+    )
+
+
 class Whitelist:
     """Known-barcode list with 1-Hamming-distance correction.
 
@@ -100,10 +109,7 @@ class Whitelist:
         return self._decode(hit) if hit is not None else None
 
     def _decode(self, code: int) -> str:
-        return "".join(
-            "ACGT"[(code >> (2 * (self.bc_len - 1 - i))) & 3]
-            for i in range(self.bc_len)
-        )
+        return _decode_2bit(code, self.bc_len)
 
 
 @dataclass
@@ -494,13 +500,8 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
             side_strs.append(raw.decode())
         return k
 
-    def _decode_packed(key: int, width: int) -> str:
-        return "".join(
-            "ACGT"[(key >> (2 * (width - 1 - j))) & 3] for j in range(width)
-        )
-
     def _key_str(key: int, width: int) -> str:
-        return (_decode_packed(key, width) if key >= 0
+        return (_decode_2bit(key, width) if key >= 0
                 else side_strs[-2 - key])
 
     cell_of_key: dict[int, int] = {}
@@ -635,16 +636,21 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
             d = counts.umis.setdefault(key, {})
             d[umi] = d.get(umi, 0) + cnt
 
-    pending = None
-    for batch in r2:
-        fut = aligner.map_batch_device(batch.codes, batch.lens)
-        arr = r1.take(len(batch.ids))
-        if arr.shape[0] < len(batch.ids):
-            raise ValueError("R1 has fewer reads than R2")
+    try:
+        pending = None
+        for batch in r2:
+            fut = aligner.map_batch_device(batch.codes, batch.lens)
+            arr = r1.take(len(batch.ids))
+            if arr.shape[0] < len(batch.ids):
+                raise ValueError("R1 has fewer reads than R2")
+            if pending is not None:
+                consume(*pending)
+            pending = (aligner.emit_prepare(fut, batch), arr)
         if pending is not None:
             consume(*pending)
-        pending = (aligner.emit_prepare(fut, batch), arr)
-    if pending is not None:
-        consume(*pending)
-    r1.close()
+    finally:
+        # close even on mid-stream errors: R1PrefixReader holds an mmap
+        # of the whole R1 file
+        r1.close()
+        r2.close()
     return counts

@@ -93,6 +93,13 @@ def test_map_adversarial_read_ids(cli_index, tmp_path):
     assert _rust_debug_escape('a"b\\c') == 'a\\"b\\\\c'
     assert _rust_debug_escape("x\ty\rz\n") == "x\\ty\\rz\\n"
     assert _rust_debug_escape("\x01\x7f'") == "\\u{1}\\u{7f}'"
+    # non-ASCII per Rust escape_debug: NEL (Cc), combining acute (Mn,
+    # grapheme-extended), NBSP (Zs), ZWSP (Cf) escape as \u{..}; printable
+    # non-ASCII (e-acute, lambda) passes through raw
+    assert _rust_debug_escape("\u0085") == "\\u{85}"
+    assert _rust_debug_escape("e\u0301") == "e\\u{301}"
+    assert _rust_debug_escape("\u00a0\u200b") == "\\u{a0}\\u{200b}"
+    assert _rust_debug_escape("\u00e9\u03bb") == "\u00e9\u03bb"
 
     fq = tmp_path / "adv.fq"
     seq = "ACGTACGTACGTACGTACGTACGTACGT"

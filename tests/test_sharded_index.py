@@ -154,6 +154,41 @@ def test_kpart_serving_surface(small_index, small_reads, tmp_path,
     assert pb.getvalue() == pk.getvalue()
 
 
+def test_kpart_serving_device_remap_fallback(small_index, small_reads,
+                                             tmp_path):
+    """When the native host mapper is unavailable, the kpart serving
+    aligner's overflow remap must fall back to an exact DEVICE pass —
+    the engine carries no replicated index, so the fallback builds one
+    lazily from the host image (round-2 review finding: this path used
+    to crash with AttributeError on self.dev)."""
+    import io as iomod
+
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=9,
+                        distinct_cap=3, max_walk_iters=3, max_left_iters=2,
+                        lazy_seeds=False, left_compact=0.0)
+    base = Pseudoaligner(small_index, cfg)
+    kp = KmerPartitionedAligner(small_index, cfg, make_mesh(2))
+    srv = kp.serving_aligner()
+    # simulate a host without the C++ toolchain BEFORE first use
+    srv._host_mapper_inst = None
+    assert srv._host_mapper() is None
+
+    fq = tmp_path / "r.fq"
+    dec = "ACGT"
+    n = 128
+    with open(fq, "w") as f:
+        for i in range(n):
+            a = "".join(dec[b] for b in small_reads[i][1][:60])
+            f.write(f"@s{i}\n{a}\n+\n{'I' * len(a)}\n")
+
+    buf_b, buf_k = iomod.BytesIO(), iomod.BytesIO()
+    assert base.emit_fastq(str(fq), buf_b)[0] == n
+    assert srv.emit_fastq(str(fq), buf_k)[0] == n
+    assert buf_b.getvalue() == buf_k.getvalue()
+    # the device fallback must actually have run (these caps flag rows)
+    assert hasattr(srv, "_remap_step")
+
+
 def test_build_sharded_graph_blocks(small_index):
     from pseudoaligner_tpu.ops.map_kernel import device_index_from_image
     from pseudoaligner_tpu.parallel.sharded_index import build_sharded_graph
