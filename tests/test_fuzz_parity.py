@@ -88,16 +88,20 @@ def test_fuzz_parity_k64():
 import pytest
 
 
+@pytest.mark.parametrize("pool_overlap", [False, True])
 @pytest.mark.parametrize("pad_L", [80, 112, 128, 144])
-def test_fuzz_parity_padded_width_sweep(pad_L):
+def test_fuzz_parity_padded_width_sweep(pad_L, pool_overlap):
     """The compare-window provisioning depends on the PADDED batch width
     (max_read_len), not the read length — sweep the width range where
-    the row under-provisioning bug lived (fixed: pool_fetch_rows)."""
+    the row under-provisioning bug lived (fixed: pool_fetch_rows), on
+    BOTH pool layouts (pool_overlap changes the window-fetch math and is
+    the pending on-chip self-tune candidate)."""
     rng = np.random.default_rng(pad_L)
     seqs, names, gmap = _random_transcripts(rng, n=8, lo=150, hi=400)
     image = build_index(seqs, names, gmap, k=20)
     reads = _fuzz_reads(rng, seqs, k=20, n=120, L=min(72, pad_L - 8))
-    n = _check_parity(image, reads, max_read_len=pad_L)
+    n = _check_parity(image, reads, max_read_len=pad_L,
+                      pool_overlap=pool_overlap)
     assert n == len(reads)
 
 

@@ -24,7 +24,7 @@ def _make_batches(reads, B, L):
 
 
 def _check_parity(image, reads, use_bitset=True, max_read_len=64,
-                  allowed_mismatches=2):
+                  allowed_mismatches=2, pool_overlap=False):
     cfg = AlignerConfig(
         k=image.k,
         batch_size=256,
@@ -33,6 +33,7 @@ def _check_parity(image, reads, use_bitset=True, max_read_len=64,
         bitset_tx_threshold=1 << 20 if use_bitset else 0,
         distinct_cap=0,  # full debug outputs for node-level parity
         allowed_mismatches=allowed_mismatches,
+        pool_overlap=pool_overlap,
     )
     al = Pseudoaligner(image, cfg)
     golden = GoldenAligner(image)
