@@ -9,7 +9,6 @@ with a batch reader: the TPU data-parallel axis replaces the thread pool.
 from __future__ import annotations
 
 import gzip
-from dataclasses import dataclass
 from typing import IO, Iterator
 
 import numpy as np
@@ -23,27 +22,52 @@ def _open(path: str) -> IO[bytes]:
     return open(path, "rb")
 
 
-@dataclass
 class ReadBatch:
     """A fixed-shape batch of reads.
 
     codes: [B, L] uint8 base codes, padded with 0 beyond each read's length
     lens:  [B] int32 read lengths (0 for padding rows)
-    ids:   list of read names (len == number of real reads <= B)
+    ids:   list of read names (len == number of real reads <= B) — LAZY
+           when the batch was built from raw id bytes (ids_concat/id_offs):
+           the per-read str list only materializes on first access, so the
+           emit hot path (which wants concatenated bytes anyway) never pays
+           a per-read decode loop
     group: [n_reads] int32 — source-read index; rows sharing a value are
            overlapping windows of one long read (see segment_long)
     offset: [n_reads] int32 — window start within the source read
+    ids_concat/id_offs: concatenated raw id bytes + [n+1] int64 offsets
+           (the native record emitters' exact input format)
     """
 
-    codes: np.ndarray
-    lens: np.ndarray
-    ids: list[str]
-    group: np.ndarray | None = None
-    offset: np.ndarray | None = None
+    __slots__ = ("codes", "lens", "_ids", "group", "offset",
+                 "ids_concat", "id_offs")
+
+    def __init__(self, codes, lens, ids=None, group=None, offset=None,
+                 ids_concat=None, id_offs=None):
+        if ids is None and ids_concat is None:
+            raise ValueError("ReadBatch needs ids or ids_concat/id_offs")
+        self.codes = codes
+        self.lens = lens
+        self._ids = ids
+        self.group = group
+        self.offset = offset
+        self.ids_concat = ids_concat
+        self.id_offs = id_offs
+
+    @property
+    def ids(self) -> list[str]:
+        if self._ids is None:
+            c, o = self.ids_concat, self.id_offs
+            self._ids = [
+                c[o[i] : o[i + 1]].decode() for i in range(len(o) - 1)
+            ]
+        return self._ids
 
     @property
     def n_reads(self) -> int:
-        return len(self.ids)
+        if self._ids is not None:
+            return len(self._ids)
+        return len(self.id_offs) - 1
 
 
 def read_fastq_records(path: str) -> Iterator[tuple[str, bytes]]:
@@ -320,8 +344,32 @@ class FastqReader:
             self._off = resume
             buf = self._buf
             long_mask = slens > L
+            if not long_mask.any() and k == 0 and n > 0:
+                # fully vectorized path (no carried rows, no long reads):
+                # gather the raw id bytes in ONE fancy-index pass and defer
+                # per-read str materialization — the emit pipeline consumes
+                # exactly this (concat bytes + offsets), so the per-read
+                # decode loop vanishes from the serving hot path
+                codes[:n] = scodes[:n]
+                lens[:n] = slens
+                base_g = self._read_index
+                self._read_index += n
+                starts = id_spans[:n, 0].astype(np.int64)
+                blens = id_spans[:n, 1].astype(np.int64)
+                offs = np.zeros(n + 1, np.int64)
+                np.cumsum(blens, out=offs[1:])
+                pos = (np.arange(int(offs[-1]), dtype=np.int64)
+                       - np.repeat(offs[:-1], blens)
+                       + np.repeat(starts, blens))
+                concat = np.frombuffer(buf, np.uint8)[pos].tobytes()
+                return ReadBatch(
+                    codes=codes, lens=lens,
+                    ids_concat=concat, id_offs=offs,
+                    group=np.arange(base_g, base_g + n, dtype=np.int32),
+                    offset=np.zeros(n, np.int32),
+                )
             if not long_mask.any():
-                # fast path: bulk placement, no per-row python work beyond ids
+                # bulk placement with carried rows ahead: per-row id decode
                 codes[k : k + n] = scodes[:n]
                 lens[k : k + n] = slens
                 base_g = self._read_index

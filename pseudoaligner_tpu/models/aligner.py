@@ -88,20 +88,32 @@ def _canon_id_rows(vals: np.ndarray) -> np.ndarray:
 _ID_ESCAPE_RE = None  # compiled lazily; see _concat_ids_for_emit
 
 
-def _concat_ids_for_emit(ids: list[str]) -> tuple[bytes, np.ndarray]:
+def _concat_ids_for_emit(batch) -> tuple[bytes, np.ndarray]:
     """Concatenated id bytes + [n+1] int64 offsets for the native record
     emitters, with Rust-Debug escaping applied (src/pseudoaligner.rs:490).
-    One regex scan of the joined ids skips the per-id escape pass on the
-    (overwhelmingly common) clean-id hot path."""
+
+    Hot path: a batch built from raw id bytes (FastqReader's vectorized
+    path) already carries exactly this format — one regex scan of the
+    concatenated bytes confirms no id needs escaping (or decoding) and
+    the bytes pass through with ZERO per-read python work.  Ids with
+    escapes or non-ASCII take the per-id str path."""
     global _ID_ESCAPE_RE
     if _ID_ESCAPE_RE is None:
         import re
 
-        # any non-ASCII char routes through the escaper too: Rust
+        # any non-ASCII byte routes through the escaper too: Rust
         # unicode-escapes non-printables and grapheme-extended chars
-        _ID_ESCAPE_RE = re.compile(r'[\\"\x00-\x1f\x7f]|[^\x00-\x7e]')
+        _ID_ESCAPE_RE = (
+            re.compile(r'[\\"\x00-\x1f\x7f]|[^\x00-\x7e]'),
+            re.compile(rb'[\\"\x00-\x1f\x7f-\xff]'),
+        )
+    str_re, byte_re = _ID_ESCAPE_RE
+    if getattr(batch, "_ids", None) is None and batch.ids_concat is not None:
+        if byte_re.search(batch.ids_concat) is None:
+            return batch.ids_concat, batch.id_offs
+    ids = batch.ids
     joined = "".join(ids)
-    if _ID_ESCAPE_RE.search(joined) is not None:
+    if str_re.search(joined) is not None:
         ids = [_rust_debug_escape(s) for s in ids]
         joined = "".join(ids)
     concat = joined.encode()
@@ -343,7 +355,7 @@ class Pseudoaligner:
         mapped = np.asarray(mapped)
         cov = np.asarray(cov)
         compact = self.meta.distinct_cap > 0
-        n = len(batch.ids)
+        n = batch.n_reads
         thresh = self.config.read_coverage_threshold
 
         if compact:
@@ -431,7 +443,7 @@ class Pseudoaligner:
         """Phase 1: fetch compact outputs, dispatch the overflow re-map,
         group signatures and materialize their EC lists (cached).  Returns
         an opaque state for emit_finish."""
-        n = len(batch.ids)
+        n = batch.n_reads
         # pick up the background fetch from map_batch_device when present
         # (the transfer then overlapped the previous batch's host work);
         # one batched fetch = one tunnel roundtrip for both arrays (two
@@ -560,7 +572,7 @@ class Pseudoaligner:
             else np.zeros(0, np.uint32)
         )
 
-        ids_concat, id_offs = _concat_ids_for_emit(batch.ids)
+        ids_concat, id_offs = _concat_ids_for_emit(batch)
 
         if tcc is not None:
             tcc.n_reads += n
@@ -643,7 +655,7 @@ class Pseudoaligner:
         def flush(res, batch, next_first_group):
             nonlocal n_reads, n_flagged, merge_state, prepared
             grp = batch.group
-            n = len(batch.ids)
+            n = batch.n_reads
             simple = (
                 self.meta.distinct_cap > 0
                 and merge_state is None
@@ -1132,7 +1144,7 @@ class Pseudoaligner:
         )
 
         batch = st1["batch"]
-        ids_concat, id_offs = _concat_ids_for_emit(batch.ids)
+        ids_concat, id_offs = _concat_ids_for_emit(batch)
         self._paired_emitted = getattr(self, "_paired_emitted", 0) + n
         return _native.emit_records_sig(
             cov, self.config.read_coverage_threshold, ids_concat, id_offs,

@@ -640,8 +640,8 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         pending = None
         for batch in r2:
             fut = aligner.map_batch_device(batch.codes, batch.lens)
-            arr = r1.take(len(batch.ids))
-            if arr.shape[0] < len(batch.ids):
+            arr = r1.take(batch.n_reads)
+            if arr.shape[0] < batch.n_reads:
                 raise ValueError("R1 has fewer reads than R2")
             if pending is not None:
                 consume(*pending)
