@@ -192,8 +192,10 @@ def main():
     from pseudoaligner_tpu.io.fastq import ReadBatch
 
     def make_rb(codes, ls):
-        return ReadBatch(codes=codes, lens=ls,
-                         ids=[""] * codes.shape[0])
+        # raw-bytes id form (empty ids): the serving fast path the
+        # FastqReader produces — emit consumes the concat directly
+        return ReadBatch(codes=codes, lens=ls, ids_concat=b"",
+                         id_offs=np.zeros(codes.shape[0] + 1, np.int64))
 
     # warmup / compile (includes first host record materialization)
     rb0 = make_rb(*batches[0])
@@ -238,7 +240,7 @@ def main():
             if has_native:
                 st = aligner.emit_prepare(res, rb)
                 finish()
-                prepared = (st, len(rb.ids))
+                prepared = (st, rb.n_reads)
             else:
                 finish()
                 recs = aligner.records_from_result(jax.device_get(res), rb)
