@@ -58,6 +58,21 @@ def _decode_2bit(code: int, width: int) -> str:
     )
 
 
+def _umi_token(umi: str):
+    """Canonical dict token for a UMI: the big-endian 2-bit packed int
+    for pure-ACGT (int order == string order at fixed length, and the
+    batched path's packed keys ARE this token — no decode round trip),
+    else the string itself (N/lowercase, the face-value side path).
+    Both count paths tokenize identically, so pools merge correctly."""
+    code = 0
+    for ch in umi:
+        v = _BASE_CODE.get(ord(ch))
+        if v is None:
+            return umi
+        code = (code << 2) | v
+    return code
+
+
 class Whitelist:
     """Known-barcode list with 1-Hamming-distance correction.
 
@@ -133,7 +148,8 @@ class CellCounts:
     """
 
     classes: dict[tuple[int, ...], int] = field(default_factory=dict)
-    # (cell_index, class_index) -> {umi: read count}
+    # (cell_index, class_index) -> {umi token: read count}; tokens are
+    # packed ints for pure-ACGT UMIs, strings otherwise (_umi_token)
     cells: dict[str, int] = field(default_factory=dict)
     umis: dict[tuple[int, int], dict] = field(default_factory=dict)
     n_reads: int = 0
@@ -141,6 +157,7 @@ class CellCounts:
     n_bad_r1: int = 0
     n_corrected: int = 0
     n_bad_barcode: int = 0
+    umi_len: int | None = None  # needed to probe int-token neighborhoods
 
     def _class_id(self, eq: tuple[int, ...]) -> int:
         idx = self.classes.get(eq)
@@ -161,9 +178,12 @@ class CellCounts:
         if not len(eq_class):
             return
         self.n_mapped += 1
+        if self.umi_len is None:
+            self.umi_len = len(umi)
         key = (self._cell_id(bc), self._class_id(tuple(int(x) for x in eq_class)))
         d = self.umis.setdefault(key, {})
-        d[umi] = d.get(umi, 0) + 1
+        tok = _umi_token(umi) if len(umi) == self.umi_len else umi
+        d[tok] = d.get(tok, 0) + 1
 
     def molecule_count(self, umi_counts: dict, method: str = "exact") -> int:
         """Molecules in one (cell, class) UMI pool.
@@ -179,10 +199,54 @@ class CellCounts:
         if len(umi_counts) == 1:
             return 1
         # greedy seeds in (-count, umi) order; BFS absorb along downward
-        # (count-rule) edges.  Pure-ACGT pools run on packed 2-bit ints —
+        # (count-rule) edges.  Pure-ACGT pools run on packed 2-bit int
+        # tokens (the accumulation paths store them packed already) —
         # a neighbor probe is one XOR instead of string splicing
         # (measured ~1.2x on a 20k-UMI pool: dict probes dominate; int
         # keys also hash/compare cheaper than 12-char strings).
+        has_str = any(isinstance(u, str) for u in umi_counts)
+        has_int = any(not isinstance(u, str) for u in umi_counts)
+        if has_str and has_int:
+            # mixed pool (rare: N-containing UMIs beside clean ones):
+            # decode int tokens — tokens can't collide (a pure-ACGT
+            # uppercase UMI always packs, so no equal str token exists)
+            umi_counts = {
+                (u if isinstance(u, str) else _decode_2bit(u, self.umi_len)):
+                    c
+                for u, c in umi_counts.items()
+            }
+            has_int = False
+        if has_int:
+            if self.umi_len is None:
+                raise ValueError(
+                    "int-token UMI pool requires CellCounts.umi_len"
+                )
+            L = self.umi_len
+            order = sorted(umi_counts, key=lambda u: (-umi_counts[u], u))
+            owner_c: set[int] = set()
+            n_clusters = 0
+            for cu in order:
+                if cu in owner_c:
+                    continue
+                n_clusters += 1
+                stack = [cu]
+                owner_c.add(cu)
+                while stack:
+                    x = stack.pop()
+                    cx = umi_counts[x]
+                    for j in range(2 * L - 2, -2, -2):
+                        base = (x >> j) & 3
+                        for alt in range(4):
+                            if alt == base:
+                                continue
+                            v = (x & ~(3 << j)) | (alt << j)
+                            cv = umi_counts.get(v)
+                            if cv is None or v in owner_c:
+                                continue
+                            if cx >= 2 * cv - 1:
+                                owner_c.add(v)
+                                stack.append(v)
+            return n_clusters
         order = sorted(umi_counts, key=lambda u: (-umi_counts[u], u))
         first = order[0]
         L = len(first)
@@ -428,7 +492,7 @@ def _process_r1(counts, seq1: bytes, chem: Chemistry, whitelist):
 
 def _count_records(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
     """Per-read record path (full-output configs)."""
-    counts = CellCounts()
+    counts = CellCounts(umi_len=chem.umi_len)
     r1 = read_fastq_records(r1_path)
     from .io.fastq import FastqReader
 
@@ -465,7 +529,7 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
     path), and UMI counts accumulate per unique (cell, class, umi) triple
     instead of per read.  Rows the vector path can't represent (whitelist
     corrections, non-ACGT barcodes/UMIs) resolve in a small per-row loop."""
-    counts = CellCounts()
+    counts = CellCounts(umi_len=chem.umi_len)
     from .io.fastq import FastqReader, R1PrefixReader
 
     ml = chem.r1_min_len
@@ -592,13 +656,11 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         for u in np.argsort(first_t, kind="stable"):
             t = int(uniq_t[u])
             if t >= n_sig:
-                tup = tuple(int(x) for x in overflow[t - n_sig][0])
+                tup = tuple(np.asarray(overflow[t - n_sig][0]).tolist())
             elif none_mask[t]:
                 tup = ()
             else:
-                tup = tuple(
-                    int(x) for x in sig_flat[sig_start[t] : sig_start[t + 1]]
-                )
+                tup = tuple(sig_flat[sig_start[t] : sig_start[t + 1]].tolist())
             cid_of_uniq[u] = counts._class_id(tup) if tup else -1
         vcid = cid_of_uniq[np.searchsorted(uniq_t, vtok)]
 
@@ -628,13 +690,24 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         sc, si, su = mcell[order], mcid[order], mumi[order]
         changed = (sc[1:] != sc[:-1]) | (si[1:] != si[:-1]) | (su[1:] != su[:-1])
         starts = np.concatenate(([0], np.nonzero(changed)[0] + 1, [len(order)]))
-        for g in range(len(starts) - 1):
-            a = starts[g]
-            cnt = int(starts[g + 1] - a)
-            key = (int(sc[a]), int(si[a]))
-            umi = _key_str(int(su[a]), ul)
-            d = counts.umis.setdefault(key, {})
-            d[umi] = d.get(umi, 0) + cnt
+        sa = starts[:-1]
+        # one .tolist() per column: python ints, no per-group numpy
+        # scalar extraction; consecutive groups share (cell, class), so
+        # the pool dict is looked up only when the key changes
+        cell_l = sc[sa].tolist()
+        cls_l = si[sa].tolist()
+        umi_l = su[sa].tolist()
+        cnt_l = np.diff(starts).tolist()
+        pc = pk = None
+        d = None
+        for cell, cls_, s, cnt in zip(cell_l, cls_l, umi_l, cnt_l):
+            if cell != pc or cls_ != pk:
+                d = counts.umis.setdefault((cell, cls_), {})
+                pc, pk = cell, cls_
+            # packed keys ARE the canonical umi token; side-interned odd
+            # strings tokenize the way the record path does
+            tok = s if s >= 0 else _umi_token(side_strs[-2 - s])
+            d[tok] = d.get(tok, 0) + cnt
 
     try:
         pending = None
