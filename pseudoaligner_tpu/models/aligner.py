@@ -1085,63 +1085,84 @@ class Pseudoaligner:
         sig_of_read = np.full(n, -1, np.int64)
         sig_of_read[simple] = kinv
 
-        def _mate_list(st, ov, invm, i):
-            g = invm[i]
-            if st["none_mask"][g]:
-                return np.asarray(ov[i][0], np.uint32)
-            sf, ss = st["sig_flat"], st["sig_start"]
-            return sf[ss[g] : ss[g + 1]]
-
-        # override rows (either mate -2/-3-flagged): single-mate rows take
-        # their list as-is; both-mapped rows batch through ONE C++
-        # intersect_pairs call instead of a per-row python intersect
+        # override rows (either mate -2/-3-flagged): each mate's resolved
+        # EC lists assemble as CSR arrays (flagged mate -> its remap list,
+        # clean mapped mate -> its signature row); both-mapped rows then
+        # batch through ONE C++ intersect_pairs call and single-mate rows
+        # bulk-copy — no per-row python list handling
         ovr_rows = np.nonzero(has_ovr)[0].astype(np.int64)
-        ovr_lists: list = [None] * len(ovr_rows)
-        pair_j, la_parts, lb_parts = [], [], []
-        for j, i in enumerate(ovr_rows):
-            la = _mate_list(st1, ov1, inv1, i) if m1[i] else None
-            lb = _mate_list(st2, ov2, inv2, i) if m2[i] else None
-            if la is not None and lb is not None:
-                pair_j.append(j)
-                la_parts.append(np.asarray(la, np.uint32))
-                lb_parts.append(np.asarray(lb, np.uint32))
-            elif la is not None:
-                ovr_lists[j] = np.asarray(la, np.uint32)
-            elif lb is not None:
-                ovr_lists[j] = np.asarray(lb, np.uint32)
-            else:
-                ovr_lists[j] = np.zeros(0, np.uint32)
-        if pair_j:
-            oa = np.zeros(len(pair_j) + 1, np.int64)
-            np.cumsum([len(x) for x in la_parts], out=oa[1:])
-            ob = np.zeros(len(pair_j) + 1, np.int64)
-            np.cumsum([len(x) for x in lb_parts], out=ob[1:])
-            fa = np.concatenate(la_parts)
-            fb = np.concatenate(lb_parts)
-            try:
-                from ..ops.native import intersect_pairs
+        R = len(ovr_rows)
 
-                flat_o, offs_o = intersect_pairs(fa, oa, fb, ob)
-                for t, j in enumerate(pair_j):
-                    ovr_lists[j] = flat_o[offs_o[t] : offs_o[t + 1]]
-            except Exception:
-                for t, j in enumerate(pair_j):
-                    ovr_lists[j] = np.asarray(
-                        _gx(
+        def _mate_csr(st, ov, invm, m):
+            """CSR of each override row's resolved list for one mate."""
+            g = invm[ovr_rows]
+            mapped = m[ovr_rows]
+            from_ov = st["none_mask"][g] & mapped
+            from_sig = mapped & ~st["none_mask"][g]
+            lens = np.zeros(R, np.int64)
+            lens[from_sig] = np.diff(st["sig_start"])[g[from_sig]]
+            ov_lists = [
+                np.asarray(ov[int(i)][0], np.uint32)
+                for i in ovr_rows[from_ov]
+            ]
+            lens[from_ov] = [len(x) for x in ov_lists]
+            offs = np.zeros(R + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            flat = np.empty(int(offs[-1]), np.uint32)
+            sflat, soffs = _csr_rows(
+                st["sig_flat"], st["sig_start"], g[from_sig]
+            )
+            _fill_rows(flat, offs, np.nonzero(from_sig)[0], sflat, soffs)
+            if ov_lists:
+                ooffs = np.zeros(len(ov_lists) + 1, np.int64)
+                np.cumsum(lens[from_ov], out=ooffs[1:])
+                _fill_rows(flat, offs, np.nonzero(from_ov)[0],
+                           np.concatenate(ov_lists), ooffs)
+            return flat, offs, mapped
+
+        ovr_start = np.zeros(R + 1, np.int64)
+        ovr_ids = np.zeros(0, np.uint32)
+        if R:
+            fa_, oa_, map1 = _mate_csr(st1, ov1, inv1, m1)
+            fb_, ob_, map2 = _mate_csr(st2, ov2, inv2, m2)
+            both_r = map1 & map2
+            a_only = map1 & ~map2
+            b_only = map2 & ~map1
+            out_lens = np.zeros(R, np.int64)
+            out_lens[a_only] = np.diff(oa_)[a_only]
+            out_lens[b_only] = np.diff(ob_)[b_only]
+            flat_o = np.zeros(0, np.uint32)
+            offs_o = np.zeros(1, np.int64)
+            if both_r.any():
+                bidx = np.nonzero(both_r)[0]
+                fa, oa = _csr_rows(fa_, oa_, bidx)
+                fb, ob = _csr_rows(fb_, ob_, bidx)
+                try:
+                    from ..ops.native import intersect_pairs
+
+                    flat_o, offs_o = intersect_pairs(fa, oa, fb, ob)
+                except Exception:
+                    parts = []
+                    offs_o = np.zeros(len(bidx) + 1, np.int64)
+                    for t in range(len(bidx)):
+                        eq = _gx(
                             [int(x) for x in fa[oa[t] : oa[t + 1]]],
                             [int(x) for x in fb[ob[t] : ob[t + 1]]],
-                        ),
-                        np.uint32,
-                    )
-        ovr_start = np.zeros(len(ovr_rows) + 1, np.int64)
-        if len(ovr_rows):
-            np.cumsum(
-                np.array([len(x) for x in ovr_lists], np.int64),
-                out=ovr_start[1:],
-            )
-        ovr_ids = (
-            np.concatenate(ovr_lists) if ovr_lists else np.zeros(0, np.uint32)
-        )
+                        )
+                        parts.append(np.asarray(eq, np.uint32))
+                        offs_o[t + 1] = offs_o[t] + len(parts[-1])
+                    flat_o = (np.concatenate(parts) if parts
+                              else np.zeros(0, np.uint32))
+                out_lens[both_r] = np.diff(offs_o)
+            np.cumsum(out_lens, out=ovr_start[1:])
+            ovr_ids = np.empty(int(ovr_start[-1]), np.uint32)
+            _fill_rows(ovr_ids, ovr_start, np.nonzero(both_r)[0],
+                       flat_o, offs_o)
+            for mask, f_, o_ in ((a_only, fa_, oa_), (b_only, fb_, ob_)):
+                idxs = np.nonzero(mask)[0]
+                if len(idxs):
+                    src_flat, src_offs = _csr_rows(f_, o_, idxs)
+                    _fill_rows(ovr_ids, ovr_start, idxs, src_flat, src_offs)
 
         batch = st1["batch"]
         ids_concat, id_offs = _concat_ids_for_emit(batch)
