@@ -966,14 +966,18 @@ class Pseudoaligner:
 
     def emit_fastq_paired(self, path1: str, path2: str, out,
                           progress_cb=None) -> int:
-        """Paired-end serving fast path: both mates map through the
-        compact pipeline; per-read records are rendered by the native
-        signature-indirect emitter with fragment ECs intersected once per
-        distinct (case, sig, sig) group in C++ (pa_intersect_pairs).
-        Record-identical to map_fastq_paired; returns the read count."""
+        """Paired-end serving fast path: BOTH mates ride one device batch
+        (mate1 in rows [0, h), mate2 in [h, 2h), h = batch_size // 2) —
+        one dispatch, one transfer, one shared signature table and one
+        overflow re-map per batch pair instead of two of each.  Per-read
+        records are rendered by the native signature-indirect emitter
+        with fragment ECs intersected once per distinct (case, sig, sig)
+        group in C++ (pa_intersect_pairs).  Record-identical to
+        map_fastq_paired; returns the read count."""
         bs, L = self.config.batch_size, self.config.max_read_len
-        r1 = FastqReader(path1, bs, L)
-        r2 = FastqReader(path2, bs, L)
+        h = max(1, bs // 2)
+        r1 = FastqReader(path1, h, L)
+        r2 = FastqReader(path2, h, L)
         self._paired_emitted = 0
         it1, it2 = iter(r1), iter(r2)
         pending = prepared = None
@@ -986,6 +990,22 @@ class Pseudoaligner:
                     progress_cb(self._paired_emitted)
             prepared = None
 
+        def _raw_ids(b):
+            """(concat bytes, [<=h+1] offsets) padded to h rows so the
+            combined batch always spans 2h rows (tail batches)."""
+            if getattr(b, "_ids", None) is None and b.ids_concat is not None:
+                concat, o = b.ids_concat, b.id_offs
+            else:
+                enc = [s.encode() for s in b.ids]
+                o = np.zeros(len(enc) + 1, np.int64)
+                np.cumsum([len(x) for x in enc], out=o[1:])
+                concat = b"".join(enc)
+            if len(o) - 1 < h:
+                o = np.concatenate(
+                    [o, np.full(h - (len(o) - 1), o[-1], np.int64)]
+                )
+            return concat, o
+
         while True:
             b1 = next(it1, None)
             b2 = next(it2, None)
@@ -996,41 +1016,48 @@ class Pseudoaligner:
             ):
                 raise ValueError("paired FASTQs have different read counts")
             if b1 is not None:
-                f1 = self.map_batch_device(b1.codes, b1.lens)
-                f2 = self.map_batch_device(b2.codes, b2.lens)
-            if pending is not None:
-                st = (
-                    self.emit_prepare(pending[0], pending[2]),
-                    self.emit_prepare(pending[1], pending[3]),
+                codes = np.concatenate([b1.codes, b2.codes], axis=0)
+                lens = np.concatenate([b1.lens, b2.lens])
+                c1, o1 = _raw_ids(b1)
+                c2, o2 = _raw_ids(b2)
+                combined = ReadBatch(
+                    codes=codes, lens=lens, ids_concat=c1 + c2,
+                    id_offs=np.concatenate([o1, o2[1:] + len(c1)]),
                 )
+                fut = self.map_batch_device(codes, lens)
+            if pending is not None:
+                st = self.emit_prepare(pending[0], pending[1])
                 flush_prepared()
-                prepared = st
+                prepared = (st, pending[2], pending[3])
             if b1 is None:
                 break
-            pending = (f1, f2, b1, b2)
+            pending = (fut, combined, b1, b1.n_reads)
         flush_prepared()
         return self._paired_emitted
 
-    def emit_finish_paired(self, st1, st2) -> bytes:
+    def emit_finish_paired(self, st, b1, n1) -> bytes:
         """Phase 2 for one paired batch (semantics of _paired_rows:
         both mates mapped -> EC intersection, one mapped -> its set,
-        coverage summed, ids from R1)."""
+        coverage summed, ids from R1).  Both mates rode ONE device batch:
+        pair i is rows (i, h + i) of the combined state, sharing one
+        signature table and one overflow-remap dict."""
         from ..golden import intersect as _gx
         from ..io import native as _native
 
-        n = st1["n"]
-        ov1 = self._remap_collect(st1["remap_fut"])
-        ov2 = self._remap_collect(st2["remap_fut"])
-        cov1, cov2 = st1["cov"], st2["cov"]
-        for i in st1["overflow_rows"]:
-            cov1[i] = ov1[i][1]
-        for i in st2["overflow_rows"]:
-            cov2[i] = ov2[i][1]
+        h = st["n"] // 2
+        ov = self._remap_collect(st["remap_fut"])
+        cov_all = st["cov"]
+        for i in st["overflow_rows"]:
+            cov_all[i] = ov[i][1]
+        cov1 = cov_all[:n1]
+        cov2 = cov_all[h : h + n1]
         cov = cov1 + cov2
-        inv1, inv2 = st1["inv"], st2["inv"]
-        sf1, ss1 = st1["sig_flat"], st1["sig_start"]
-        sf2, ss2 = st2["sig_flat"], st2["sig_start"]
-        has_ovr = st1["none_mask"][inv1] | st2["none_mask"][inv2]
+        inv = st["inv"]
+        inv1 = inv[:n1]
+        inv2 = inv[h : h + n1]
+        none_mask = st["none_mask"]
+        sf, ss = st["sig_flat"], st["sig_start"]
+        has_ovr = none_mask[inv1] | none_mask[inv2]
         m1 = cov1 > 0
         m2 = cov2 > 0
         case = m1.astype(np.int64) * 2 + m2.astype(np.int64)
@@ -1047,8 +1074,8 @@ class Pseudoaligner:
         flat3 = np.zeros(0, np.uint32)
         offs3 = np.zeros(1, np.int64)
         if both.any():
-            fa, oa = _csr_rows(sf1, ss1, g1_u[both])
-            fb, ob = _csr_rows(sf2, ss2, g2_u[both])
+            fa, oa = _csr_rows(sf, ss, g1_u[both])
+            fb, ob = _csr_rows(sf, ss, g2_u[both])
             try:
                 from ..ops.native import intersect_pairs
 
@@ -1068,21 +1095,19 @@ class Pseudoaligner:
                     np.concatenate(parts) if parts else np.zeros(0, np.uint32)
                 )
             lens_u[both] = np.diff(offs3)
-        lens_u[only1] = np.diff(ss1)[g1_u[only1]]
-        lens_u[only2] = np.diff(ss2)[g2_u[only2]]
+        lens_u[only1] = np.diff(ss)[g1_u[only1]]
+        lens_u[only2] = np.diff(ss)[g2_u[only2]]
         sig_start = np.zeros(U + 1, np.int64)
         np.cumsum(lens_u, out=sig_start[1:])
         sig_flat = np.empty(int(sig_start[-1]), np.uint32)
         _fill_rows(sig_flat, sig_start, np.nonzero(both)[0], flat3, offs3)
-        for mask, sf, ss, gu in (
-            (only1, sf1, ss1, g1_u), (only2, sf2, ss2, g2_u)
-        ):
+        for mask, gu in ((only1, g1_u), (only2, g2_u)):
             idxs = np.nonzero(mask)[0]
             if len(idxs):
                 src_flat, src_offs = _csr_rows(sf, ss, gu[idxs])
                 _fill_rows(sig_flat, sig_start, idxs, src_flat, src_offs)
 
-        sig_of_read = np.full(n, -1, np.int64)
+        sig_of_read = np.full(n1, -1, np.int64)
         sig_of_read[simple] = kinv
 
         # override rows (either mate -2/-3-flagged): each mate's resolved
@@ -1093,25 +1118,24 @@ class Pseudoaligner:
         ovr_rows = np.nonzero(has_ovr)[0].astype(np.int64)
         R = len(ovr_rows)
 
-        def _mate_csr(st, ov, invm, m):
-            """CSR of each override row's resolved list for one mate."""
+        def _mate_csr(row_off, invm, m):
+            """CSR of each override row's resolved list for one mate
+            (global combined-batch row = pair row + row_off)."""
             g = invm[ovr_rows]
             mapped = m[ovr_rows]
-            from_ov = st["none_mask"][g] & mapped
-            from_sig = mapped & ~st["none_mask"][g]
+            from_ov = none_mask[g] & mapped
+            from_sig = mapped & ~none_mask[g]
             lens = np.zeros(R, np.int64)
-            lens[from_sig] = np.diff(st["sig_start"])[g[from_sig]]
+            lens[from_sig] = np.diff(ss)[g[from_sig]]
             ov_lists = [
-                np.asarray(ov[int(i)][0], np.uint32)
+                np.asarray(ov[int(i) + row_off][0], np.uint32)
                 for i in ovr_rows[from_ov]
             ]
             lens[from_ov] = [len(x) for x in ov_lists]
             offs = np.zeros(R + 1, np.int64)
             np.cumsum(lens, out=offs[1:])
             flat = np.empty(int(offs[-1]), np.uint32)
-            sflat, soffs = _csr_rows(
-                st["sig_flat"], st["sig_start"], g[from_sig]
-            )
+            sflat, soffs = _csr_rows(sf, ss, g[from_sig])
             _fill_rows(flat, offs, np.nonzero(from_sig)[0], sflat, soffs)
             if ov_lists:
                 ooffs = np.zeros(len(ov_lists) + 1, np.int64)
@@ -1123,8 +1147,8 @@ class Pseudoaligner:
         ovr_start = np.zeros(R + 1, np.int64)
         ovr_ids = np.zeros(0, np.uint32)
         if R:
-            fa_, oa_, map1 = _mate_csr(st1, ov1, inv1, m1)
-            fb_, ob_, map2 = _mate_csr(st2, ov2, inv2, m2)
+            fa_, oa_, map1 = _mate_csr(0, inv1, m1)
+            fb_, ob_, map2 = _mate_csr(h, inv2, m2)
             both_r = map1 & map2
             a_only = map1 & ~map2
             b_only = map2 & ~map1
@@ -1164,9 +1188,8 @@ class Pseudoaligner:
                     src_flat, src_offs = _csr_rows(f_, o_, idxs)
                     _fill_rows(ovr_ids, ovr_start, idxs, src_flat, src_offs)
 
-        batch = st1["batch"]
-        ids_concat, id_offs = _concat_ids_for_emit(batch)
-        self._paired_emitted = getattr(self, "_paired_emitted", 0) + n
+        ids_concat, id_offs = _concat_ids_for_emit(b1)
+        self._paired_emitted = getattr(self, "_paired_emitted", 0) + n1
         return _native.emit_records_sig(
             cov, self.config.read_coverage_threshold, ids_concat, id_offs,
             sig_of_read, sig_start, sig_flat, ovr_rows, ovr_start, ovr_ids,
