@@ -339,3 +339,53 @@ def test_fuzz_kpart_identity(shard_graph):
     for f in ("mapped", "coverage", "mismatches", "nodes", "ec_bits"):
         assert np.array_equal(np.asarray(getattr(base, f)),
                               np.asarray(getattr(res, f))), f
+
+
+def test_fuzz_kpart_count_parity(tmp_path):
+    """Single-cell count through the kpart serving aligner must write
+    outputs identical to the replicated engine (kpart+count combo:
+    compact serving shape, whitelist-free, directional dedup)."""
+    import os
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+    from pseudoaligner_tpu.parallel.mesh import make_mesh
+    from pseudoaligner_tpu.parallel.sharded_index import (
+        KmerPartitionedAligner,
+    )
+    from pseudoaligner_tpu.singlecell import Chemistry, count_single_cell
+
+    rng = np.random.default_rng(77)
+    seqs, names, gmap = _random_transcripts(rng, n=10, lo=200, hi=500)
+    image = build_index(seqs, names, gmap, k=20)
+    dec = "ACGT"
+    bcs = ["".join(dec[b] for b in rng.integers(0, 4, 16)) for _ in range(4)]
+    umis = ["".join(dec[b] for b in rng.integers(0, 4, 12))
+            for _ in range(20)]
+    with open(tmp_path / "r1.fq", "w") as f1, \
+            open(tmp_path / "r2.fq", "w") as f2:
+        for i in range(160):
+            bc = bcs[int(rng.integers(0, 4))]
+            umi = umis[int(rng.integers(0, 20))]
+            s = seqs[int(rng.integers(0, len(seqs)))]
+            st = int(rng.integers(0, len(s) - 60))
+            cdna = "".join(dec[b] for b in s[st : st + 60])
+            f1.write(f"@c{i}\n{bc}{umi}\n+\n{'I' * 28}\n")
+            f2.write(f"@c{i}\n{cdna}\n+\n{'I' * 60}\n")
+
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=9,
+                        distinct_cap=3, max_walk_iters=3, max_left_iters=2,
+                        lazy_seeds=False, left_compact=0.0)
+    base = Pseudoaligner(image, cfg)
+    srv = KmerPartitionedAligner(image, cfg, make_mesh(2)).serving_aligner()
+    files = {}
+    for tag, al in (("base", base), ("kpart", srv)):
+        c = count_single_cell(al, str(tmp_path / "r1.fq"),
+                              str(tmp_path / "r2.fq"), Chemistry())
+        d = str(tmp_path / tag)
+        c.write(d, umi_dedup="directional")
+        files[tag] = {
+            f: open(os.path.join(d, f)).read()
+            for f in ("barcodes.tsv", "ec.tsv", "matrix.mtx")
+        }
+    assert files["base"] == files["kpart"]
