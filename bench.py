@@ -213,36 +213,38 @@ def main():
     except Exception:
         has_native = False
 
+    from collections import deque
+
     def timed_pass():
-        # depth-2 pipeline (the emit_fastq pattern): prepare batch k (fetch
-        # + dispatch overflow re-map) right after dispatching map(k+1), and
-        # finish/write batch k-1 — its re-map, queued behind map(k), is
-        # done by then, so emit_finish never stalls on the device
+        # depth-D pipeline (the emit_fastq pattern): both the compact-
+        # output fetch (emit_prepare, waits on map(k)) and the overflow
+        # re-map wait (emit_finish, waits on remap(k) behind map(k+1))
+        # are deferred `pipeline_depth` batches, so the FIFO tunnel queue
+        # stays ~depth map steps deep across the waits (aligner.py)
         t0 = time.time()
         n_done = 0
         n_unmapped = 0
-        pending = None
-        prepared = None
+        depth = max(1, int(getattr(aligner.config, "pipeline_depth", 1)))
+        pending = deque()
+        prepared = deque()
 
-        def finish():
-            nonlocal n_done, n_unmapped, prepared
-            if prepared is None:
-                return
-            st, n = prepared
-            prepared = None
+        def finish_one():
+            nonlocal n_done, n_unmapped
+            st, n = prepared.popleft()
             data = aligner.emit_finish(st)
             devnull.write(data)
             n_done += n
             n_unmapped += data.count(b", [], ")
 
         def consume(res, rb):
-            nonlocal prepared
             if has_native:
                 st = aligner.emit_prepare(res, rb)
-                finish()
-                prepared = (st, rb.n_reads)
+                prepared.append((st, rb.n_reads))
+                if len(prepared) > depth:
+                    finish_one()
             else:
-                finish()
+                while prepared:
+                    finish_one()
                 recs = aligner.records_from_result(jax.device_get(res), rb)
                 nonlocal n_done, n_unmapped
                 n_done += len(recs)
@@ -250,11 +252,13 @@ def main():
 
         for codes, ls in batches[1:]:
             fut = aligner.map_batch_device(codes, ls)
-            if pending is not None:
-                consume(*pending)
-            pending = (fut, make_rb(codes, ls))
-        consume(*pending)
-        finish()
+            pending.append((fut, make_rb(codes, ls)))
+            if len(pending) > depth:
+                consume(*pending.popleft())
+        while pending:
+            consume(*pending.popleft())
+        while prepared:
+            finish_one()
         return n_done, n_unmapped, time.time() - t0
 
     # one untimed warm pass per candidate config (compiles the programs and

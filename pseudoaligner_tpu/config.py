@@ -141,9 +141,21 @@ class AlignerConfig:
     # bases): every compare window fits ONE row, halving the window
     # gather elements per walk iteration.  Engages only for
     # max_read_len <= 80 (wider windows span a row regardless; a warning
-    # is logged).  CPU-validated bit-exact; default off pending on-chip
-    # validation (the TPU tunnel was down when this landed).
-    pool_overlap: bool = False
+    # is logged).  On-chip validated: bit-identical outputs vs the
+    # non-overlapping layout on the bench workload, ~2ms/step faster at
+    # B=65k caps (3,2) (PERF.md round-2 session).
+    pool_overlap: bool = True
+    # Serving pipeline depth: device map batches kept in flight in
+    # emit_fastq (and the bench loop) before the oldest is consumed.
+    # The tunnel executes FIFO, so ANY device_get drains everything
+    # queued before it — both the compact-output fetch and the overflow
+    # re-map wait are deferred by this many batches so the queue stays
+    # ~depth deep across the waits.  Measured on-chip: under degraded
+    # tunnel latency (39ms RTT) depth 4 is ~17% faster than depth 1
+    # (122->102ms/batch); under a healthy tunnel the period is
+    # bandwidth-bound and extra depth is neutral.  Costs depth packed
+    # input + compact output buffers on device (~3MB each at B=65k).
+    pipeline_depth: int = 3
 
     def __post_init__(self):
         if self.k < 4 or self.k > 64:

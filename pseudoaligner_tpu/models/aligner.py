@@ -12,6 +12,7 @@ from __future__ import annotations
 import logging
 import os
 import time
+from collections import deque
 from dataclasses import dataclass
 from functools import partial
 
@@ -622,7 +623,7 @@ class Pseudoaligner:
         )
         n_reads = 0
         n_flagged = 0
-        pending = None
+        any_batch = False
         merge_state = None  # incremental window-merge carry across batches
 
         def put_record(rec):
@@ -633,18 +634,23 @@ class Pseudoaligner:
             n_reads += 1
             n_flagged += rec.flag
 
-        # deferred emit_finish state: batch k's formatted output is written
-        # at batch k+1's flush, after the NEXT map step has been dispatched
-        # — by then the overflow re-map (queued behind that map step) has
-        # run, so emit_finish never stalls on the device (see emit_batch)
-        prepared = None
+        # Two deferral stages, each `pipeline_depth` batches deep.  The
+        # tunnel executes FIFO, so a device_get on batch k's outputs
+        # drains every map step queued before it: to keep ~depth map
+        # steps in flight across BOTH waits, the compact-output fetch
+        # (emit_prepare, waits on map(k)) runs only after maps
+        # k+1..k+depth are queued, and the overflow re-map wait
+        # (emit_finish, waits on remap(k) which sits behind map(k+1))
+        # runs only after maps through k+2*depth are queued.  Output
+        # order is preserved: both queues are FIFO and the record-path
+        # fallback drains `prepared` fully before writing.
+        depth = max(1, int(getattr(self.config, "pipeline_depth", 1)))
+        pending: deque = deque()   # (MapResult, ReadBatch) awaiting prepare
+        prepared: deque = deque()  # (emit state, n) awaiting finish/write
 
-        def flush_prepared():
-            nonlocal n_reads, n_flagged, prepared
-            if prepared is None:
-                return
-            st, n = prepared
-            prepared = None
+        def flush_prepared_one():
+            nonlocal n_reads, n_flagged
+            st, n = prepared.popleft()
             data = self.emit_finish(st)
             out.write(data)
             n_reads += n
@@ -652,8 +658,12 @@ class Pseudoaligner:
                 data.count(b"\n(true")
             )
 
+        def flush_prepared_all():
+            while prepared:
+                flush_prepared_one()
+
         def flush(res, batch, next_first_group):
-            nonlocal n_reads, n_flagged, merge_state, prepared
+            nonlocal n_reads, n_flagged, merge_state
             grp = batch.group
             n = batch.n_reads
             simple = (
@@ -665,10 +675,11 @@ class Pseudoaligner:
             )
             if simple:
                 st = self.emit_prepare(res, batch, tcc=tcc)
-                flush_prepared()  # write the PREVIOUS batch (order-preserving)
-                prepared = (st, n)
+                prepared.append((st, n))
+                if len(prepared) > depth:
+                    flush_prepared_one()  # oldest first (order-preserving)
             else:
-                flush_prepared()
+                flush_prepared_all()
                 for rec, g, end in self._batch_rows(res, batch):
                     merge_state, done = self._merge_push(merge_state, rec, g, end)
                     if done is not None:
@@ -682,17 +693,25 @@ class Pseudoaligner:
                         )
                         merge_state = None
 
+        def pop_pending():
+            res, batch = pending.popleft()
+            nb = pending[0][1] if pending else None
+            nfg = (int(nb.group[0])
+                   if nb is not None and nb.group is not None else None)
+            flush(res, batch, nfg)
+
         for batch in reader:
+            any_batch = True
             res = self.map_batch_device(batch.codes, batch.lens)
-            if pending is not None:
-                flush(*pending, int(batch.group[0]) if batch.group is not None else None)
+            pending.append((res, batch))
+            if len(pending) > depth:
+                pop_pending()
                 if progress_cb is not None:
                     progress_cb(n_reads)
-            pending = (res, batch)
-        if pending is not None:
-            flush(*pending, None)
-        flush_prepared()
-        if pending is not None and progress_cb is not None:
+        while pending:
+            pop_pending()
+        flush_prepared_all()
+        if any_batch and progress_cb is not None:
             progress_cb(n_reads)
         return n_reads, n_flagged
 
