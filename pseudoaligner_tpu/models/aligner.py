@@ -999,15 +999,23 @@ class Pseudoaligner:
         r2 = FastqReader(path2, h, L)
         self._paired_emitted = 0
         it1, it2 = iter(r1), iter(r2)
-        pending = prepared = None
+        # depth-D deferral on both waits (see emit_fastq): the FIFO
+        # tunnel queue stays ~pipeline_depth combined batches deep
+        depth = max(1, int(getattr(self.config, "pipeline_depth", 1)))
+        pending: deque = deque()   # (future, combined, b1, n1)
+        prepared: deque = deque()  # emit_finish_paired args
 
-        def flush_prepared():
-            nonlocal prepared
-            if prepared is not None:
-                out.write(self.emit_finish_paired(*prepared))
-                if progress_cb is not None:
-                    progress_cb(self._paired_emitted)
-            prepared = None
+        def flush_prepared_one():
+            out.write(self.emit_finish_paired(*prepared.popleft()))
+            if progress_cb is not None:
+                progress_cb(self._paired_emitted)
+
+        def pop_and_prepare():
+            res, comb, bb1, n1 = pending.popleft()
+            st = self.emit_prepare(res, comb)
+            prepared.append((st, bb1, n1))
+            if len(prepared) > depth:
+                flush_prepared_one()
 
         def _raw_ids(b):
             """(concat bytes, [<=h+1] offsets) padded to h rows so the
@@ -1044,14 +1052,15 @@ class Pseudoaligner:
                     id_offs=np.concatenate([o1, o2[1:] + len(c1)]),
                 )
                 fut = self.map_batch_device(codes, lens)
-            if pending is not None:
-                st = self.emit_prepare(pending[0], pending[1])
-                flush_prepared()
-                prepared = (st, pending[2], pending[3])
             if b1 is None:
                 break
-            pending = (fut, combined, b1, b1.n_reads)
-        flush_prepared()
+            pending.append((fut, combined, b1, b1.n_reads))
+            if len(pending) > depth:
+                pop_and_prepare()
+        while pending:
+            pop_and_prepare()
+        while prepared:
+            flush_prepared_one()
         return self._paired_emitted
 
     def emit_finish_paired(self, st, b1, n1) -> bytes:
