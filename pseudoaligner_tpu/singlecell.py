@@ -141,23 +141,30 @@ class Chemistry:
 class CellCounts:
     """Per-cell, per-EC distinct-UMI accumulation.
 
-    `umis` keeps per-UMI read counts so molecule counting can use either
-    exact distinct UMIs or directional clustering (Smith et al. 2017 /
-    UMI-tools: u absorbs v when hamming(u,v)==1 and
-    count(u) >= 2*count(v)-1; molecules = clusters).
-    """
+    Storage is columnar: mapped reads append (cell, class, umi-token)
+    rows into chunked int64 arrays, merged lazily (one lexsort +
+    segment-sum) into unique triples with read counts.  Molecule
+    counting can use exact distinct UMIs or directional clustering
+    (Smith et al. 2017 / UMI-tools: u absorbs v when hamming(u,v)==1
+    and count(u) >= 2*count(v)-1; molecules = clusters) — per-pool
+    dicts are materialized only for multi-UMI directional pools.
+    Tokens: big-endian packed 2-bit ints (>= 0) for pure-ACGT UMIs
+    that fit int64, else side-interned strings (ids < -1)."""
 
     classes: dict[tuple[int, ...], int] = field(default_factory=dict)
-    # (cell_index, class_index) -> {umi token: read count}; tokens are
-    # packed ints for pure-ACGT UMIs, strings otherwise (_umi_token)
     cells: dict[str, int] = field(default_factory=dict)
-    umis: dict[tuple[int, int], dict] = field(default_factory=dict)
     n_reads: int = 0
     n_mapped: int = 0
     n_bad_r1: int = 0
     n_corrected: int = 0
     n_bad_barcode: int = 0
     umi_len: int | None = None  # needed to probe int-token neighborhoods
+    # columnar triple store: unmerged (cell, cls, umi, cnt) chunks plus
+    # a scalar staging buffer for the record-path add()
+    _chunks: list = field(default_factory=list, repr=False)
+    _row_buf: list = field(default_factory=list, repr=False)
+    _side_strs: list = field(default_factory=list, repr=False)
+    _side_ids: dict = field(default_factory=dict, repr=False)
 
     def _class_id(self, eq: tuple[int, ...]) -> int:
         idx = self.classes.get(eq)
@@ -173,6 +180,19 @@ class CellCounts:
             self.cells[bc] = idx
         return idx
 
+    def _side_tok(self, s: str) -> int:
+        """Intern a string-form UMI token -> side id (< -1)."""
+        t = self._side_ids.get(s)
+        if t is None:
+            t = -2 - len(self._side_strs)
+            self._side_ids[s] = t
+            self._side_strs.append(s)
+        return t
+
+    def _pool_tok(self, t: int):
+        """Stored token -> pool-dict token (packed int or string)."""
+        return t if t >= 0 else self._side_strs[-2 - t]
+
     def add(self, bc: str, umi: str, eq_class):
         self.n_reads += 1
         if not len(eq_class):
@@ -180,10 +200,80 @@ class CellCounts:
         self.n_mapped += 1
         if self.umi_len is None:
             self.umi_len = len(umi)
-        key = (self._cell_id(bc), self._class_id(tuple(int(x) for x in eq_class)))
-        d = self.umis.setdefault(key, {})
         tok = _umi_token(umi) if len(umi) == self.umi_len else umi
-        d[tok] = d.get(tok, 0) + 1
+        if isinstance(tok, str):
+            tok = self._side_tok(tok)
+        elif tok > 0x3FFFFFFFFFFFFFFF:  # >31-base UMI: packed int would
+            tok = self._side_tok(umi)   # overflow int64 — store the string
+        self._row_buf.append((
+            self._cell_id(bc),
+            self._class_id(tuple(int(x) for x in eq_class)),
+            tok,
+        ))
+
+    def add_bulk(self, cell_ids, class_ids, umi_toks, counts=None):
+        """Append mapped rows in bulk (the batched count path).  Tokens
+        must already be packed ints >= 0 or side ids from _side_tok."""
+        import numpy as np
+
+        n = len(cell_ids)
+        if not n:
+            return
+        cnt = (np.ones(n, np.int64) if counts is None
+               else np.asarray(counts, np.int64))
+        self._chunks.append((
+            np.asarray(cell_ids, np.int64), np.asarray(class_ids, np.int64),
+            np.asarray(umi_toks, np.int64), cnt,
+        ))
+
+    def _merged(self):
+        """Canonical triple store: unique (cell, cls, umi) rows with
+        summed read counts, lexsorted by (cell, cls, umi).  Incremental:
+        the previous merge rides as one input chunk."""
+        import numpy as np
+
+        if self._row_buf:
+            rows = np.asarray(self._row_buf, np.int64).reshape(-1, 3)
+            self._row_buf.clear()
+            self._chunks.append(
+                (rows[:, 0], rows[:, 1], rows[:, 2],
+                 np.ones(len(rows), np.int64))
+            )
+        cache = getattr(self, "_merged_cache", None)
+        if cache is not None and not self._chunks:
+            return cache
+        if cache is not None:
+            self._chunks.insert(0, cache)
+        if not self._chunks:
+            z = np.zeros(0, np.int64)
+            self._merged_cache = (z, z, z, z)
+            return self._merged_cache
+        ce = np.concatenate([c[0] for c in self._chunks])
+        cl = np.concatenate([c[1] for c in self._chunks])
+        um = np.concatenate([c[2] for c in self._chunks])
+        ct = np.concatenate([c[3] for c in self._chunks])
+        self._chunks.clear()
+        order = np.lexsort((um, cl, ce))
+        ce, cl, um, ct = ce[order], cl[order], um[order], ct[order]
+        new = np.empty(len(ce), bool)
+        new[0] = True
+        new[1:] = ((ce[1:] != ce[:-1]) | (cl[1:] != cl[:-1])
+                   | (um[1:] != um[:-1]))
+        idx = np.nonzero(new)[0]
+        ct = np.add.reduceat(ct, idx)
+        self._merged_cache = (ce[idx], cl[idx], um[idx], ct)
+        return self._merged_cache
+
+    @property
+    def umis(self) -> dict:
+        """Materialized dict-of-dicts view {(cell, cls): {token: count}}
+        (debug/compat; the hot paths stay columnar)."""
+        ce, cl, um, ct = self._merged()
+        out: dict[tuple[int, int], dict] = {}
+        for c, k, t, n in zip(ce.tolist(), cl.tolist(), um.tolist(),
+                              ct.tolist()):
+            out.setdefault((c, k), {})[self._pool_tok(t)] = n
+        return out
 
     def molecule_count(self, umi_counts: dict, method: str = "exact") -> int:
         """Molecules in one (cell, class) UMI pool.
@@ -322,14 +412,42 @@ class CellCounts:
         method and memoized (directional clustering dominates the cost
         and write(), cell_totals() and call_cells() all need it —
         previously each recomputed the full clustering).  The memo keys
-        on n_mapped, which advances with every accumulation."""
+        on n_mapped, which advances with every accumulation.
+
+        exact counts come straight off the columnar store (pool size =
+        segment length over unique triples); directional materializes a
+        dict only for multi-UMI pools."""
         cache = getattr(self, "_entry_counts_cache", None)
-        if cache is not None and cache[0] == (method, self.n_mapped):
+        key = (method, self.n_mapped, self.n_corrected)
+        if cache is not None and cache[0] == key:
             return cache[1]
-        out = {
-            k: self.molecule_count(u, method) for k, u in self.umis.items()
-        }
-        self._entry_counts_cache = ((method, self.n_mapped), out)
+        import numpy as np
+
+        ce, cl, um, ct = self._merged()
+        out: dict[tuple[int, int], int] = {}
+        if len(ce):
+            new = np.empty(len(ce), bool)
+            new[0] = True
+            new[1:] = (ce[1:] != ce[:-1]) | (cl[1:] != cl[:-1])
+            gidx = np.nonzero(new)[0]
+            sizes = np.diff(np.append(gidx, len(ce)))
+            gc, gk = ce[gidx].tolist(), cl[gidx].tolist()
+            if method == "exact":
+                out = dict(zip(zip(gc, gk), sizes.tolist()))
+            elif method == "directional":
+                for c, k, st, s in zip(gc, gk, gidx.tolist(),
+                                       sizes.tolist()):
+                    if s == 1:
+                        out[(c, k)] = 1
+                    else:
+                        pool = {
+                            self._pool_tok(int(t)): int(n)
+                            for t, n in zip(um[st:st + s], ct[st:st + s])
+                        }
+                        out[(c, k)] = self.molecule_count(pool, method)
+            else:
+                raise ValueError(f"unknown UMI dedup method {method!r}")
+        self._entry_counts_cache = (key, out)
         return out
 
     def cell_totals(self, method: str = "exact") -> dict[int, int]:
@@ -369,8 +487,11 @@ class CellCounts:
         distant barcodes keep their own cell.  Folded UMI pools merge
         (same molecule, misread barcode).  Returns the number of
         barcodes folded; `n_corrected` advances by the same amount."""
+        import numpy as np
+
         called = self.call_cells(method)
-        if not called or len(called) == len(self.cells) or not self.umis:
+        ce, cl, um, ct = self._merged()
+        if not called or len(called) == len(self.cells) or not len(ce):
             return 0
         # face-value accumulation can intern N-containing barcodes; they
         # can still FOLD (single-N match) but cannot be fold TARGETS
@@ -381,7 +502,7 @@ class CellCounts:
         wl = Whitelist(wl_bcs, len(wl_bcs[0]))
         called_set = set(called)
         inv = {v: k for k, v in self.cells.items()}
-        target: dict[int, int] = {}
+        target = np.arange(len(self.cells), dtype=np.int64)
         folded = 0
         for bc, cid in self.cells.items():
             m = (wl.match(bc.encode())
@@ -389,25 +510,19 @@ class CellCounts:
             if m is not None and m != bc:
                 target[cid] = self.cells[m]
                 folded += 1
-            else:
-                target[cid] = cid
         if not folded:
             return 0
         new_cells: dict[str, int] = {}
-        for cid in range(len(inv)):  # keep first-appearance order
+        renum = np.full(len(target), -1, np.int64)
+        for cid in range(len(target)):  # keep first-appearance order
             if target[cid] == cid:
-                new_cells[inv[cid]] = len(new_cells)
-        new_umis: dict[tuple[int, int], dict] = {}
-        for (cell, cls), d in self.umis.items():
-            nk = (new_cells[inv[target[cell]]], cls)
-            nd = new_umis.get(nk)
-            if nd is None:
-                new_umis[nk] = d if target[cell] == cell else dict(d)
-            else:
-                for u, c in d.items():
-                    nd[u] = nd.get(u, 0) + c
+                renum[cid] = len(new_cells)
+                new_cells[inv[cid]] = int(renum[cid])
+        # relabel the columnar store in one take; folded pools merge
+        # (duplicate triples sum) at the next lazy merge
         self.cells = new_cells
-        self.umis = new_umis
+        self._merged_cache = None
+        self._chunks = [(renum[target][ce], cl, um, ct)]
         self.n_corrected += folded
         self._entry_counts_cache = None
         return folded
@@ -685,29 +800,19 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
             cell_of_uniq[u] = cell
         mcell = cell_of_uniq[np.searchsorted(uniq_b, mbc)]
 
-        # bulk UMI accumulation per unique (cell, class, umi) triple
-        order = np.lexsort((mumi, mcid, mcell))
-        sc, si, su = mcell[order], mcid[order], mumi[order]
-        changed = (sc[1:] != sc[:-1]) | (si[1:] != si[:-1]) | (su[1:] != su[:-1])
-        starts = np.concatenate(([0], np.nonzero(changed)[0] + 1, [len(order)]))
-        sa = starts[:-1]
-        # one .tolist() per column: python ints, no per-group numpy
-        # scalar extraction; consecutive groups share (cell, class), so
-        # the pool dict is looked up only when the key changes
-        cell_l = sc[sa].tolist()
-        cls_l = si[sa].tolist()
-        umi_l = su[sa].tolist()
-        cnt_l = np.diff(starts).tolist()
-        pc = pk = None
-        d = None
-        for cell, cls_, s, cnt in zip(cell_l, cls_l, umi_l, cnt_l):
-            if cell != pc or cls_ != pk:
-                d = counts.umis.setdefault((cell, cls_), {})
-                pc, pk = cell, cls_
-            # packed keys ARE the canonical umi token; side-interned odd
-            # strings tokenize the way the record path does
-            tok = s if s >= 0 else _umi_token(side_strs[-2 - s])
-            d[tok] = d.get(tok, 0) + cnt
+        # bulk columnar append: packed keys ARE the canonical umi token;
+        # batch-side keys (< -1) translate into counts-side tokens the
+        # way the record path does.  Triples merge (lexsort +
+        # segment-sum) lazily inside CellCounts — no per-group dict
+        # traffic on the streaming path.
+        mtok = mumi.copy()
+        for i in np.nonzero(mumi < 0)[0]:
+            s = side_strs[-2 - int(mumi[i])]
+            t = _umi_token(s)
+            if isinstance(t, str) or t > 0x3FFFFFFFFFFFFFFF:
+                t = counts._side_tok(s)  # odd or >31-base: store the string
+            mtok[i] = t
+        counts.add_bulk(mcell, mcid, mtok)
 
     try:
         # depth-D deferral on both device waits (see aligner.emit_fastq):
