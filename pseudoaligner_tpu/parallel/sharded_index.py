@@ -295,9 +295,13 @@ def _routed_seed_tables(
     pos_in_bucket = jnp.arange(n, dtype=jnp.int32) - jnp.searchsorted(
         owner_sorted, owner_sorted, side="left"
     ).astype(jnp.int32)
-    overflow = jnp.sum(
-        ((pos_in_bucket >= CAP) & (owner_sorted < S)).astype(jnp.int32)
-    )
+    dropped_sorted = (pos_in_bucket >= CAP) & (owner_sorted < S)
+    overflow = jnp.sum(dropped_sorted.astype(jnp.int32))
+    # per-lane dropped mask: lanes with any un-routed valid k-mer take
+    # the -3 exact-fallback channel (compact mode) instead of a batch
+    # error — routing overflow degrades to a host re-map of those rows
+    dropped_flat = jnp.zeros(n, bool).at[order].set(dropped_sorted)
+    dropped_lane = jnp.any(dropped_flat.reshape(B, P_), axis=1)
 
     # fixed-capacity per-destination buffers with a dump slot (index CAP)
     # for overflow entries, so every scatter target is unique
@@ -347,7 +351,7 @@ def _routed_seed_tables(
     seed_off_flat = seed_off_flat.at[src_safe].set(back[:, 1])
     seed_node = seed_node_flat[:n].reshape(B, P_)
     seed_off = seed_off_flat[:n].reshape(B, P_)
-    return seed_node, seed_off, overflow
+    return seed_node, seed_off, overflow, dropped_lane
 
 
 def make_kpart_step(
@@ -373,7 +377,7 @@ def make_kpart_step(
                    gsh: GraphShards, packed, lens):
         reads = unpack_reads(packed, meta.read_len)
         lens = lens.astype(jnp.int32)
-        seed_node, seed_off, overflow = _routed_seed_tables(
+        seed_node, seed_off, overflow, dropped = _routed_seed_tables(
             meta, kmeta, lookup, reads, lens, axis
         )
         _, nh3 = next_hit_table(
@@ -393,6 +397,17 @@ def make_kpart_step(
             meta, idx, reads, lens, nh3,
             fetch=fetch, cond_all=cond_all,
         )
+        if meta.distinct_cap > 0:
+            # routing-overflow lanes ride the compact -3 channel: the
+            # host emit pipeline re-maps them exactly, so a rare bucket
+            # overflow costs a few host re-maps instead of a batch
+            # error + device sync (map_batch skips the int(overflow)
+            # drain in compact mode — PERF.md session 4)
+            ecd = res.ec_distinct
+            last = jnp.where(
+                dropped, jnp.asarray(-3, ecd.dtype), ecd[:, -1]
+            )
+            res = res._replace(ec_distinct=ecd.at[:, -1].set(last))
         if meta.tx_words > 0 and meta.distinct_cap == 0:
             # bitset TCC counts exist only on the full-output path; in
             # compact serving mode counting rides the host emit pipeline
@@ -544,7 +559,10 @@ class KmerPartitionedAligner:
         res, counts, overflow = self._step(
             self.dev, self.lookup, self.gshards, r, l
         )
-        if int(overflow) > 0:
+        if self.meta.distinct_cap == 0 and int(overflow) > 0:
+            # full-output mode has no -3 fallback channel; compact mode
+            # flags overflowed lanes -3 instead (exact host re-map), so
+            # serving never blocks on this device scalar
             raise RuntimeError(
                 f"kpart routing overflow ({int(overflow)} queries) — "
                 "increase slack or re-run batch via the replicated path"

@@ -254,3 +254,37 @@ def test_kpart_short_reads_no_routing_skew(small_index, small_reads):
     res, _ = kp.map_batch(codes, lens)  # must not raise routing overflow
     assert np.array_equal(np.asarray(base.coverage), np.asarray(res.coverage))
     assert np.array_equal(np.asarray(base.ec_bits), np.asarray(res.ec_bits))
+
+
+def test_kpart_routing_overflow_lanes_fall_back(small_index, small_reads):
+    """Routing overflow in compact mode degrades per lane, not per batch:
+    lanes whose k-mers overflowed a destination bucket carry the -3
+    exact-fallback marker and re-map on the host — final records match
+    the replicated engine (no RuntimeError, no device sync)."""
+    from pseudoaligner_tpu.io.fastq import ReadBatch
+
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64, max_nodes=7,
+                        distinct_cap=3, max_walk_iters=3, max_left_iters=2)
+    B, L = 64, 64
+    codes, lens = _batch(small_reads, B, L)
+    # poison half the lanes with ONE repeated k-mer (poly-C): all their
+    # valid positions hash to a single owner shard, overflowing its
+    # fixed-capacity bucket by construction
+    codes[32:] = 1
+    lens[32:] = L
+
+    mesh = make_mesh(8)
+    kp = KmerPartitionedAligner(small_index, cfg, mesh)
+    al = kp.serving_aligner()
+    res = al.map_batch_device(codes, lens)  # must NOT raise
+    ecd = np.asarray(res.ec_distinct)
+    assert (ecd[32:, -1] == -3).any(), "expected -3-flagged overflow lanes"
+
+    batch = ReadBatch(codes=codes, lens=lens,
+                      ids=[f"r{i}" for i in range(B)])
+    base_al = Pseudoaligner(small_index, cfg)
+    recs_k = al.records_from_result(res, batch)
+    recs_b = base_al.records_from_result(
+        base_al.map_batch_device(codes, lens), batch)
+    assert [(r.flag, r.eq_class, r.coverage) for r in recs_k] == [
+        (r.flag, r.eq_class, r.coverage) for r in recs_b]
