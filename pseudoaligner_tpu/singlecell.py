@@ -435,16 +435,60 @@ class CellCounts:
             if method == "exact":
                 out = dict(zip(zip(gc, gk), sizes.tolist()))
             elif method == "directional":
-                for c, k, st, s in zip(gc, gk, gidx.tolist(),
-                                       sizes.tolist()):
-                    if s == 1:
-                        out[(c, k)] = 1
-                    else:
-                        pool = {
-                            self._pool_tok(int(t)): int(n)
-                            for t, n in zip(um[st:st + s], ct[st:st + s])
-                        }
-                        out[(c, k)] = self.molecule_count(pool, method)
+                # vectorized 1-Hamming screen: two packed UMIs are
+                # Hamming-1 iff they share a (position, token-with-that-
+                # position-masked) key, so pools whose rows produce no
+                # duplicate masked key need no clustering (count = pool
+                # size) — for random 12-mers that is almost every pool.
+                # Pools WITH collisions (or side-interned string tokens)
+                # take the exact per-pool BFS (molecule_count).
+                need = np.zeros(len(gidx), bool)
+                multi = sizes >= 2
+                if multi.any() and self.umi_len is not None:
+                    grp = np.repeat(np.arange(len(gidx)), sizes)
+                    rows = np.nonzero(multi[grp])[0]
+                    g_r, u_r = grp[rows], um[rows]
+                    side_r = u_r < 0
+                    if side_r.any():
+                        need |= np.bincount(
+                            g_r[side_r], minlength=len(gidx)
+                        ).astype(bool)
+                        keep = ~side_r
+                        g_r, u_r = g_r[keep], u_r[keep]
+                    L_ = self.umi_len
+                    gbits = 63 - 2 * L_
+                    if (len(g_r) and 2 * L_ <= 62
+                            and len(gidx) < (1 << max(gbits, 1))):
+                        # one packed (pool << 2L | masked-umi) key per
+                        # position: a scalar mask + int64 sort per pass
+                        # beats one 3-key lexsort over the Lx-expanded
+                        # arrays ~4x (no tile/repeat materialization)
+                        shift = np.int64(2 * L_)
+                        base_key = g_r.astype(np.int64) << shift
+                        for p_ in range(L_):
+                            mask = np.int64(~(3 << (2 * p_)))
+                            ks = np.sort(base_key | (u_r & mask))
+                            dupk = ks[1:] == ks[:-1]
+                            if dupk.any():
+                                d2 = np.zeros(len(ks), bool)
+                                d2[1:] = dupk
+                                d2[:-1] |= dupk
+                                need[ks[d2] >> shift] = True
+                    elif len(g_r):
+                        need |= np.bincount(
+                            g_r, minlength=len(gidx)
+                        ).astype(bool)
+                elif multi.any():
+                    need = multi.copy()
+                out = dict(zip(zip(gc, gk), sizes.tolist()))
+                for j in np.nonzero(need & multi)[0]:
+                    st, s = int(gidx[j]), int(sizes[j])
+                    pool = {
+                        self._pool_tok(int(t)): int(n)
+                        for t, n in zip(um[st:st + s], ct[st:st + s])
+                    }
+                    out[(gc[j], gk[j])] = self.molecule_count(pool,
+                                                              method)
             else:
                 raise ValueError(f"unknown UMI dedup method {method!r}")
         self._entry_counts_cache = (key, out)

@@ -521,3 +521,41 @@ def test_read_fastq_seqs_rejects_malformed(tmp_path):
     trunc.write_text("@r1\nACGT\n+\n")  # no qual line
     with pytest.raises(ValueError, match="truncated"):
         list(read_fastq_seqs(str(trunc)))
+
+
+def test_entry_counts_directional_matches_bruteforce():
+    """The vectorized 1-Hamming screen in entry_counts must agree with
+    per-pool molecule_count on every pool shape: collision-free pools,
+    1-Hamming chains, count-rule blocks, side-interned (string) tokens,
+    and singleton pools."""
+    from pseudoaligner_tpu.singlecell import CellCounts
+
+    rng = np.random.default_rng(7)
+    c = CellCounts()
+    # pool 0: chain A->B->C (collisions); pool 1: blocked pair;
+    # pool 2: collision-free random 12-mers; pool 3: singleton;
+    # pool 4: mixed with an N-containing (side) UMI
+    for _ in range(10):
+        c.add("BC0", "AAAAAAAAAAAA", [1])
+    for _ in range(5):
+        c.add("BC0", "AAAAAAAAAAAT", [1])
+    for _ in range(2):
+        c.add("BC0", "AAAAAAAAAATT", [1])
+    for _ in range(3):
+        c.add("BC1", "CCCCCCCCCCCC", [2])
+        c.add("BC1", "CCCCCCCCCCCG", [2])
+    for _ in range(30):
+        u = "".join("ACGT"[int(b)] for b in rng.integers(0, 4, 12))
+        c.add("BC2", u, [3])
+    c.add("BC3", "GGGGGGGGGGGG", [4])
+    c.add("BC4", "TTTTTTTTTTTN", [5])
+    c.add("BC4", "TTTTTTTTTTTA", [5])
+    c.add("BC4", "TTTTTTTTTTTA", [5])
+
+    got = c.entry_counts("directional")
+    want = {k: c.molecule_count(pool, "directional")
+            for k, pool in c.umis.items()}
+    assert got == want
+    # and the exact method still counts distinct UMIs
+    ex = c.entry_counts("exact")
+    assert ex == {k: len(pool) for k, pool in c.umis.items()}
