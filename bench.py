@@ -215,7 +215,7 @@ def main():
 
     from collections import deque
 
-    def timed_pass():
+    def timed_pass(depth=None):
         # depth-D pipeline (the emit_fastq pattern): both the compact-
         # output fetch (emit_prepare, waits on map(k)) and the overflow
         # re-map wait (emit_finish, waits on remap(k) behind map(k+1))
@@ -224,7 +224,9 @@ def main():
         t0 = time.time()
         n_done = 0
         n_unmapped = 0
-        depth = max(1, int(getattr(aligner.config, "pipeline_depth", 1)))
+        if depth is None:
+            depth = max(1, int(getattr(aligner.config, "pipeline_depth",
+                                       1)))
         pending = deque()
         prepared = deque()
 
@@ -286,11 +288,21 @@ def main():
         )
     else:
         timed_pass()
+    # depth self-tune: in-flight depth is host-side (no recompile), and
+    # its optimum tracks the tunnel's latency/bandwidth mix of the day
+    # (degraded-latency sessions favor 4+, healthy ones are flat >= 2)
+    d_cands = (2, 3, 4)
+    d_scores = [timed_pass(depth=d)[2] for d in d_cands]
+    best_depth = d_cands[d_scores.index(min(d_scores))]
+    sys.stderr.write(
+        f"bench: depth self-tune {list(zip(d_cands, [f'{s:.2f}s' for s in d_scores]))}"
+        f" -> depth {best_depth}\n"
+    )
     setup_s = time.time() - t_setup
     n_passes = int(os.environ.get("BENCH_PASSES", 3))
     dts = []
     for _ in range(n_passes):
-        n_done, n_unmapped, dt_i = timed_pass()
+        n_done, n_unmapped, dt_i = timed_pass(depth=best_depth)
         dts.append(dt_i)
     dt = min(dts)
     n_mapped = n_done - n_unmapped
