@@ -389,3 +389,57 @@ def test_fuzz_kpart_count_parity(tmp_path):
             for f in ("barcodes.tsv", "ec.tsv", "matrix.mtx")
         }
     assert files["base"] == files["kpart"]
+
+
+def test_fuzz_kpart_paired_parity(tmp_path):
+    """Paired serving through the kpart engine (combo axis: combined
+    2h-row device batch routed through the sharded lookup, override rows,
+    depth-D pipeline) must emit bytes identical to the replicated
+    engine on random family-structured paired data."""
+    import io as iomod
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+    from pseudoaligner_tpu.parallel.mesh import make_mesh
+    from pseudoaligner_tpu.parallel.sharded_index import (
+        KmerPartitionedAligner,
+    )
+
+    rng = np.random.default_rng(424242)
+    seqs, names, gmap = [], [], {}
+    for g in range(5):
+        base = rng.integers(0, 4, 1000).astype(np.uint8)
+        for i in range(3):
+            if i == 0:
+                s = base
+            else:
+                a = int(rng.integers(50, 400))
+                b = int(rng.integers(a + 60, a + 350))
+                s = np.concatenate([base[:a], base[b:]])
+            nm = f"px{g}_{i}"
+            seqs.append(s)
+            names.append(nm)
+            gmap[nm] = f"pg{g}"
+    image = build_index(seqs, names, gmap, k=20)
+
+    reads1 = _fuzz_reads(rng, seqs, k=20, n=300, L=64)
+    reads2 = _fuzz_reads(rng, seqs, k=20, n=300, L=64)
+    dec = "ACGT"
+    r1, r2 = tmp_path / "kp1.fq", tmp_path / "kp2.fq"
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for (rid, wa), (_, wb) in zip(reads1, reads2):
+            a = "".join(dec[b] for b in wa)
+            b_ = "".join(dec[b] for b in wb)
+            f1.write(f"@{rid}\n{a}\n+\n{'I' * len(a)}\n")
+            f2.write(f"@{rid}\n{b_}\n+\n{'I' * len(b_)}\n")
+
+    cfg = AlignerConfig(k=20, batch_size=128, max_read_len=72, max_nodes=8,
+                        distinct_cap=3, max_walk_iters=3, max_left_iters=2)
+    base = Pseudoaligner(image, cfg)
+    buf_b = iomod.BytesIO()
+    n_b = base.emit_fastq_paired(str(r1), str(r2), buf_b)
+    srv = KmerPartitionedAligner(image, cfg, make_mesh(4)).serving_aligner()
+    buf_k = iomod.BytesIO()
+    n_k = srv.emit_fastq_paired(str(r1), str(r2), buf_k)
+    assert n_k == n_b == len(reads1)
+    assert buf_k.getvalue() == buf_b.getvalue()
