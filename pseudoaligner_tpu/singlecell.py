@@ -723,10 +723,6 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
             side_strs.append(raw.decode())
         return k
 
-    def _key_str(key: int, width: int) -> str:
-        return (_decode_2bit(key, width) if key >= 0
-                else side_strs[-2 - key])
-
     cell_of_key: dict[int, int] = {}
 
     def consume(state, arr):
@@ -834,12 +830,27 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
 
         # cell interning in first-appearance read order among mapped rows
         uniq_b, first_b = np.unique(mbc, return_index=True)
+        # bulk-decode the batch's NEW packed barcodes (the per-key python
+        # _decode_2bit loop was ~25us/barcode — prohibitive at the ~1M
+        # raw-barcode scale of real 10x runs)
+        new_keys = [k for k in uniq_b.tolist()
+                    if k >= 0 and k not in cell_of_key]
+        dec_new: dict[int, str] = {}
+        if new_keys:
+            kk = np.asarray(new_keys, np.uint64)
+            sh = 2 * (bl - 1 - np.arange(bl, dtype=np.uint64))
+            ch = np.frombuffer(b"ACGT", np.uint8)[
+                ((kk[:, None] >> sh[None, :]) & np.uint64(3)).astype(np.int64)
+            ].tobytes()
+            dec_new = {k: ch[j * bl:(j + 1) * bl].decode()
+                       for j, k in enumerate(new_keys)}
         cell_of_uniq = np.empty(len(uniq_b), np.int64)
         for u in np.argsort(first_b, kind="stable"):
             key = int(uniq_b[u])
             cell = cell_of_key.get(key)
             if cell is None:
-                cell = counts._cell_id(_key_str(key, bl))
+                s = dec_new[key] if key >= 0 else side_strs[-2 - key]
+                cell = counts._cell_id(s)
                 cell_of_key[key] = cell
             cell_of_uniq[u] = cell
         mcell = cell_of_uniq[np.searchsorted(uniq_b, mbc)]
