@@ -139,12 +139,14 @@ class AlignerConfig:
     seed_compact: float = 0.0
     # Overlapping pool rows (rows start every 128 - 16*(cmp_words+1)
     # bases): every compare window fits ONE row, halving the window
-    # gather elements per walk iteration.  Engages only for
-    # max_read_len <= 80 (wider windows span a row regardless; a warning
-    # is logged).  On-chip validated: bit-identical outputs vs the
-    # non-overlapping layout on the bench workload, ~2ms/step faster at
-    # B=65k caps (3,2) (PERF.md round-2 session).
-    pool_overlap: bool = True
+    # gather elements per walk iteration.  Only possible for
+    # max_read_len <= 80 (wider windows span a row regardless).
+    # None = auto: engage exactly when possible (the default).  An
+    # explicit True at a wider max_read_len logs a warning and falls
+    # back.  On-chip validated: bit-identical outputs vs the
+    # non-overlapping layout, ~2ms/step faster at B=65k caps (3,2)
+    # (PERF.md round-2 session 4).
+    pool_overlap: bool | None = None
     # Serving pipeline depth: device map batches kept in flight in
     # emit_fastq (and the bench loop) before the oldest is consumed.
     # The tunnel executes FIFO, so ANY device_get drains everything

@@ -1277,7 +1277,13 @@ def device_index_from_image(image, config: AlignerConfig):
     L = config.max_read_len
     pool_pad = ((L + 127) // 128 + 1) * 128
     cmp_words = (L + 15) // 16 + 1
-    pool_stride = 128 - 16 * (cmp_words + 1) if config.pool_overlap else 0
+    # pool_overlap=None (the default) auto-engages iff the compare
+    # window fits one 128-base row (max_read_len <= 80) — a too-wide
+    # window falls back silently; the warning fires only on an
+    # EXPLICIT pool_overlap=True request that cannot be honored
+    want_overlap = (config.pool_overlap if config.pool_overlap is not None
+                    else L <= 80)
+    pool_stride = 128 - 16 * (cmp_words + 1) if want_overlap else 0
     if pool_stride < 16:
         if config.pool_overlap:
             import logging

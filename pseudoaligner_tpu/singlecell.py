@@ -160,11 +160,19 @@ class CellCounts:
     n_bad_barcode: int = 0
     umi_len: int | None = None  # needed to probe int-token neighborhoods
     # columnar triple store: unmerged (cell, cls, umi, cnt) chunks plus
-    # a scalar staging buffer for the record-path add()
-    _chunks: list = field(default_factory=list, repr=False)
-    _row_buf: list = field(default_factory=list, repr=False)
-    _side_strs: list = field(default_factory=list, repr=False)
-    _side_ids: dict = field(default_factory=dict, repr=False)
+    # a scalar staging buffer for the record-path add().  compare=False:
+    # ndarray-holding fields would make dataclass == raise / depend on
+    # chunk boundaries; identity of a store is its merged content.
+    _chunks: list = field(default_factory=list, repr=False, compare=False)
+    _row_buf: list = field(default_factory=list, repr=False, compare=False)
+    _side_strs: list = field(default_factory=list, repr=False,
+                             compare=False)
+    _side_ids: dict = field(default_factory=dict, repr=False,
+                            compare=False)
+    # monotonic mutation counter: every accumulation/fold bumps it, and
+    # the _merged/entry_counts memos key on it (n_mapped alone misses
+    # direct add_bulk callers)
+    _version: int = field(default=0, repr=False, compare=False)
 
     def _class_id(self, eq: tuple[int, ...]) -> int:
         idx = self.classes.get(eq)
@@ -198,6 +206,7 @@ class CellCounts:
         if not len(eq_class):
             return
         self.n_mapped += 1
+        self._version += 1
         if self.umi_len is None:
             self.umi_len = len(umi)
         tok = _umi_token(umi) if len(umi) == self.umi_len else umi
@@ -221,6 +230,7 @@ class CellCounts:
             return
         cnt = (np.ones(n, np.int64) if counts is None
                else np.asarray(counts, np.int64))
+        self._version += 1
         self._chunks.append((
             np.asarray(cell_ids, np.int64), np.asarray(class_ids, np.int64),
             np.asarray(umi_toks, np.int64), cnt,
@@ -418,7 +428,7 @@ class CellCounts:
         segment length over unique triples); directional materializes a
         dict only for multi-UMI pools."""
         cache = getattr(self, "_entry_counts_cache", None)
-        key = (method, self.n_mapped, self.n_corrected)
+        key = (method, self._version)
         if cache is not None and cache[0] == key:
             return cache[1]
         import numpy as np
@@ -567,6 +577,7 @@ class CellCounts:
         self.cells = new_cells
         self._merged_cache = None
         self._chunks = [(renum[target][ce], cl, um, ct)]
+        self._version += 1
         self.n_corrected += folded
         self._entry_counts_cache = None
         return folded
