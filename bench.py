@@ -213,54 +213,43 @@ def main():
     except Exception:
         has_native = False
 
-    from collections import deque
+    from pseudoaligner_tpu.pipeline import DepthPipeline
 
     def timed_pass(depth=None):
-        # depth-D pipeline (the emit_fastq pattern): both the compact-
-        # output fetch (emit_prepare, waits on map(k)) and the overflow
-        # re-map wait (emit_finish, waits on remap(k) behind map(k+1))
-        # are deferred `pipeline_depth` batches, so the FIFO tunnel queue
-        # stays ~depth map steps deep across the waits (aligner.py)
+        # depth-D pipeline (pipeline.py): both the compact-output fetch
+        # (emit_prepare, waits on map(k)) and the overflow re-map wait
+        # (emit_finish, waits on remap(k) behind map(k+1)) are deferred
+        # `depth` batches, so the FIFO tunnel queue stays full
         t0 = time.time()
         n_done = 0
         n_unmapped = 0
         if depth is None:
-            depth = max(1, int(getattr(aligner.config, "pipeline_depth",
-                                       1)))
-        pending = deque()
-        prepared = deque()
+            depth = getattr(aligner.config, "pipeline_depth", 1)
 
-        def finish_one():
+        def finish(st_n):
             nonlocal n_done, n_unmapped
-            st, n = prepared.popleft()
+            st, n = st_n
             data = aligner.emit_finish(st)
             devnull.write(data)
             n_done += n
             n_unmapped += data.count(b", [], ")
 
-        def consume(res, rb):
+        def prepare(item, _nxt):
+            res, rb = item
             if has_native:
-                st = aligner.emit_prepare(res, rb)
-                prepared.append((st, rb.n_reads))
-                if len(prepared) > depth:
-                    finish_one()
-            else:
-                while prepared:
-                    finish_one()
-                recs = aligner.records_from_result(jax.device_get(res), rb)
-                nonlocal n_done, n_unmapped
-                n_done += len(recs)
-                n_unmapped += sum(1 for r in recs if not r.eq_class)
+                return (aligner.emit_prepare(res, rb), rb.n_reads)
+            pipe.drain_prepared()
+            recs = aligner.records_from_result(jax.device_get(res), rb)
+            nonlocal n_done, n_unmapped
+            n_done += len(recs)
+            n_unmapped += sum(1 for r in recs if not r.eq_class)
+            return None
 
+        pipe = DepthPipeline(depth, prepare, finish)
         for codes, ls in batches[1:]:
             fut = aligner.map_batch_device(codes, ls)
-            pending.append((fut, make_rb(codes, ls)))
-            if len(pending) > depth:
-                consume(*pending.popleft())
-        while pending:
-            consume(*pending.popleft())
-        while prepared:
-            finish_one()
+            pipe.push((fut, make_rb(codes, ls)))
+        pipe.close()
         return n_done, n_unmapped, time.time() - t0
 
     # one untimed warm pass per candidate config (compiles the programs and

@@ -12,7 +12,6 @@ from __future__ import annotations
 import logging
 import os
 import time
-from collections import deque
 from dataclasses import dataclass
 from functools import partial
 
@@ -22,6 +21,7 @@ import numpy as np
 from ..config import AlignerConfig
 from ..index.image import IndexImage
 from ..io.fastq import FastqReader, ReadBatch
+from ..pipeline import DepthPipeline
 from ..ops.map_kernel import (
     MapResult,
     device_index_from_image,
@@ -634,23 +634,15 @@ class Pseudoaligner:
             n_reads += 1
             n_flagged += rec.flag
 
-        # Two deferral stages, each `pipeline_depth` batches deep.  The
-        # tunnel executes FIFO, so a device_get on batch k's outputs
-        # drains every map step queued before it: to keep ~depth map
-        # steps in flight across BOTH waits, the compact-output fetch
-        # (emit_prepare, waits on map(k)) runs only after maps
-        # k+1..k+depth are queued, and the overflow re-map wait
-        # (emit_finish, waits on remap(k) which sits behind map(k+1))
-        # runs only after maps through k+2*depth are queued.  Output
-        # order is preserved: both queues are FIFO and the record-path
-        # fallback drains `prepared` fully before writing.
-        depth = max(1, int(getattr(self.config, "pipeline_depth", 1)))
-        pending: deque = deque()   # (MapResult, ReadBatch) awaiting prepare
-        prepared: deque = deque()  # (emit state, n) awaiting finish/write
-
-        def flush_prepared_one():
+        # DepthPipeline (pipeline.py): the compact-output fetch
+        # (emit_prepare) and the overflow re-map wait (emit_finish) are
+        # each deferred pipeline_depth batches so the FIFO device queue
+        # stays full across both waits.  The record-path fallback
+        # (segmented long reads, cross-batch groups) drains the
+        # prepared stage first, preserving output order.
+        def finish(st_n):
             nonlocal n_reads, n_flagged
-            st, n = prepared.popleft()
+            st, n = st_n
             data = self.emit_finish(st)
             out.write(data)
             n_reads += n
@@ -658,12 +650,13 @@ class Pseudoaligner:
                 data.count(b"\n(true")
             )
 
-        def flush_prepared_all():
-            while prepared:
-                flush_prepared_one()
-
-        def flush(res, batch, next_first_group):
-            nonlocal n_reads, n_flagged, merge_state
+        def prepare(item, nxt):
+            nonlocal merge_state
+            res, batch = item
+            nb = nxt[1] if nxt is not None else None
+            next_first_group = (int(nb.group[0])
+                                if nb is not None and nb.group is not None
+                                else None)
             grp = batch.group
             n = batch.n_reads
             simple = (
@@ -675,42 +668,31 @@ class Pseudoaligner:
             )
             if simple:
                 st = self.emit_prepare(res, batch, tcc=tcc)
-                prepared.append((st, n))
-                if len(prepared) > depth:
-                    flush_prepared_one()  # oldest first (order-preserving)
-            else:
-                flush_prepared_all()
-                for rec, g, end in self._batch_rows(res, batch):
-                    merge_state, done = self._merge_push(merge_state, rec, g, end)
-                    if done is not None:
-                        put_record(done)
-                if next_first_group is None or (
-                    merge_state is not None and merge_state[0] != next_first_group
-                ):
-                    if merge_state is not None:
-                        put_record(
-                            self._finalize_merged(merge_state[1], merge_state[2])
-                        )
-                        merge_state = None
+                return (st, n)
+            pipe.drain_prepared()
+            for rec, g, end in self._batch_rows(res, batch):
+                merge_state, done = self._merge_push(merge_state, rec, g, end)
+                if done is not None:
+                    put_record(done)
+            if next_first_group is None or (
+                merge_state is not None and merge_state[0] != next_first_group
+            ):
+                if merge_state is not None:
+                    put_record(
+                        self._finalize_merged(merge_state[1], merge_state[2])
+                    )
+                    merge_state = None
+            return None
 
-        def pop_pending():
-            res, batch = pending.popleft()
-            nb = pending[0][1] if pending else None
-            nfg = (int(nb.group[0])
-                   if nb is not None and nb.group is not None else None)
-            flush(res, batch, nfg)
-
+        pipe = DepthPipeline(getattr(self.config, "pipeline_depth", 1),
+                             prepare, finish)
         for batch in reader:
             any_batch = True
             res = self.map_batch_device(batch.codes, batch.lens)
-            pending.append((res, batch))
-            if len(pending) > depth:
-                pop_pending()
-                if progress_cb is not None:
-                    progress_cb(n_reads)
-        while pending:
-            pop_pending()
-        flush_prepared_all()
+            pipe.push((res, batch))
+            if progress_cb is not None:
+                progress_cb(n_reads)
+        pipe.close()
         if any_batch and progress_cb is not None:
             progress_cb(n_reads)
         return n_reads, n_flagged
@@ -999,23 +981,20 @@ class Pseudoaligner:
         r2 = FastqReader(path2, h, L)
         self._paired_emitted = 0
         it1, it2 = iter(r1), iter(r2)
-        # depth-D deferral on both waits (see emit_fastq): the FIFO
-        # tunnel queue stays ~pipeline_depth combined batches deep
-        depth = max(1, int(getattr(self.config, "pipeline_depth", 1)))
-        pending: deque = deque()   # (future, combined, b1, n1)
-        prepared: deque = deque()  # emit_finish_paired args
 
-        def flush_prepared_one():
-            out.write(self.emit_finish_paired(*prepared.popleft()))
+        # depth-D deferral on both waits (pipeline.py): the FIFO tunnel
+        # queue stays ~pipeline_depth combined batches deep
+        def prepare(item, _nxt):
+            res, comb, bb1, n1 = item
+            return (self.emit_prepare(res, comb), bb1, n1)
+
+        def finish(st):
+            out.write(self.emit_finish_paired(*st))
             if progress_cb is not None:
                 progress_cb(self._paired_emitted)
 
-        def pop_and_prepare():
-            res, comb, bb1, n1 = pending.popleft()
-            st = self.emit_prepare(res, comb)
-            prepared.append((st, bb1, n1))
-            if len(prepared) > depth:
-                flush_prepared_one()
+        pipe = DepthPipeline(getattr(self.config, "pipeline_depth", 1),
+                             prepare, finish)
 
         def _raw_ids(b):
             """(concat bytes, [<=h+1] offsets) padded to h rows so the
@@ -1054,13 +1033,8 @@ class Pseudoaligner:
                 fut = self.map_batch_device(codes, lens)
             if b1 is None:
                 break
-            pending.append((fut, combined, b1, b1.n_reads))
-            if len(pending) > depth:
-                pop_and_prepare()
-        while pending:
-            pop_and_prepare()
-        while prepared:
-            flush_prepared_one()
+            pipe.push((fut, combined, b1, b1.n_reads))
+        pipe.close()
         return self._paired_emitted
 
     def emit_finish_paired(self, st, b1, n1) -> bytes:

@@ -144,28 +144,25 @@ def map_fastq_multihost(
     n_tx = len(image.tx_names)
     local_counts = np.zeros(n_tx, dtype=np.int64)
     # keep pipeline_depth map steps in flight per host (the FIFO-drain
-    # deferral of aligner.emit_fastq — see PERF.md session 4)
-    from collections import deque
-
-    depth = max(1, int(getattr(config, "pipeline_depth", 1)))
-    pending: deque = deque()
+    # deferral of pipeline.py; single-stage: the record path has no
+    # second device wave to defer)
+    from ..pipeline import DepthPipeline
 
     with open(os.path.join(outdir, f"part-{p}.txt"), "w") as out:
 
-        def drain_one():
-            res, b = pending.popleft()
+        def write_records(item, _nxt):
+            res, b = item
             for rec in aligner.records_from_result(jax.device_get(res), b):
                 out.write(rec.format_reference_style() + "\n")
                 for t in rec.eq_class:
                     local_counts[t] += 1
 
+        pipe = DepthPipeline(getattr(config, "pipeline_depth", 1),
+                             write_records)
         for batch in shard_batches(reader, p, H):
             res = aligner.map_batch_device(batch.codes, batch.lens)
-            pending.append((res, batch))
-            if len(pending) > depth:
-                drain_one()
-        while pending:
-            drain_one()
+            pipe.push((res, batch))
+        pipe.close()
 
     mesh = global_mesh()
     merged = make_count_merge(mesh, n_tx)(local_counts)

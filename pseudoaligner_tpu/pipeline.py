@@ -1,0 +1,77 @@
+"""Depth-D deferral pipeline for the FIFO device queue.
+
+The tunneled device executes strictly FIFO: ANY device_get drains every
+map step queued before it.  Serving loops therefore defer BOTH host
+waits — the compact-output fetch (which waits on map(k)) and the
+overflow re-map wait (which waits on remap(k), itself queued behind
+map(k+1)) — by `depth` batches each, so the queue stays ~depth map
+steps deep across both waits (measured: 890k -> 1.42M reads/s at
+depth 3, PERF.md round-2 session 4).  This class is the single
+implementation of that deferral rule; every serving loop
+(emit_fastq, paired, count, multihost, bench) builds on it.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Any, Callable
+
+
+class DepthPipeline:
+    """Two-stage deferral keeping the device's FIFO queue ~depth deep.
+
+    push(item) enters stage 0 (call it right after dispatching the
+    item's map step).  Once `depth` more items are queued behind it,
+    ``prepare(item, next_item)`` runs — the stage that first waits on
+    the item's device outputs (next_item is the following queue entry,
+    or None at end of stream).  A non-None prepare result queues for
+    stage 2, and once `depth` more results are queued behind it,
+    ``finish(result)`` runs — the stage that waits on second-wave
+    device work (e.g. the overflow re-map dispatched by prepare).
+    close() drains both stages in order.
+
+    prepare may call drain_prepared() first to force all queued
+    finishes out (order-preserving fallback paths that bypass stage 2
+    and write directly), and may return None to skip stage 2 for its
+    item.  Items flow strictly FIFO through both stages, so output
+    order equals push order.
+    """
+
+    __slots__ = ("depth", "_prepare", "_finish", "_pending", "_prepared")
+
+    def __init__(
+        self,
+        depth: int,
+        prepare: Callable[[Any, Any], Any],
+        finish: Callable[[Any], None] | None = None,
+    ):
+        self.depth = max(1, int(depth))
+        self._prepare = prepare
+        self._finish = finish
+        self._pending: deque = deque()
+        self._prepared: deque = deque()
+
+    def push(self, item) -> None:
+        self._pending.append(item)
+        if len(self._pending) > self.depth:
+            self._step()
+
+    def _step(self) -> None:
+        item = self._pending.popleft()
+        nxt = self._pending[0] if self._pending else None
+        st = self._prepare(item, nxt)
+        if st is not None:
+            self._prepared.append(st)
+            if len(self._prepared) > self.depth:
+                self._finish(self._prepared.popleft())
+
+    def drain_prepared(self) -> None:
+        """Run every queued finish now (oldest first)."""
+        while self._prepared:
+            self._finish(self._prepared.popleft())
+
+    def close(self) -> None:
+        """Drain both stages in order; the pipeline is reusable after."""
+        while self._pending:
+            self._step()
+        self.drain_prepared()

@@ -881,34 +881,24 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         counts.add_bulk(mcell, mcid, mtok)
 
     try:
-        # depth-D deferral on both device waits (see aligner.emit_fastq):
+        # depth-D deferral on both device waits (pipeline.py):
         # emit_prepare(k) waits on map(k)'s compact fetch and consume(k)
         # waits on remap(k) — each runs only after pipeline_depth more
         # map steps are queued, so the FIFO tunnel queue stays full
-        from collections import deque
+        from .pipeline import DepthPipeline
 
-        depth = max(1, int(getattr(aligner.config, "pipeline_depth", 1)))
-        pending: deque = deque()   # (map future, R2 batch, R1 rows)
-        prepared: deque = deque()  # (emit state, R1 rows)
-
-        def pop_and_prepare():
-            fut, batch, arr = pending.popleft()
-            prepared.append((aligner.emit_prepare(fut, batch), arr))
-            if len(prepared) > depth:
-                consume(*prepared.popleft())
-
+        pipe = DepthPipeline(
+            getattr(aligner.config, "pipeline_depth", 1),
+            prepare=lambda t, _n: (aligner.emit_prepare(t[0], t[1]), t[2]),
+            finish=lambda st: consume(*st),
+        )
         for batch in r2:
             fut = aligner.map_batch_device(batch.codes, batch.lens)
             arr = r1.take(batch.n_reads)
             if arr.shape[0] < batch.n_reads:
                 raise ValueError("R1 has fewer reads than R2")
-            pending.append((fut, batch, arr))
-            if len(pending) > depth:
-                pop_and_prepare()
-        while pending:
-            pop_and_prepare()
-        while prepared:
-            consume(*prepared.popleft())
+            pipe.push((fut, batch, arr))
+        pipe.close()
     finally:
         # close even on mid-stream errors: R1PrefixReader holds an mmap
         # of the whole R1 file
