@@ -137,6 +137,54 @@ class Chemistry:
         return self.bc_len + self.umi_len
 
 
+def _int_neighbors(x: int, L: int):
+    """All 3L packed-int 1-Hamming variants of a 2-bit packed L-mer."""
+    for j in range(2 * L - 2, -2, -2):
+        base = (x >> j) & 3
+        for alt in range(4):
+            if alt != base:
+                yield (x & ~(3 << j)) | (alt << j)
+
+
+def _str_neighbors(x: str, _L):
+    """All ACGT 1-Hamming substitutions of a string UMI (fallback domain:
+    non-ACGT or ragged pools; a non-ACGT char can be REPLACED by an ACGT
+    base but never produced, matching the packed domain's reachability)."""
+    for i in range(len(x)):
+        for b in "ACGT":
+            if b != x[i]:
+                yield x[:i] + b + x[i + 1:]
+
+
+def _directional_clusters(counts_map: dict, L: int | None) -> int:
+    """The single directional-clustering core (UMI-tools, Smith et al.
+    2017): greedy seeds in (-count, token) order; BFS absorb along
+    downward edges (hamming==1 and count(u) >= 2*count(v)-1); returns the
+    cluster (= molecule) count.  `L` is the UMI length for packed-int
+    pools; None selects the string domain."""
+    neighbors = _str_neighbors if L is None else _int_neighbors
+    order = sorted(counts_map, key=lambda u: (-counts_map[u], u))
+    owner: set = set()
+    n_clusters = 0
+    for seed in order:
+        if seed in owner:
+            continue
+        n_clusters += 1
+        stack = [seed]
+        owner.add(seed)
+        while stack:
+            x = stack.pop()
+            cx = counts_map[x]
+            for v in neighbors(x, L):
+                cv = counts_map.get(v)
+                if cv is None or v in owner:
+                    continue
+                if cx >= 2 * cv - 1:
+                    owner.add(v)
+                    stack.append(v)
+    return n_clusters
+
+
 @dataclass
 class CellCounts:
     """Per-cell, per-EC distinct-UMI accumulation.
@@ -291,19 +339,15 @@ class CellCounts:
         exact: distinct UMIs.  directional: UMI-tools clustering — an edge
         u->v when hamming(u,v)==1 and count(u) >= 2*count(v)-1; each
         cluster (seeded greedily from the highest-count UMI) is one
-        molecule."""
+        molecule.  ONE clustering core (`_directional_clusters`) serves
+        every token form; this method only normalizes the pool's keys to
+        the core's int (packed 2-bit) or string domain."""
         if method == "exact":
             return len(umi_counts)
         if method != "directional":
             raise ValueError(f"unknown UMI dedup method {method!r}")
         if len(umi_counts) == 1:
             return 1
-        # greedy seeds in (-count, umi) order; BFS absorb along downward
-        # (count-rule) edges.  Pure-ACGT pools run on packed 2-bit int
-        # tokens (the accumulation paths store them packed already) —
-        # a neighbor probe is one XOR instead of string splicing
-        # (measured ~1.2x on a 20k-UMI pool: dict probes dominate; int
-        # keys also hash/compare cheaper than 12-char strings).
         has_str = any(isinstance(u, str) for u in umi_counts)
         has_int = any(not isinstance(u, str) for u in umi_counts)
         if has_str and has_int:
@@ -321,34 +365,13 @@ class CellCounts:
                 raise ValueError(
                     "int-token UMI pool requires CellCounts.umi_len"
                 )
-            L = self.umi_len
-            order = sorted(umi_counts, key=lambda u: (-umi_counts[u], u))
-            owner_c: set[int] = set()
-            n_clusters = 0
-            for cu in order:
-                if cu in owner_c:
-                    continue
-                n_clusters += 1
-                stack = [cu]
-                owner_c.add(cu)
-                while stack:
-                    x = stack.pop()
-                    cx = umi_counts[x]
-                    for j in range(2 * L - 2, -2, -2):
-                        base = (x >> j) & 3
-                        for alt in range(4):
-                            if alt == base:
-                                continue
-                            v = (x & ~(3 << j)) | (alt << j)
-                            cv = umi_counts.get(v)
-                            if cv is None or v in owner_c:
-                                continue
-                            if cx >= 2 * cv - 1:
-                                owner_c.add(v)
-                                stack.append(v)
-            return n_clusters
-        order = sorted(umi_counts, key=lambda u: (-umi_counts[u], u))
-        first = order[0]
+            return _directional_clusters(umi_counts, self.umi_len)
+        # all-string pool: pack fixed-length pure-ACGT keys to ints (a
+        # neighbor probe is one XOR instead of string splicing; for
+        # fixed-length uppercase ACGT, string order == packed-int order,
+        # so the greedy seed order is unchanged), else run the core in
+        # its string domain (non-ACGT or ragged UMIs)
+        first = next(iter(umi_counts))
         L = len(first)
         packed: dict[str, int] | None = {}
         for u in umi_counts:
@@ -366,56 +389,10 @@ class CellCounts:
                 break
             packed[u] = code
         if packed is not None:
-            by_code = {packed[u]: umi_counts[u] for u in umi_counts}
-            owner_c: set[int] = set()
-            n_clusters = 0
-            for u in order:
-                cu = packed[u]
-                if cu in owner_c:
-                    continue
-                n_clusters += 1
-                stack = [cu]
-                owner_c.add(cu)
-                while stack:
-                    x = stack.pop()
-                    cx = by_code[x]
-                    for j in range(2 * L - 2, -2, -2):
-                        base = (x >> j) & 3
-                        for alt in range(4):
-                            if alt == base:
-                                continue
-                            v = (x & ~(3 << j)) | (alt << j)
-                            cv = by_code.get(v)
-                            if cv is None or v in owner_c:
-                                continue
-                            if cx >= 2 * cv - 1:
-                                owner_c.add(v)
-                                stack.append(v)
-            return n_clusters
-        # fallback (non-ACGT or ragged UMIs): string variant probing
-        owner: dict[str, str] = {}
-        n_clusters = 0
-        for u in order:
-            if u in owner:
-                continue
-            n_clusters += 1
-            stack = [u]
-            owner[u] = u
-            while stack:
-                x = stack.pop()
-                cx = umi_counts[x]
-                for i in range(len(x)):
-                    for b in "ACGT":
-                        if b == x[i]:
-                            continue
-                        v = x[:i] + b + x[i + 1 :]
-                        cv = umi_counts.get(v)
-                        if cv is None or v in owner:
-                            continue
-                        if cx >= 2 * cv - 1:
-                            owner[v] = u
-                            stack.append(v)
-        return n_clusters
+            return _directional_clusters(
+                {packed[u]: c for u, c in umi_counts.items()}, L
+            )
+        return _directional_clusters(umi_counts, None)
 
     def entry_counts(self, method: str = "exact") -> dict:
         """Molecule count per (cell, class) pool, computed once per
