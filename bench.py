@@ -11,7 +11,18 @@ The reference publishes no benchmark numbers (BASELINE.md).  For
 of the multithreaded reference on a server CPU (kallisto-class throughput,
 README.md:3 aspiration) — so the ratio is comparable across rounds.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per measured workload — paired_throughput (pairs/s,
+emit_fastq_paired end to end), count_throughput (pairs/s, 10x counting
+incl. knee call + directional dedup), scale_throughput (reads/s on a
+~27M-kmer synthetic transcriptome, with serve-init seconds) — and LAST the
+parsed headline: {"metric": "map_throughput", "value", "unit",
+"vs_baseline"}.  Secondary rows degrade to an error row on failure without
+sinking the headline.  BENCH_PAIRED/BENCH_COUNT/BENCH_SCALE=0 skip rows.
+
+Self-tune results (walk/left caps, pool_overlap, pipeline depth) persist
+in .bench_tune.json keyed by (index digest, shape, candidate set, jaxlib,
+device); `--retune` or BENCH_RETUNE=1 forces a re-sweep.  Compiled
+executables persist via the XLA compilation cache (jaxcache.py).
 """
 
 import json
@@ -21,20 +32,78 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# persistent XLA compilation cache: the mapping kernel's first compile costs
-# minutes on this backend; cached artifacts make repeat bench runs start in
-# seconds (must be set before the first jax backend use)
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-
 import numpy as np
+
+from pseudoaligner_tpu.jaxcache import enable_compilation_cache
+
+# persistent XLA compilation cache: the mapping kernel's first compile costs
+# tens of seconds on this backend; cached artifacts make repeat bench runs
+# start fast.  Must go through jax.config (jaxcache.py) — the env var is
+# snapshotted before our code runs on this image.
+enable_compilation_cache()
 
 BASELINE_READS_PER_SEC = 100_000.0
 REF_FASTA = "/root/reference/test/gencode_small.fa"
-INDEX_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".bench_index_k20.bin")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+INDEX_CACHE = os.path.join(_HERE, ".bench_index_k20.bin")
+TUNE_CACHE = os.path.join(_HERE, ".bench_tune.json")
+
+
+def _index_digest(path: str) -> str:
+    """Cheap stable identity for an index file: sha256 of the first 1MB
+    + the size (the header carries the build's content hashes)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    try:
+        with open(path, "rb") as f:
+            h.update(f.read(1 << 20))
+        h.update(str(os.path.getsize(path)).encode())
+    except OSError:
+        return "none"
+    return h.hexdigest()[:16]
+
+
+def _tune_key(B, L, caps, d_cands) -> str:
+    """Self-tune results are valid for (index, shape, candidate set,
+    jaxlib, device) — any of those changing forces a re-tune."""
+    import jax
+
+    dev = jax.devices()[0]
+    return json.dumps(
+        {
+            "index": _index_digest(INDEX_CACHE),
+            "B": B,
+            "L": L,
+            "caps": [list(c) for c in caps],
+            "depths": list(d_cands),
+            "jax": jax.__version__,
+            "device": getattr(dev, "device_kind", str(dev)),
+        },
+        sort_keys=True,
+    )
+
+
+def _tune_load(key: str):
+    try:
+        with open(TUNE_CACHE) as f:
+            return json.load(f).get(key)
+    except Exception:
+        return None
+
+
+def _tune_save(key: str, value: dict) -> None:
+    data = {}
+    try:
+        with open(TUNE_CACHE) as f:
+            data = json.load(f)
+    except Exception:
+        pass
+    data[key] = value
+    tmp = TUNE_CACHE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1)
+    os.replace(tmp, TUNE_CACHE)
 
 
 def build_or_load_index():
@@ -76,12 +145,11 @@ def _transcript_pool(read_len):
     return _SEQ_CACHE[read_len]
 
 
-def synth_reads(image, n_reads, read_len=60, seed=0):
-    """Deterministic reads: 1/3 exact transcript windows, 1/3 one-SNP,
-    1/3 reversed (negative controls) — the bundled small.fq recipe at
-    scale (each window lies within one transcript)."""
+def _recipe_from_pool(flat, startable, n_reads, read_len, seed):
+    """The bundled small.fq recipe at scale: 1/3 exact transcript windows,
+    1/3 one-SNP, 1/3 reversed (negative controls); every window lies
+    within one transcript."""
     rng = np.random.default_rng(seed)
-    flat, startable = _transcript_pool(read_len)
     # choose (transcript, offset) pairs weighted by windows available
     bases = np.array([b for b, _ in startable], dtype=np.int64)
     counts = np.array([c for _, c in startable], dtype=np.int64)
@@ -101,6 +169,268 @@ def synth_reads(image, n_reads, read_len=60, seed=0):
     reads[2 * third :] = reads[2 * third :, ::-1]
     lens = np.full(n_reads, read_len, dtype=np.int32)
     return reads, lens
+
+
+def synth_reads(image, n_reads, read_len=60, seed=0):
+    """Deterministic reads over the bundled transcriptome (see
+    `_recipe_from_pool`)."""
+    flat, startable = _transcript_pool(read_len)
+    return _recipe_from_pool(flat, startable, n_reads, read_len, seed)
+
+
+_ACGT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _write_synth_fastq(path, codes, prefix=b"r"):
+    """Codes [n, L] (0..3) -> a FASTQ file with constant-quality records."""
+    n, L = codes.shape
+    seq = _ACGT[codes].tobytes()
+    qual = b"I" * L
+    with open(path, "wb") as f:
+        parts = []
+        for i in range(n):
+            parts.append(b"@%s%d\n%s\n+\n%s\n"
+                         % (prefix, i, seq[i * L:(i + 1) * L], qual))
+            if len(parts) >= 65536:
+                f.write(b"".join(parts))
+                parts.clear()
+        f.write(b"".join(parts))
+
+
+def synth_pairs(n_pairs, read_len=60, seed=1):
+    """Deterministic read pairs: both mates are windows of the SAME
+    transcript (realistic EC intersection), with a 1-SNP middle third on
+    each mate and the last third of mate2 reversed (drives the per-mate
+    override path)."""
+    rng = np.random.default_rng(seed)
+    flat, startable = _transcript_pool(read_len)
+    bases = np.array([b for b, _ in startable], dtype=np.int64)
+    counts = np.array([c for _, c in startable], dtype=np.int64)
+    tx = rng.integers(0, len(bases), size=n_pairs)
+    off1 = rng.integers(0, counts[tx])
+    off2 = rng.integers(0, counts[tx])
+    win = np.arange(read_len)[None, :]
+    r1 = flat[(bases[tx] + off1)[:, None] + win].astype(np.int32)
+    r2 = flat[(bases[tx] + off2)[:, None] + win].astype(np.int32)
+    third = n_pairs // 3
+    for r in (r1, r2):
+        pos = rng.integers(0, read_len, size=third)
+        rows = np.arange(third, 2 * third)
+        r[rows, pos] = (r[rows, pos] + rng.integers(1, 4, size=third)) % 4
+    r2[2 * third:] = r2[2 * third:, ::-1]
+    return r1, r2
+
+
+def synth_count_inputs(n_pairs, n_cells=400, read_len=60, seed=2):
+    """10x-style inputs: R1 = 16bp barcode (from an n_cells pool, skewed
+    abundance so the knee call has structure) + 12bp UMI; R2 = cDNA."""
+    rng = np.random.default_rng(seed)
+    cells = rng.integers(0, 4, size=(n_cells, 16), dtype=np.int32)
+    # zipf-ish skew: a minority of barcodes carry most reads
+    w = 1.0 / np.arange(1, n_cells + 1)
+    cell_of = rng.choice(n_cells, size=n_pairs, p=w / w.sum())
+    umis = rng.integers(0, 4, size=(n_pairs, 12), dtype=np.int32)
+    r1 = np.concatenate([cells[cell_of], umis], axis=1)
+    r2, _ = synth_reads(None, n_pairs, read_len=read_len, seed=seed + 1)
+    return r1, r2
+
+
+def _bench_paired(aligner, n_pairs, workdir):
+    """emit_fastq_paired end to end (FASTQ parse -> device map, one
+    combined batch per pair -> C++ paired intersection/emit), warm pass
+    excluded.  Returns pairs/s."""
+    r1, r2 = synth_pairs(n_pairs)
+    p1 = os.path.join(workdir, "bench_r1.fq")
+    p2 = os.path.join(workdir, "bench_r2.fq")
+    _write_synth_fastq(p1, r1)
+    _write_synth_fastq(p2, r2)
+    devnull = open(os.devnull, "wb")
+    aligner.emit_fastq_paired(p1, p2, devnull)  # warm/compile
+    t0 = time.time()
+    n = aligner.emit_fastq_paired(p1, p2, devnull)
+    dt = time.time() - t0
+    return (n // 2) / dt
+
+
+def _bench_count(aligner, n_pairs, workdir):
+    """count_single_cell end to end (R1 parse + barcode/UMI accounting,
+    R2 device map, knee call + 1-Hamming fold, directional molecule
+    counts) — the realistic all-in figure.  Returns pairs/s."""
+    from pseudoaligner_tpu.singlecell import count_single_cell
+
+    r1, r2 = synth_count_inputs(n_pairs)
+    p1 = os.path.join(workdir, "bench_cr1.fq")
+    p2 = os.path.join(workdir, "bench_cr2.fq")
+    _write_synth_fastq(p1, r1)
+    _write_synth_fastq(p2, r2)
+    # small warm run for the count-meta compile (persistent-cached later)
+    w = max(1024, aligner.config.batch_size)
+    pw1 = os.path.join(workdir, "bench_cw1.fq")
+    pw2 = os.path.join(workdir, "bench_cw2.fq")
+    _write_synth_fastq(pw1, r1[:w])
+    _write_synth_fastq(pw2, r2[:w])
+    count_single_cell(aligner, pw1, pw2, umi_dedup="directional")
+    t0 = time.time()
+    counts = count_single_cell(aligner, p1, p2, umi_dedup="directional")
+    counts.cell_totals("directional")
+    dt = time.time() - t0
+    return n_pairs / dt
+
+
+def _make_rb(codes, ls):
+    """Raw-bytes id form (empty ids): the serving fast path the
+    FastqReader produces — emit consumes the concat directly."""
+    from pseudoaligner_tpu.io.fastq import ReadBatch
+
+    return ReadBatch(codes=codes, lens=ls, ids_concat=b"",
+                     id_offs=np.zeros(codes.shape[0] + 1, np.int64))
+
+
+def _native_available() -> bool:
+    try:
+        from pseudoaligner_tpu.io import native  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def serve_pass(aligner, batches, depth=None, devnull=None, has_native=None):
+    """One pipelined end-to-end pass (the emit_fastq serving pattern):
+    dispatch batch k+1, emit batch k's records natively while the device
+    works.  Depth-D deferral on both waits (pipeline.py) keeps the FIFO
+    tunnel queue full.  Returns (n_done, n_unmapped, seconds)."""
+    import jax
+
+    from pseudoaligner_tpu.pipeline import DepthPipeline
+
+    if devnull is None:
+        devnull = open(os.devnull, "wb")
+    if has_native is None:
+        has_native = _native_available()
+    t0 = time.time()
+    n_done = 0
+    n_unmapped = 0
+    if depth is None:
+        depth = getattr(aligner.config, "pipeline_depth", 1)
+
+    def finish(st_n):
+        nonlocal n_done, n_unmapped
+        st, n = st_n
+        data = aligner.emit_finish(st)
+        devnull.write(data)
+        n_done += n
+        n_unmapped += data.count(b", [], ")
+
+    def prepare(item, _nxt):
+        res, rb = item
+        if has_native:
+            return (aligner.emit_prepare(res, rb), rb.n_reads)
+        pipe.drain_prepared()
+        recs = aligner.records_from_result(jax.device_get(res), rb)
+        nonlocal n_done, n_unmapped
+        n_done += len(recs)
+        n_unmapped += sum(1 for r in recs if not r.eq_class)
+        return None
+
+    pipe = DepthPipeline(depth, prepare, finish)
+    for codes, ls in batches:
+        fut = aligner.map_batch_device(codes, ls)
+        pipe.push((fut, _make_rb(codes, ls)))
+    pipe.close()
+    return n_done, n_unmapped, time.time() - t0
+
+
+# --- GENCODE-order scale row (synthetic ~27M distinct k-mers) ---
+
+SCALE_INDEX_CACHE = os.path.join(_HERE, ".bench_scale_index.bin")
+SCALE_READS_CACHE = os.path.join(_HERE, ".bench_scale_reads.npy")
+
+
+def _scale_seqs(total_novel_bases, seed=99):
+    """GENCODE-order synthetic transcriptome: gene families whose isoforms
+    share long stretches (non-trivial equivalence classes), accumulating
+    ~total_novel_bases of novel sequence (≈ that many distinct k-mers)."""
+    rng = np.random.default_rng(seed)
+    seqs, names, gene_map = [], [], {}
+    novel = 0
+    g = 0
+    while novel < total_novel_bases:
+        base = rng.integers(
+            0, 4, size=int(rng.integers(500, 4000))).astype(np.uint8)
+        novel += len(base)
+        for i in range(int(rng.integers(1, 4))):
+            if i == 0:
+                s = base
+            else:
+                a = int(rng.integers(0, len(base) // 2))
+                b = int(rng.integers(a + 50, min(len(base), a + 500)))
+                s = np.concatenate([base[:a], base[b:]])
+            if len(s) < 20:
+                continue
+            name = f"tx{g}_{i}"
+            seqs.append(s)
+            names.append(name)
+            gene_map[name] = f"gene{g}"
+        g += 1
+    return seqs, names, gene_map
+
+
+def build_or_load_scale(n_reads, read_len=60):
+    """Scale index + read set, built once and cached on disk (the index
+    file is the checkpointed artifact, as for the bundled index)."""
+    from pseudoaligner_tpu.serde import load_index, save_index
+
+    if os.path.exists(SCALE_INDEX_CACHE) and os.path.exists(SCALE_READS_CACHE):
+        try:
+            reads = np.load(SCALE_READS_CACHE)
+            if reads.shape[0] >= n_reads and reads.shape[1] == read_len:
+                return load_index(SCALE_INDEX_CACHE), reads
+        except Exception:
+            pass
+    from pseudoaligner_tpu.index.builder import build_index
+
+    total = int(float(os.environ.get("BENCH_SCALE_MB", 27)) * 1e6)
+    seqs, names, gene_map = _scale_seqs(total)
+    image = build_index(seqs, names, gene_map, k=20)
+    save_index(image, SCALE_INDEX_CACHE)
+    flat = np.concatenate(seqs)
+    startable = []
+    base = 0
+    for s in seqs:
+        if len(s) >= read_len:
+            startable.append((base, len(s) - read_len + 1))
+        base += len(s)
+    reads, _ = _recipe_from_pool(flat, startable, n_reads, read_len, seed=3)
+    np.save(SCALE_READS_CACHE, reads.astype(np.uint8))
+    return image, np.load(SCALE_READS_CACHE)
+
+
+def _bench_scale(B, L, cap, depth, n_batches):
+    """Serve the scale index: returns (reads/s, serve_init_s, n_kmers).
+    serve_init covers aligner construction (C++ cuckoo build), the HBM
+    table upload and the first (compile) batch."""
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    image, reads = build_or_load_scale(B * (n_batches + 1), read_len=L)
+    wcap, lcap, po = cap
+    t0 = time.time()
+    al = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=B, max_read_len=L,
+        max_nodes=wcap + lcap + 2, distinct_cap=3,
+        max_walk_iters=wcap, max_left_iters=lcap, pool_overlap=po,
+    ))
+    lens = np.full(B, L, dtype=np.int32)
+    batches = [
+        (reads[i * B:(i + 1) * B].astype(np.int32), lens)
+        for i in range(n_batches + 1)
+    ]
+    serve_pass(al, batches[:1], depth=1)  # cuckoo + upload + compile
+    init_s = time.time() - t0
+    serve_pass(al, batches[1:], depth=depth)  # warm (signature caches)
+    n, _, dt = serve_pass(al, batches[1:], depth=depth)
+    return n / dt, init_s, int(image.mphf.n_keys)
 
 
 def _fail(msg: str) -> int:
@@ -189,104 +519,72 @@ def main():
         for i in range(n_batches + 1)
     ]
 
-    from pseudoaligner_tpu.io.fastq import ReadBatch
-
-    def make_rb(codes, ls):
-        # raw-bytes id form (empty ids): the serving fast path the
-        # FastqReader produces — emit consumes the concat directly
-        return ReadBatch(codes=codes, lens=ls, ids_concat=b"",
-                         id_offs=np.zeros(codes.shape[0] + 1, np.int64))
-
     # warmup / compile (includes first host record materialization)
-    rb0 = make_rb(*batches[0])
+    rb0 = _make_rb(*batches[0])
     r0 = jax.device_get(aligner.map_batch_device(batches[0][0], batches[0][1]))
     aligner.records_from_result(r0, rb0)
 
     # pipelined end-to-end: dispatch batch k+1, then emit batch k's records
     # natively while the device works (the emit_fastq serving pattern)
     devnull = open(os.devnull, "wb")
-
-    try:
-        from pseudoaligner_tpu.io import native  # noqa: F401
-
-        has_native = True
-    except Exception:
-        has_native = False
-
-    from pseudoaligner_tpu.pipeline import DepthPipeline
+    has_native = _native_available()
 
     def timed_pass(depth=None):
-        # depth-D pipeline (pipeline.py): both the compact-output fetch
-        # (emit_prepare, waits on map(k)) and the overflow re-map wait
-        # (emit_finish, waits on remap(k) behind map(k+1)) are deferred
-        # `depth` batches, so the FIFO tunnel queue stays full
-        t0 = time.time()
-        n_done = 0
-        n_unmapped = 0
-        if depth is None:
-            depth = getattr(aligner.config, "pipeline_depth", 1)
-
-        def finish(st_n):
-            nonlocal n_done, n_unmapped
-            st, n = st_n
-            data = aligner.emit_finish(st)
-            devnull.write(data)
-            n_done += n
-            n_unmapped += data.count(b", [], ")
-
-        def prepare(item, _nxt):
-            res, rb = item
-            if has_native:
-                return (aligner.emit_prepare(res, rb), rb.n_reads)
-            pipe.drain_prepared()
-            recs = aligner.records_from_result(jax.device_get(res), rb)
-            nonlocal n_done, n_unmapped
-            n_done += len(recs)
-            n_unmapped += sum(1 for r in recs if not r.eq_class)
-            return None
-
-        pipe = DepthPipeline(depth, prepare, finish)
-        for codes, ls in batches[1:]:
-            fut = aligner.map_batch_device(codes, ls)
-            pipe.push((fut, make_rb(codes, ls)))
-        pipe.close()
-        return n_done, n_unmapped, time.time() - t0
+        return serve_pass(aligner, batches[1:], depth, devnull, has_native)
 
     # one untimed warm pass per candidate config (compiles the programs and
     # fills the signature caches — the first pass measured ~1.5-2x steady
     # state), then one scored pass each to pick the walk cap for TODAY's
     # tunnel conditions, then best-of-N timed passes with the winner:
-    # dispatch latency is noisy run-to-run and min-dt is the steadier read
-    if len(aligners) > 1:
-        scores = []
-        for al in aligners:
-            aligner = al
-            try:
-                timed_pass()  # warm/compile
-                _, _, dt_i = timed_pass()
-            except Exception as e:  # candidate failed (e.g. a backend
-                # compile issue for an experimental layout): skip it
-                sys.stderr.write(f"bench: candidate failed, skipping: {e}\n")
-                dt_i = float("inf")
-            scores.append(dt_i)
-        best_i = scores.index(min(scores))
-        aligner = aligners[best_i]
-        sys.stderr.write(
-            f"bench: walk-cap self-tune {list(zip(caps, [f'{s:.2f}s' for s in scores]))}"
-            f" -> cap {caps[best_i]}\n"
-        )
-    else:
-        timed_pass()
-    # depth self-tune: in-flight depth is host-side (no recompile), and
-    # its optimum tracks the tunnel's latency/bandwidth mix of the day
-    # (degraded-latency sessions favor 4+, healthy ones are flat >= 2)
+    # dispatch latency is noisy run-to-run and min-dt is the steadier read.
+    # Tune results persist in .bench_tune.json keyed by (index digest,
+    # shape, candidate set, jaxlib, device) — a later run with the same key
+    # skips the sweeps entirely (`--retune` / BENCH_RETUNE=1 to force).
     d_cands = (2, 3, 4)
-    d_scores = [timed_pass(depth=d)[2] for d in d_cands]
-    best_depth = d_cands[d_scores.index(min(d_scores))]
-    sys.stderr.write(
-        f"bench: depth self-tune {list(zip(d_cands, [f'{s:.2f}s' for s in d_scores]))}"
-        f" -> depth {best_depth}\n"
-    )
+    tune_key = _tune_key(B, L, caps, d_cands)
+    retune = "--retune" in sys.argv[1:] or os.environ.get("BENCH_RETUNE") == "1"
+    tuned = None if retune else _tune_load(tune_key)
+    if tuned is not None and tuple(tuned["cap"]) in [tuple(c) for c in caps]:
+        aligner = aligners[[tuple(c) for c in caps].index(tuple(tuned["cap"]))]
+        best_depth = int(tuned["depth"])
+        sys.stderr.write(
+            f"bench: tune cache hit -> cap {tuple(tuned['cap'])} depth "
+            f"{best_depth} (--retune to re-sweep)\n"
+        )
+        timed_pass()  # warm/compile (persistent-cache load or compile)
+    else:
+        if len(aligners) > 1:
+            scores = []
+            for al in aligners:
+                aligner = al
+                try:
+                    timed_pass()  # warm/compile
+                    _, _, dt_i = timed_pass()
+                except Exception as e:  # candidate failed (e.g. a backend
+                    # compile issue for an experimental layout): skip it
+                    sys.stderr.write(f"bench: candidate failed, skipping: {e}\n")
+                    dt_i = float("inf")
+                scores.append(dt_i)
+            best_i = scores.index(min(scores))
+            aligner = aligners[best_i]
+            sys.stderr.write(
+                f"bench: walk-cap self-tune {list(zip(caps, [f'{s:.2f}s' for s in scores]))}"
+                f" -> cap {caps[best_i]}\n"
+            )
+        else:
+            timed_pass()
+        # depth self-tune: in-flight depth is host-side (no recompile), and
+        # its optimum tracks the tunnel's latency/bandwidth mix of the day
+        # (degraded-latency sessions favor 4+, healthy ones are flat >= 2)
+        d_scores = [timed_pass(depth=d)[2] for d in d_cands]
+        best_depth = d_cands[d_scores.index(min(d_scores))]
+        sys.stderr.write(
+            f"bench: depth self-tune {list(zip(d_cands, [f'{s:.2f}s' for s in d_scores]))}"
+            f" -> depth {best_depth}\n"
+        )
+        _tune_save(tune_key, {
+            "cap": list(caps[aligners.index(aligner)]), "depth": best_depth,
+        })
     setup_s = time.time() - t_setup
     n_passes = int(os.environ.get("BENCH_PASSES", 3))
     dts = []
@@ -302,16 +600,67 @@ def main():
         f"{'/'.join(f'{x:.2f}' for x in dts)}) on {jax.devices()[0]} "
         f"({n_mapped / n_done:.1%} mapped, setup {setup_s:.1f}s)\n"
     )
-    print(
-        json.dumps(
-            {
-                "metric": "map_throughput",
-                "value": round(rps, 1),
-                "unit": "reads/s",
-                "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
-            }
-        )
-    )
+
+    # --- secondary workload rows (paired / count / scale): each is
+    # driver-verified alongside the headline; a failure degrades to an
+    # error row without sinking the run.  map_throughput prints LAST
+    # (it is the parsed headline). ---
+    rows = []
+    best_cap = caps[aligners.index(aligner)]
+    # emit loops read pipeline_depth off the config; apply today's tuned
+    # depth (host-side only — no recompile, see config.pipeline_depth)
+    object.__setattr__(aligner.config, "pipeline_depth", best_depth)
+    workdir = os.environ.get("BENCH_WORKDIR", "/tmp")
+
+    if os.environ.get("BENCH_PAIRED", "1") == "1":
+        try:
+            n_pairs = int(os.environ.get("BENCH_PAIRS", (B // 2) * 8))
+            pps = _bench_paired(aligner, n_pairs, workdir)
+            rows.append({"metric": "paired_throughput",
+                         "value": round(pps, 1), "unit": "pairs/s",
+                         "vs_baseline": round(pps / BASELINE_READS_PER_SEC, 3)})
+        except Exception as e:
+            rows.append({"metric": "paired_throughput", "value": 0,
+                         "unit": "pairs/s", "vs_baseline": 0.0,
+                         "error": f"{type(e).__name__}: {e}"})
+
+    if os.environ.get("BENCH_COUNT", "1") == "1":
+        try:
+            n_pairs = int(os.environ.get("BENCH_COUNT_PAIRS", B * 8))
+            cps = _bench_count(aligner, n_pairs, workdir)
+            rows.append({"metric": "count_throughput",
+                         "value": round(cps, 1), "unit": "pairs/s",
+                         "vs_baseline": round(cps / BASELINE_READS_PER_SEC, 3)})
+        except Exception as e:
+            rows.append({"metric": "count_throughput", "value": 0,
+                         "unit": "pairs/s", "vs_baseline": 0.0,
+                         "error": f"{type(e).__name__}: {e}"})
+
+    if os.environ.get("BENCH_SCALE", "1") == "1":
+        try:
+            srps, init_s, n_kmers = _bench_scale(
+                B, L, best_cap, best_depth,
+                int(os.environ.get("BENCH_SCALE_BATCHES", 8)))
+            rows.append({"metric": "scale_throughput",
+                         "value": round(srps, 1), "unit": "reads/s",
+                         "vs_baseline": round(srps / BASELINE_READS_PER_SEC, 3),
+                         "n_kmers": n_kmers, "serve_init_s": round(init_s, 1)})
+        except Exception as e:
+            rows.append({"metric": "scale_throughput", "value": 0,
+                         "unit": "reads/s", "vs_baseline": 0.0,
+                         "error": f"{type(e).__name__}: {e}"})
+
+    rows.append({
+        "metric": "map_throughput",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+        "setup_s": round(setup_s, 1),
+        "tuned": {"cap": list(best_cap), "depth": best_depth,
+                  "cached": tuned is not None},
+    })
+    for row in rows:
+        print(json.dumps(row))
     return 0
 
 

@@ -376,6 +376,15 @@ def main(argv=None) -> int:
     outdir = getattr(args, "outdir", None) or os.getcwd()
     os.makedirs(outdir, exist_ok=True)
 
+    if args.cmd in ("map", "count", "mappability"):
+        # device-compiling subcommands: repeat invocations load the
+        # kernel executable from the persistent cache instead of
+        # recompiling (jaxcache.py; the reference's index/map decoupling
+        # applied to the compile artifact)
+        from .jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()
+
     if not _check_k(args.kmer_size):
         return 0
     if args.cmd == "index":

@@ -23,12 +23,11 @@ os.makedirs(SPOOL, exist_ok=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# share the persistent XLA compilation cache with bench/CLI runs
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
-)
+# share the persistent XLA compilation cache with bench/CLI runs (must go
+# through jax.config — the env var is snapshotted too early on this image)
+from pseudoaligner_tpu.jaxcache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 t0 = time.time()
 import jax  # noqa: E402
