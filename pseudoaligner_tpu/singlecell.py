@@ -394,33 +394,35 @@ class CellCounts:
             )
         return _directional_clusters(umi_counts, None)
 
-    def entry_counts(self, method: str = "exact") -> dict:
-        """Molecule count per (cell, class) pool, computed once per
-        method and memoized (directional clustering dominates the cost
-        and write(), cell_totals() and call_cells() all need it —
-        previously each recomputed the full clustering).  The memo keys
-        on n_mapped, which advances with every accumulation.
+    def _entry_arrays(self, method: str = "exact"):
+        """Columnar molecule counts: (cells, classes, molecules) int64
+        arrays over unique (cell, class) pools, lexsorted by (cell,
+        class); computed once per (method, version) and memoized —
+        directional clustering dominates the cost and write(),
+        cell_totals() and call_cells() all need it.
 
         exact counts come straight off the columnar store (pool size =
         segment length over unique triples); directional materializes a
-        dict only for multi-UMI pools."""
-        cache = getattr(self, "_entry_counts_cache", None)
+        dict only for multi-UMI pools that survive the 1-Hamming
+        collision screen."""
+        cache = getattr(self, "_entry_arrays_cache", None)
         key = (method, self._version)
         if cache is not None and cache[0] == key:
             return cache[1]
         import numpy as np
 
         ce, cl, um, ct = self._merged()
-        out: dict[tuple[int, int], int] = {}
+        z = np.zeros(0, np.int64)
+        out = (z, z, z)
         if len(ce):
             new = np.empty(len(ce), bool)
             new[0] = True
             new[1:] = (ce[1:] != ce[:-1]) | (cl[1:] != cl[:-1])
             gidx = np.nonzero(new)[0]
             sizes = np.diff(np.append(gidx, len(ce)))
-            gc, gk = ce[gidx].tolist(), cl[gidx].tolist()
+            mols = sizes.astype(np.int64)
             if method == "exact":
-                out = dict(zip(zip(gc, gk), sizes.tolist()))
+                pass  # pool size IS the molecule count
             elif method == "directional":
                 # vectorized 1-Hamming screen: two packed UMIs are
                 # Hamming-1 iff they share a (position, token-with-that-
@@ -467,26 +469,36 @@ class CellCounts:
                         ).astype(bool)
                 elif multi.any():
                     need = multi.copy()
-                out = dict(zip(zip(gc, gk), sizes.tolist()))
                 for j in np.nonzero(need & multi)[0]:
                     st, s = int(gidx[j]), int(sizes[j])
                     pool = {
                         self._pool_tok(int(t)): int(n)
                         for t, n in zip(um[st:st + s], ct[st:st + s])
                     }
-                    out[(gc[j], gk[j])] = self.molecule_count(pool,
-                                                              method)
+                    mols[j] = self.molecule_count(pool, method)
             else:
                 raise ValueError(f"unknown UMI dedup method {method!r}")
-        self._entry_counts_cache = (key, out)
+            out = (ce[gidx], cl[gidx], mols)
+        self._entry_arrays_cache = (key, out)
         return out
 
+    def entry_counts(self, method: str = "exact") -> dict:
+        """Molecule count per (cell, class) pool as a dict (write() and
+        compat; the hot aggregations use `_entry_arrays` directly)."""
+        gc, gk, mols = self._entry_arrays(method)
+        return dict(zip(zip(gc.tolist(), gk.tolist()), mols.tolist()))
+
     def cell_totals(self, method: str = "exact") -> dict[int, int]:
-        """Per-cell total molecule counts."""
-        totals: dict[int, int] = {}
-        for (cell, _cls), n in self.entry_counts(method).items():
-            totals[cell] = totals.get(cell, 0) + n
-        return totals
+        """Per-cell total molecule counts (one segment-sum over the
+        columnar pools — cells arrive lexsorted from _entry_arrays)."""
+        import numpy as np
+
+        gc, _gk, mols = self._entry_arrays(method)
+        if not len(gc):
+            return {}
+        tot = np.bincount(gc, weights=mols, minlength=len(self.cells))
+        nz = np.nonzero(tot)[0]
+        return dict(zip(nz.tolist(), tot[nz].astype(np.int64).tolist()))
 
     def call_cells(self, method: str = "exact") -> list[str]:
         """Knee-point cell calling (whitelist-free): cells ranked by total
@@ -556,7 +568,7 @@ class CellCounts:
         self._chunks = [(renum[target][ce], cl, um, ct)]
         self._version += 1
         self.n_corrected += folded
-        self._entry_counts_cache = None
+        self._entry_arrays_cache = None
         return folded
 
     def write(self, outdir: str, umi_dedup: str = "exact") -> None:
@@ -712,6 +724,10 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         return k
 
     cell_of_key: dict[int, int] = {}
+    # class id per distinct signature CONTENT, keyed on the raw int64
+    # bytes of the EC list — one dict probe for re-seen content instead
+    # of a tuple materialization (tolist + tuple) per unique token
+    cls_by_bytes: dict[bytes, int] = {}
 
     def consume(state, arr):
         overflow = aligner._remap_collect(state["remap_fut"])
@@ -790,21 +806,31 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         # dedups content across tokens)
         n_sig = len(none_mask)
         tok = inv[:n].copy()
-        for i in state["overflow_rows"]:
-            tok[i] = n_sig + int(i)
+        orows = np.asarray(state["overflow_rows"], np.int64)
+        if len(orows):
+            tok[orows] = n_sig + orows
         vrows = np.nonzero(valid)[0]
         vtok = tok[vrows]
         uniq_t, first_t = np.unique(vtok, return_index=True)
+        sig64 = np.ascontiguousarray(sig_flat, dtype=np.int64)
         cid_of_uniq = np.empty(len(uniq_t), np.int64)
         for u in np.argsort(first_t, kind="stable"):
             t = int(uniq_t[u])
             if t >= n_sig:
-                tup = tuple(np.asarray(overflow[t - n_sig][0]).tolist())
+                ec = np.ascontiguousarray(overflow[t - n_sig][0],
+                                          dtype=np.int64)
             elif none_mask[t]:
-                tup = ()
+                cid_of_uniq[u] = -1
+                continue
             else:
-                tup = tuple(sig_flat[sig_start[t] : sig_start[t + 1]].tolist())
-            cid_of_uniq[u] = counts._class_id(tup) if tup else -1
+                ec = sig64[sig_start[t]:sig_start[t + 1]]
+            keyb = ec.tobytes()
+            cid = cls_by_bytes.get(keyb)
+            if cid is None:
+                tup = tuple(ec.tolist())
+                cid = counts._class_id(tup) if tup else -1
+                cls_by_bytes[keyb] = cid
+            cid_of_uniq[u] = cid
         vcid = cid_of_uniq[np.searchsorted(uniq_t, vtok)]
 
         mapped = vcid >= 0

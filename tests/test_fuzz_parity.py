@@ -158,6 +158,57 @@ def test_fuzz_serving_emit_parity(tmp_path, max_nodes):
     assert buf.getvalue() == want
 
 
+def test_fuzz_adversarial_ids_emit_parity(tmp_path):
+    """Adversarial read ids (quotes, backslashes, tabs, ASCII control
+    bytes, combining marks, NBSP/ZWSP, printable unicode, very long ids)
+    through the NATIVE signature-indirect emitter — its fast ASCII
+    escape path must bail out to the exact python `escape_debug` mirror
+    on every non-trivial id, byte-identical to the record path
+    (reference format: println!("{:?}", ..) src/pseudoaligner.rs:490)."""
+    import io as iomod
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    rng = np.random.default_rng(1234)
+    seqs, names, gmap = _random_transcripts(rng, n=12, lo=200, hi=500)
+    image = build_index(seqs, names, gmap, k=20)
+
+    spice = ['"', "\\", "\t", "\x01", "\x1b", "\x7f", "'", "",
+             "́", " ", "​", "é", "λ", "...",
+             "\\\\", '\\"', "漢"]
+    dec = "ACGT"
+    fq = tmp_path / "adv.fq"
+    n_reads = 300
+    with open(fq, "wb") as f:
+        for i in range(n_reads):
+            rid = f"r{i}"
+            for _ in range(int(rng.integers(0, 6))):
+                rid += spice[int(rng.integers(0, len(spice)))]
+                rid += "ab"[int(rng.integers(0, 2))] * int(rng.integers(0, 3))
+            if i % 37 == 0:
+                rid = rid + "x" * int(rng.integers(100, 300))  # long id
+            s = seqs[int(rng.integers(len(seqs)))]
+            st = int(rng.integers(0, max(1, len(s) - 60)))
+            w = "".join(dec[b] for b in s[st:st + 60])
+            f.write(f"@{rid}\n{w}\n+\n{'I' * len(w)}\n".encode())
+
+    ref = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=64, max_read_len=64, max_nodes=64,
+        distinct_cap=0))
+    want = "".join(
+        r.format_reference_style() + "\n" for r in ref.map_fastq(str(fq))
+    ).encode()
+
+    srv = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=64, max_read_len=64, max_nodes=7,
+        distinct_cap=3, max_walk_iters=3, max_left_iters=2))
+    buf = iomod.BytesIO()
+    n, _fl = srv.emit_fastq(str(fq), buf)
+    assert n == n_reads
+    assert buf.getvalue() == want
+
+
 def _ascii_with_ns(rng, codes, n_frac=0.03, run_p=0.3):
     """Base codes -> ASCII bytes with random N sprinkles and N runs."""
     s = np.frombuffer(b"ACGT", np.uint8)[codes].copy()
