@@ -1047,7 +1047,10 @@ class Pseudoaligner:
         from ..io import native as _native
 
         h = st["n"] // 2
+        _t = time.time()
         ov = self._remap_collect(st["remap_fut"])
+        self._tick("pfin.remap_collect", _t)
+        _t = time.time()
         cov_all = st["cov"]
         for i in st["overflow_rows"]:
             cov_all[i] = ov[i][1]
@@ -1067,6 +1070,8 @@ class Pseudoaligner:
         key2 = np.where(m2, inv2, -1)
         simple = ~has_ovr
         uk, kinv = _group_rows(np.stack([case, key1, key2], axis=1)[simple])
+        self._tick("pfin.group", _t)
+        _t = time.time()
         U = len(uk)
         c_u, g1_u, g2_u = uk[:, 0], uk[:, 1], uk[:, 2]
         both = c_u == 3
@@ -1111,6 +1116,8 @@ class Pseudoaligner:
 
         sig_of_read = np.full(n1, -1, np.int64)
         sig_of_read[simple] = kinv
+        self._tick("pfin.intersect", _t)
+        _t = time.time()
 
         # override rows (either mate -2/-3-flagged): each mate's resolved
         # EC lists assemble as CSR arrays (flagged mate -> its remap list,
@@ -1190,12 +1197,16 @@ class Pseudoaligner:
                     src_flat, src_offs = _csr_rows(f_, o_, idxs)
                     _fill_rows(ovr_ids, ovr_start, idxs, src_flat, src_offs)
 
+        self._tick("pfin.overrides", _t)
+        _t = time.time()
         ids_concat, id_offs = _concat_ids_for_emit(b1)
         self._paired_emitted = getattr(self, "_paired_emitted", 0) + n1
-        return _native.emit_records_sig(
+        out = _native.emit_records_sig(
             cov, self.config.read_coverage_threshold, ids_concat, id_offs,
             sig_of_read, sig_start, sig_flat, ovr_rows, ovr_start, ovr_ids,
         )
+        self._tick("pfin.emit", _t)
+        return out
 
     def map_fastq_paired(self, path1: str, path2: str):
         """Paired-end mapping (BASELINE config 3): both mates are mapped
