@@ -63,11 +63,34 @@ def _fill_rows(dst_flat, dst_start, row_idxs, src_flat, src_offs):
 
 def _group_rows(mat: np.ndarray):
     """Group identical rows -> (uniq_rows, inverse), group ids in
-    lexicographic order (one lexsort + adjacent compare; np.unique(axis=0)
-    void-sorts ~9x slower on the same rows)."""
+    lexicographic order (np.unique(axis=0) void-sorts ~9x slower on the
+    same rows).  Narrow integer rows whose columns fit 63 bits combined
+    pack into ONE int64 key (col 0 in the high bits, so int64 order ==
+    row lex order) — a single argsort is ~3x the 3-column lexsort on the
+    serving shapes; anything else takes the lexsort path."""
     m = len(mat)
     if m == 0:
         return mat, np.zeros(0, np.int64)
+    if (mat.ndim == 2 and 0 < mat.shape[1] <= 6
+            and np.issubdtype(mat.dtype, np.integer)
+            and mat.dtype.itemsize >= 4):
+        # (int16 rows measured FASTER through the lexsort: the widening
+        # to int64 costs more than the column sort saves)
+        lo = mat.min(axis=0).astype(np.int64)
+        span = mat.max(axis=0).astype(np.int64) - lo + 1
+        bits = [max(1, int(s - 1).bit_length()) for s in span]
+        if sum(bits) <= 63:
+            packed = np.zeros(m, np.int64)
+            for c in range(mat.shape[1]):
+                packed <<= bits[c]
+                packed |= mat[:, c].astype(np.int64) - lo[c]
+            order = np.argsort(packed)
+            sp = packed[order]
+            head = np.ones(m, bool)
+            head[1:] = sp[1:] != sp[:-1]
+            inv = np.empty(m, np.int64)
+            inv[order] = np.cumsum(head) - 1
+            return mat[order][head], inv
     order = np.lexsort(mat.T[::-1])
     srt = mat[order]
     head = np.ones(m, bool)
@@ -725,21 +748,31 @@ class Pseudoaligner:
                 np.asarray(batch.codes, dtype=np.uint8)[rows]
             )
             lens = np.asarray(batch.lens, dtype=np.int32)[rows]
-            # run the native walk on a background thread NOW (ctypes
-            # releases the GIL): collect one pipeline step later finds it
-            # done instead of spending ~20ms of serial host time there
+            # run the native walk AND its EC post-processing (canonical
+            # row grouping + batch intersection — ~11ms/batch of numpy
+            # and C++ that all releases the GIL) on a background thread
+            # NOW: collect one pipeline step later finds the finished
+            # {row: (eq, cov)} dict instead of spending that host time
+            # serially inside the emit path
             if not hasattr(self, "_remap_pool"):
                 from concurrent.futures import ThreadPoolExecutor
 
                 self._remap_pool = ThreadPoolExecutor(max_workers=1)
-            fut = self._remap_pool.submit(
-                self._host_mapper().map_reads,
-                codes,
-                lens,
-                self.config.allowed_mismatches,
-                self.config.left_extend_fraction,
-            )
-            return ("host", rows, fut)
+            mapper = self._host_mapper()
+
+            def run(rows=rows, codes=codes, lens=lens):
+                cov, _mm, nodes, nn = mapper.map_reads(
+                    codes, lens, self.config.allowed_mismatches,
+                    self.config.left_extend_fraction,
+                )
+                eqs = self._eq_rows_from_nodes(
+                    np.asarray(nodes), np.asarray(nn)
+                )
+                return {
+                    i: (eqs[j], int(cov[j])) for j, i in enumerate(rows)
+                }
+
+            return ("host", rows, self._remap_pool.submit(run))
         B2 = 2048
         if not hasattr(self, "_remap_step"):
             import dataclasses
@@ -838,21 +871,19 @@ class Pseudoaligner:
                 _SENT,
             )
         )
-        # trim to the widest distinct-id count before the lexsort (rows
-        # are SENT-padded after the dedup sort; deep-walk reads can carry
-        # ~100 visited nodes but only a handful of distinct classes)
+        # trim to the widest distinct-id count before grouping (rows are
+        # SENT-padded after the dedup sort; deep-walk reads can carry
+        # ~100 visited nodes but only a handful of distinct classes);
+        # substitute _SENT with (max EC id + 1) so narrow rows take
+        # _group_rows' packed-int64 fast path — order/equality unchanged
         width = max(1, int((vals < _SENT).sum(axis=1).max()))
         vals = vals[:, :width]
-        order = np.lexsort(vals.T[::-1])
-        sv = vals[order]
-        head = np.ones(n, bool)
-        if n > 1:
-            head[1:] = np.any(sv[1:] != sv[:-1], axis=1)
-        gid = np.empty(n, np.int64)
-        gid[order] = np.cumsum(head) - 1
+        bound = np.int64(len(self.image.ec_offsets))
+        uniq, gid = _group_rows(np.where(vals == _SENT, bound, vals))
+        sv_head = np.where(uniq == bound, _SENT, uniq)
         self._tick("eqrows.canon", _t0)
         _t0 = time.time()
-        flat, lens = self._intersect_rows(sv[head])
+        flat, lens = self._intersect_rows(sv_head)
         offs = np.zeros(len(lens) + 1, np.int64)
         np.cumsum(lens, out=offs[1:])
         mats = [flat[offs[i] : offs[i + 1]] for i in range(len(lens))]
@@ -865,12 +896,11 @@ class Pseudoaligner:
         if not futures:
             return out
         if isinstance(futures, tuple) and futures[0] == "host":
-            _, rows, fut = futures
-            cov, _mm, nodes, nn = fut.result()
-            eqs = self._eq_rows_from_nodes(np.asarray(nodes), np.asarray(nn))
-            for j, i in enumerate(rows):
-                out[i] = (eqs[j], int(cov[j]))
-            return out
+            # post-processed end-to-end on the pool thread (interleaved
+            # A/B on-chip: paired 541k vs 461k pairs/s, map 1.31M vs
+            # 1.22M — the GIL releases across the C++ walk, the sorts
+            # and the batch intersection, so it overlaps for free)
+            return futures[2].result()
         for chunk, fut in futures:
             res = jax.device_get(fut)
             nodes = np.asarray(res.nodes)
