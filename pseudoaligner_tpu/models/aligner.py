@@ -62,20 +62,37 @@ def _fill_rows(dst_flat, dst_start, row_idxs, src_flat, src_offs):
 
 
 def _group_rows(mat: np.ndarray):
-    """Group identical rows -> (uniq_rows, inverse), group ids in
-    lexicographic order (np.unique(axis=0) void-sorts ~9x slower on the
-    same rows).  Narrow integer rows whose columns fit 63 bits combined
-    pack into ONE int64 key (col 0 in the high bits, so int64 order ==
-    row lex order) — a single argsort is ~3x the 3-column lexsort on the
-    serving shapes; anything else takes the lexsort path."""
+    """Group identical rows -> (uniq_rows, inverse).  Group ids are
+    deterministic but NOT promised to be in lexicographic order — every
+    caller routes them through an inverse array, so only row identity
+    matters.  (np.unique(axis=0) void-sorts ~9x slower on these rows.)
+
+    Fast paths: int16 rows of <=4 columns sort as ONE int64 bit-pattern
+    view (zero-copy, no widening); wider integer rows whose columns fit
+    63 bits combined pack into one int64 key — a single argsort is ~2-3x
+    the 3-column lexsort on the serving shapes.  Anything else takes the
+    lexsort path."""
     m = len(mat)
     if m == 0:
         return mat, np.zeros(0, np.int64)
+    if (mat.ndim == 2 and 0 < mat.shape[1] <= 4
+            and mat.dtype == np.int16):
+        if mat.shape[1] == 4 and mat.flags.c_contiguous:
+            m4 = mat
+        else:
+            m4 = np.full((m, 4), np.int16(-0x8000))
+            m4[:, : mat.shape[1]] = mat
+        packed = m4.reshape(-1).view(np.int64)
+        order = np.argsort(packed)
+        sp = packed[order]
+        head = np.ones(m, bool)
+        head[1:] = sp[1:] != sp[:-1]
+        inv = np.empty(m, np.int64)
+        inv[order] = np.cumsum(head) - 1
+        return mat[order][head], inv
     if (mat.ndim == 2 and 0 < mat.shape[1] <= 6
             and np.issubdtype(mat.dtype, np.integer)
             and mat.dtype.itemsize >= 4):
-        # (int16 rows measured FASTER through the lexsort: the widening
-        # to int64 costs more than the column sort saves)
         lo = mat.min(axis=0).astype(np.int64)
         span = mat.max(axis=0).astype(np.int64) - lo + 1
         bits = [max(1, int(s - 1).bit_length()) for s in span]
@@ -709,7 +726,9 @@ class Pseudoaligner:
 
         pipe = DepthPipeline(getattr(self.config, "pipeline_depth", 1),
                              prepare, finish)
-        for batch in reader:
+        from ..pipeline import prefetch_iter
+
+        for batch in prefetch_iter(iter(reader)):
             any_batch = True
             res = self.map_batch_device(batch.codes, batch.lens)
             pipe.push((res, batch))
@@ -1042,9 +1061,21 @@ class Pseudoaligner:
                 )
             return concat, o
 
+        from ..pipeline import prefetch_iter
+
+        def _pair_gen():
+            while True:
+                a = next(it1, None)
+                b = next(it2, None)
+                yield (a, b)
+                if a is None and b is None:
+                    return
+
+        pairs = prefetch_iter(_pair_gen())
         while True:
-            b1 = next(it1, None)
-            b2 = next(it2, None)
+            _t = time.time()
+            b1, b2 = next(pairs)
+            self._tick("pread", _t)
             # whole-batch mismatches must error too (zip would silently
             # drop the longer file's tail)
             if (b1 is None) != (b2 is None) or (
@@ -1052,6 +1083,7 @@ class Pseudoaligner:
             ):
                 raise ValueError("paired FASTQs have different read counts")
             if b1 is not None:
+                _t = time.time()
                 codes = np.concatenate([b1.codes, b2.codes], axis=0)
                 lens = np.concatenate([b1.lens, b2.lens])
                 c1, o1 = _raw_ids(b1)
@@ -1060,6 +1092,7 @@ class Pseudoaligner:
                     codes=codes, lens=lens, ids_concat=c1 + c2,
                     id_offs=np.concatenate([o1, o2[1:] + len(c1)]),
                 )
+                self._tick("pcombine", _t)
                 fut = self.map_batch_device(codes, lens)
             if b1 is None:
                 break

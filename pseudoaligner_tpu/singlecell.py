@@ -888,16 +888,20 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         # emit_prepare(k) waits on map(k)'s compact fetch and consume(k)
         # waits on remap(k) — each runs only after pipeline_depth more
         # map steps are queued, so the FIFO tunnel queue stays full
-        from .pipeline import DepthPipeline
+        from .pipeline import DepthPipeline, prefetch_iter
 
         pipe = DepthPipeline(
             getattr(aligner.config, "pipeline_depth", 1),
             prepare=lambda t, _n: (aligner.emit_prepare(t[0], t[1]), t[2]),
             finish=lambda st: consume(*st),
         )
-        for batch in r2:
+
+        def _src():  # parse R2 + scan R1 a couple of batches ahead
+            for batch in r2:
+                yield batch, r1.take(batch.n_reads)
+
+        for batch, arr in prefetch_iter(_src()):
             fut = aligner.map_batch_device(batch.codes, batch.lens)
-            arr = r1.take(batch.n_reads)
             if arr.shape[0] < batch.n_reads:
                 raise ValueError("R1 has fewer reads than R2")
             pipe.push((fut, batch, arr))
