@@ -121,13 +121,22 @@ def map_fastq_multihost(
     outdir: str,
     process_index: int | None = None,
     process_count: int | None = None,
+    resume: bool = False,
 ):
     """Per-host streaming map of a FASTQ slice + global count merge.
 
     Every host runs this with the same arguments after init_from_env();
     host p writes records for its batches to `part-<p>.txt` in outdir and
     all hosts return the identical merged per-transcript count vector.
-    """
+
+    Crash containment (same contract as the single-host CLI progress
+    file): after each batch's records flush, `part-<p>.progress` is
+    atomically replaced with (batches_done, byte_offset) and the host's
+    running count vector checkpoints beside it — a SIGKILL mid-run never
+    desyncs them.  With `resume=True` a restarted job truncates the part
+    file to the last durable offset, reloads the counts, skips the
+    completed batches and continues; the final outputs are byte-identical
+    to an uninterrupted run."""
     import jax
 
     from ..io.fastq import FastqReader
@@ -143,23 +152,52 @@ def map_fastq_multihost(
     os.makedirs(outdir, exist_ok=True)
     n_tx = len(image.tx_names)
     local_counts = np.zeros(n_tx, dtype=np.int64)
+    part_path = os.path.join(outdir, f"part-{p}.txt")
+    prog_path = part_path + ".progress"
+    cnt_path = part_path + ".counts.npy"
+    done_batches = 0
+    if resume and os.path.exists(prog_path):
+        try:
+            done_batches, byte_off = (
+                int(x) for x in open(prog_path).read().split()
+            )
+            local_counts = np.load(cnt_path).astype(np.int64)
+            with open(part_path, "r+b") as f:  # drop any torn tail
+                f.truncate(byte_off)
+        except Exception:
+            done_batches = 0
+            local_counts = np.zeros(n_tx, dtype=np.int64)
     # keep pipeline_depth map steps in flight per host (the FIFO-drain
     # deferral of pipeline.py; single-stage: the record path has no
     # second device wave to defer)
     from ..pipeline import DepthPipeline
 
-    with open(os.path.join(outdir, f"part-{p}.txt"), "w") as out:
+    with open(part_path, "ab" if done_batches else "wb") as out:
 
         def write_records(item, _nxt):
             res, b = item
             for rec in aligner.records_from_result(jax.device_get(res), b):
-                out.write(rec.format_reference_style() + "\n")
+                out.write(rec.format_reference_style().encode() + b"\n")
                 for t in rec.eq_class:
                     local_counts[t] += 1
+            nonlocal done_batches
+            done_batches += 1
+            # durable-progress contract: flush records FIRST, then
+            # atomically advance the (batches, offset, counts) checkpoint
+            out.flush()
+            np.save(cnt_path + ".tmp.npy", local_counts)
+            os.replace(cnt_path + ".tmp.npy", cnt_path)
+            tmp = prog_path + ".tmp"
+            with open(tmp, "w") as pf:
+                pf.write(f"{done_batches} {out.tell()}")
+            os.replace(tmp, prog_path)
 
         pipe = DepthPipeline(getattr(config, "pipeline_depth", 1),
                              write_records)
-        for batch in shard_batches(reader, p, H):
+        skip = done_batches  # snapshot: done_batches advances as we write
+        for i, batch in enumerate(shard_batches(reader, p, H)):
+            if i < skip:
+                continue  # already durably written before the crash
             res = aligner.map_batch_device(batch.codes, batch.lens)
             pipe.push((res, batch))
         pipe.close()

@@ -199,3 +199,107 @@ def test_two_process_global_count_merge(small_index, small_reads, tmp_path):
     for p in range(2):
         lines += open(os.path.join(outdir, f"part-{p}.txt")).read().splitlines()
     assert len(lines) == n_recs == 64
+
+
+_RESUME_CHILD = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import numpy as np
+die_after = {die_after}
+if die_after:
+    import pseudoaligner_tpu.models.aligner as A
+    _orig = A.Pseudoaligner.records_from_result
+    _calls = [0]
+    def _wrapped(self, res, b):
+        _calls[0] += 1
+        if _calls[0] > die_after:
+            os._exit(137)  # hard crash mid-run (no flush, no cleanup)
+        return _orig(self, res, b)
+    A.Pseudoaligner.records_from_result = _wrapped
+from pseudoaligner_tpu.parallel.multihost import init_from_env, map_fastq_multihost
+from pseudoaligner_tpu.serde import load_index
+from pseudoaligner_tpu.config import AlignerConfig
+
+pid, n = init_from_env()
+image = load_index({index!r})
+cfg = AlignerConfig(k=20, batch_size=8, max_read_len=64, max_nodes=64)
+merged = map_fastq_multihost(image, cfg, {fastq!r}, {outdir!r}, resume=True)
+np.save(os.path.join({outdir!r}, f"counts-{{pid}}.npy"), merged)
+print("child", pid, "ok")
+"""
+
+
+@pytest.mark.full
+def test_multihost_kill_restart_resume(small_index, small_reads, tmp_path):
+    """Failure containment across hosts: SIGKILL-equivalent crash of BOTH
+    processes mid-stream (after some batches durably flushed), then a
+    resumed restart — part files and the merged count vector must equal
+    an uninterrupted run's byte for byte (the durable-progress contract
+    of map_fastq_multihost)."""
+    from pseudoaligner_tpu.serde import save_index
+
+    fastq = tmp_path / "reads.fq"
+    with open(fastq, "w") as f:
+        for rid, codes in small_reads[:128]:
+            seq = "".join("ACGT"[c] for c in codes)
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    index_path = str(tmp_path / "idx.bin")
+    save_index(small_index, index_path)
+
+    env_base = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS", "PYTHONPATH")
+    }
+
+    def launch(outdir, die_after):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = []
+        for pid in range(2):
+            env = dict(
+                env_base,
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                PA_COORDINATOR=f"127.0.0.1:{port}",
+                PA_NUM_PROCESSES="2",
+                PA_PROCESS_ID=str(pid),
+            )
+            code = _RESUME_CHILD.format(repo=REPO, index=index_path,
+                                        fastq=str(fastq), outdir=outdir,
+                                        die_after=die_after)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", code], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            ))
+        return [p.communicate(timeout=600) for p in procs], procs
+
+    # reference: uninterrupted run
+    ref_dir = str(tmp_path / "ref")
+    os.makedirs(ref_dir, exist_ok=True)
+    outs, procs = launch(ref_dir, die_after=0)
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    # crash run: both children die mid-stream, some batches flushed
+    crash_dir = str(tmp_path / "crash")
+    os.makedirs(crash_dir, exist_ok=True)
+    outs, procs = launch(crash_dir, die_after=3)
+    assert all(p.returncode == 137 for p in procs)
+    for pid in range(2):
+        prog = os.path.join(crash_dir, f"part-{pid}.txt.progress")
+        assert os.path.exists(prog)
+        assert int(open(prog).read().split()[0]) >= 1  # durable progress
+
+    # restart with resume: outputs must equal the uninterrupted run
+    outs, procs = launch(crash_dir, die_after=0)
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+    for pid in range(2):
+        a = open(os.path.join(ref_dir, f"part-{pid}.txt"), "rb").read()
+        b = open(os.path.join(crash_dir, f"part-{pid}.txt"), "rb").read()
+        assert a == b, f"part-{pid} diverged after resume"
+        ca = np.load(os.path.join(ref_dir, f"counts-{pid}.npy"))
+        cb = np.load(os.path.join(crash_dir, f"counts-{pid}.npy"))
+        assert np.array_equal(ca, cb)
