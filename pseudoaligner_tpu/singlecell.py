@@ -311,7 +311,21 @@ class CellCounts:
         um = np.concatenate([c[2] for c in self._chunks])
         ct = np.concatenate([c[3] for c in self._chunks])
         self._chunks.clear()
-        order = np.lexsort((um, cl, ce))
+        # single packed-int64 key when the (cell, cls, umi) ranges fit 63
+        # bits (cell in the high bits -> int64 order == lexsort order);
+        # one argsort is ~2x the three-key lexsort at the merge sizes
+        order = None
+        if len(ce):
+            lo_u = um.min()
+            spans = (int(ce.max()) + 1, int(cl.max()) + 1,
+                     int(um.max()) - int(lo_u) + 1)
+            bits = [max(1, (s - 1).bit_length()) for s in spans]
+            if sum(bits) <= 63:
+                key = ((ce << (bits[1] + bits[2]))
+                       | (cl << bits[2]) | (um - lo_u))
+                order = np.argsort(key)
+        if order is None:
+            order = np.lexsort((um, cl, ce))
         ce, cl, um, ct = ce[order], cl[order], um[order], ct[order]
         new = np.empty(len(ce), bool)
         new[0] = True
