@@ -247,9 +247,9 @@ def _bench_paired(aligner, n_pairs, workdir):
     devnull = open(os.devnull, "wb")
     aligner.emit_fastq_paired(p1, p2, devnull)  # warm/compile
     t0 = time.time()
-    n = aligner.emit_fastq_paired(p1, p2, devnull)
+    n = aligner.emit_fastq_paired(p1, p2, devnull)  # returns PAIR count
     dt = time.time() - t0
-    return (n // 2) / dt
+    return n / dt
 
 
 def _bench_count(aligner, n_pairs, workdir):
@@ -389,13 +389,23 @@ def _scale_seqs(total_novel_bases, seed=99):
 
 def build_or_load_scale(n_reads, read_len=60):
     """Scale index + read set, built once and cached on disk (the index
-    file is the checkpointed artifact, as for the bundled index)."""
+    file is the checkpointed artifact, as for the bundled index).  The
+    sidecar meta file keys the cache on (mode, MB) so changing
+    BENCH_SCALE_MB/BENCH_SCALE_MODE rebuilds instead of silently serving
+    the old workload."""
     from pseudoaligner_tpu.serde import load_index, save_index
 
+    scale_mb = os.environ.get("BENCH_SCALE_MB", "27")
+    meta_path = SCALE_INDEX_CACHE + ".meta.json"
     if os.path.exists(SCALE_INDEX_CACHE) and os.path.exists(SCALE_READS_CACHE):
         try:
+            with open(meta_path) as f:
+                meta = json.load(f)
             reads = np.load(SCALE_READS_CACHE)
-            if reads.shape[0] >= n_reads and reads.shape[1] == read_len:
+            if (meta.get("mode") == SCALE_MODE
+                    and meta.get("mb") == scale_mb
+                    and reads.shape[0] >= n_reads
+                    and reads.shape[1] == read_len):
                 return load_index(SCALE_INDEX_CACHE), reads
         except Exception:
             pass
@@ -421,6 +431,8 @@ def build_or_load_scale(n_reads, read_len=60):
         base += len(s)
     reads, _ = _recipe_from_pool(flat, startable, n_reads, read_len, seed=3)
     np.save(SCALE_READS_CACHE, reads.astype(np.uint8))
+    with open(meta_path, "w") as f:
+        json.dump({"mode": SCALE_MODE, "mb": scale_mb}, f)
     return image, np.load(SCALE_READS_CACHE)
 
 
@@ -526,14 +538,27 @@ def main():
     # the overlapped host remap), node buffer sized to the push bound
     # wcap + lcap (one push per capped iteration) plus 2 slack — lanes
     # that outgrow it are -3-flagged exactly (kernel guard) — PERF.md
-    aligners = [
-        Pseudoaligner(image, AlignerConfig(
+    def _mk_aligner(wcap, lcap, po):
+        return Pseudoaligner(image, AlignerConfig(
             k=20, batch_size=B, max_read_len=L,
             max_nodes=wcap + lcap + 2, distinct_cap=3,
             max_walk_iters=wcap, max_left_iters=lcap, pool_overlap=po,
         ))
-        for wcap, lcap, po in caps
-    ]
+
+    # tune-cache lookup FIRST: a hit builds (and uploads) only the one
+    # winning candidate instead of all of them
+    d_cands = (2, 3, 4)
+    tune_key = _tune_key(B, L, caps, d_cands)
+    retune = "--retune" in sys.argv[1:] or os.environ.get("BENCH_RETUNE") == "1"
+    tuned = None if retune else _tune_load(tune_key)
+    if tuned is not None and tuple(tuned["cap"]) not in [tuple(c) for c in caps]:
+        tuned = None
+    if tuned is not None:
+        best_cap = tuple(tuned["cap"])
+        aligners = [_mk_aligner(*best_cap)]
+    else:
+        aligners = [_mk_aligner(*c) for c in caps]
+        best_cap = tuple(caps[0])
     aligner = aligners[0]
 
     reads, lens = synth_reads(image, B * (n_batches + 1))
@@ -563,15 +588,10 @@ def main():
     # Tune results persist in .bench_tune.json keyed by (index digest,
     # shape, candidate set, jaxlib, device) — a later run with the same key
     # skips the sweeps entirely (`--retune` / BENCH_RETUNE=1 to force).
-    d_cands = (2, 3, 4)
-    tune_key = _tune_key(B, L, caps, d_cands)
-    retune = "--retune" in sys.argv[1:] or os.environ.get("BENCH_RETUNE") == "1"
-    tuned = None if retune else _tune_load(tune_key)
-    if tuned is not None and tuple(tuned["cap"]) in [tuple(c) for c in caps]:
-        aligner = aligners[[tuple(c) for c in caps].index(tuple(tuned["cap"]))]
+    if tuned is not None:
         best_depth = int(tuned["depth"])
         sys.stderr.write(
-            f"bench: tune cache hit -> cap {tuple(tuned['cap'])} depth "
+            f"bench: tune cache hit -> cap {best_cap} depth "
             f"{best_depth} (--retune to re-sweep)\n"
         )
         timed_pass()  # warm/compile (persistent-cache load or compile)
@@ -596,6 +616,7 @@ def main():
             )
         else:
             timed_pass()
+        best_cap = tuple(caps[aligners.index(aligner)])
         # depth self-tune: in-flight depth is host-side (no recompile), and
         # its optimum tracks the tunnel's latency/bandwidth mix of the day
         # (degraded-latency sessions favor 4+, healthy ones are flat >= 2)
@@ -605,9 +626,7 @@ def main():
             f"bench: depth self-tune {list(zip(d_cands, [f'{s:.2f}s' for s in d_scores]))}"
             f" -> depth {best_depth}\n"
         )
-        _tune_save(tune_key, {
-            "cap": list(caps[aligners.index(aligner)]), "depth": best_depth,
-        })
+        _tune_save(tune_key, {"cap": list(best_cap), "depth": best_depth})
     setup_s = time.time() - t_setup
     n_passes = int(os.environ.get("BENCH_PASSES", 3))
     dts = []
@@ -629,7 +648,6 @@ def main():
     # error row without sinking the run.  map_throughput prints LAST
     # (it is the parsed headline). ---
     rows = []
-    best_cap = caps[aligners.index(aligner)]
     # emit loops read pipeline_depth off the config; apply today's tuned
     # depth (host-side only — no recompile, see config.pipeline_depth)
     object.__setattr__(aligner.config, "pipeline_depth", best_depth)
@@ -661,13 +679,14 @@ def main():
 
     if os.environ.get("BENCH_SCALE", "1") == "1":
         try:
-            srps, init_s, n_kmers = _bench_scale(
+            srps, scale_init_s, n_kmers = _bench_scale(
                 B, L, best_cap, best_depth,
                 int(os.environ.get("BENCH_SCALE_BATCHES", 8)))
             rows.append({"metric": "scale_throughput",
                          "value": round(srps, 1), "unit": "reads/s",
                          "vs_baseline": round(srps / BASELINE_READS_PER_SEC, 3),
-                         "n_kmers": n_kmers, "serve_init_s": round(init_s, 1),
+                         "n_kmers": n_kmers,
+                         "serve_init_s": round(scale_init_s, 1),
                          "mode": SCALE_MODE})
         except Exception as e:
             rows.append({"metric": "scale_throughput", "value": 0,

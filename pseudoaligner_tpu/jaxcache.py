@@ -44,14 +44,19 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     )
     if cache_dir in ("", "0", "off"):
         return None
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        # CPU is the test/cross-check backend, not the serving target;
-        # XLA's CPU AOT loader also logs loud machine-feature-mismatch
-        # errors when re-loading its own entries — skip the cache there
-        return None
     try:
         import jax
 
+        # CPU is the test/cross-check backend, not the serving target;
+        # XLA's CPU AOT loader also logs loud machine-feature-mismatch
+        # errors when re-loading its own entries — skip the cache there.
+        # Check the EFFECTIVE config, not just the env var (this image's
+        # sitecustomize and the test conftest force platforms through
+        # jax.config, where the env var may be absent or stale).
+        plats = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", ""))
+        if str(plats).startswith("cpu"):
+            return None
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # the kernel compiles are seconds-to-minutes; cache everything
         # that takes longer than a trivial fusion

@@ -728,12 +728,16 @@ class Pseudoaligner:
                              prepare, finish)
         from ..pipeline import prefetch_iter
 
-        for batch in prefetch_iter(iter(reader)):
-            any_batch = True
-            res = self.map_batch_device(batch.codes, batch.lens)
-            pipe.push((res, batch))
-            if progress_cb is not None:
-                progress_cb(n_reads)
+        pf = prefetch_iter(iter(reader))
+        try:
+            for batch in pf:
+                any_batch = True
+                res = self.map_batch_device(batch.codes, batch.lens)
+                pipe.push((res, batch))
+                if progress_cb is not None:
+                    progress_cb(n_reads)
+        finally:
+            pf.close()
         pipe.close()
         if any_batch and progress_cb is not None:
             progress_cb(n_reads)
@@ -1045,6 +1049,25 @@ class Pseudoaligner:
         pipe = DepthPipeline(getattr(self.config, "pipeline_depth", 1),
                              prepare, finish)
 
+        from ..pipeline import prefetch_iter
+
+        def _pair_gen():
+            while True:
+                a = next(it1, None)
+                b = next(it2, None)
+                yield (a, b)
+                if a is None and b is None:
+                    return
+
+        pairs = prefetch_iter(_pair_gen())
+        try:
+            return self._emit_paired_loop(pairs, pipe, h)
+        finally:
+            pairs.close()
+
+    def _emit_paired_loop(self, pairs, pipe, h):
+        from ..io.fastq import ReadBatch
+
         def _raw_ids(b):
             """(concat bytes, [<=h+1] offsets) padded to h rows so the
             combined batch always spans 2h rows (tail batches)."""
@@ -1061,17 +1084,6 @@ class Pseudoaligner:
                 )
             return concat, o
 
-        from ..pipeline import prefetch_iter
-
-        def _pair_gen():
-            while True:
-                a = next(it1, None)
-                b = next(it2, None)
-                yield (a, b)
-                if a is None and b is None:
-                    return
-
-        pairs = prefetch_iter(_pair_gen())
         while True:
             _t = time.time()
             b1, b2 = next(pairs)

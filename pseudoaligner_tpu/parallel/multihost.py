@@ -154,14 +154,17 @@ def map_fastq_multihost(
     local_counts = np.zeros(n_tx, dtype=np.int64)
     part_path = os.path.join(outdir, f"part-{p}.txt")
     prog_path = part_path + ".progress"
-    cnt_path = part_path + ".counts.npy"
     done_batches = 0
     if resume and os.path.exists(prog_path):
         try:
-            done_batches, byte_off = (
-                int(x) for x in open(prog_path).read().split()
-            )
-            local_counts = np.load(cnt_path).astype(np.int64)
+            # ONE atomic artifact: (batches, offset, counts) land together
+            # or not at all — two separate files would open a crash window
+            # where counts include a batch progress doesn't, double-
+            # counting it on resume
+            ckpt = np.load(prog_path)
+            done_batches = int(ckpt["batches"])
+            byte_off = int(ckpt["offset"])
+            local_counts = ckpt["counts"].astype(np.int64)
             with open(part_path, "r+b") as f:  # drop any torn tail
                 f.truncate(byte_off)
         except Exception:
@@ -183,13 +186,12 @@ def map_fastq_multihost(
             nonlocal done_batches
             done_batches += 1
             # durable-progress contract: flush records FIRST, then
-            # atomically advance the (batches, offset, counts) checkpoint
+            # atomically replace the single (batches, offset, counts)
+            # checkpoint
             out.flush()
-            np.save(cnt_path + ".tmp.npy", local_counts)
-            os.replace(cnt_path + ".tmp.npy", cnt_path)
-            tmp = prog_path + ".tmp"
-            with open(tmp, "w") as pf:
-                pf.write(f"{done_batches} {out.tell()}")
+            tmp = prog_path + ".tmp.npz"
+            np.savez(tmp, batches=done_batches, offset=out.tell(),
+                     counts=local_counts)
             os.replace(tmp, prog_path)
 
         pipe = DepthPipeline(getattr(config, "pipeline_depth", 1),

@@ -77,35 +77,66 @@ class DepthPipeline:
         self.drain_prepared()
 
 
-def prefetch_iter(gen, depth: int = 2):
+class prefetch_iter:
     """Run an iterator on a daemon thread, keeping up to `depth` items
     parsed ahead (FASTQ readers release the GIL inside the native scan,
     so the parse genuinely overlaps the serving loop's host work —
     measured 15ms/batch of reader time moved off the paired serial
-    path).  Exceptions re-raise at the consumer's next()."""
-    import queue
-    import threading
+    path).  Exceptions re-raise at the consumer's next().
 
-    q: queue.Queue = queue.Queue(maxsize=max(1, int(depth)))
+    close() cancels: the worker stops at its next queue handoff and is
+    JOINED, so a consumer that aborts mid-stream can close the
+    underlying readers afterwards without racing the worker's in-flight
+    scan (call it in the caller's `finally`, before closing readers)."""
 
-    def worker():
+    def __init__(self, gen, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, int(depth)))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._worker, args=(gen,), daemon=True
+        )
+        self._thread.start()
+
+    def _put(self, item) -> bool:
+        import queue
+
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _worker(self, gen):
         try:
             for item in gen:
-                q.put((0, item))
-            q.put((1, None))
+                if not self._put((0, item)):
+                    return
+            self._put((1, None))
         except BaseException as e:  # propagate readers' errors in order
-            q.put((2, e))
+            self._put((2, e))
 
-    threading.Thread(target=worker, daemon=True).start()
+    def __iter__(self):
+        return self
 
-    def out():
-        while True:
-            kind, val = q.get()
-            if kind == 0:
-                yield val
-            elif kind == 1:
-                return
-            else:
-                raise val
+    def __next__(self):
+        kind, val = self._q.get()
+        if kind == 0:
+            return val
+        if kind == 1:
+            self.close()
+            raise StopIteration
+        self.close()
+        raise val
 
-    return out()
+    def close(self, timeout: float = 10.0) -> None:
+        self._stop.set()
+        try:  # unblock a worker parked on a full queue
+            self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout)

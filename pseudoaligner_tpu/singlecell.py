@@ -914,11 +914,15 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
             for batch in r2:
                 yield batch, r1.take(batch.n_reads)
 
-        for batch, arr in prefetch_iter(_src()):
-            fut = aligner.map_batch_device(batch.codes, batch.lens)
-            if arr.shape[0] < batch.n_reads:
-                raise ValueError("R1 has fewer reads than R2")
-            pipe.push((fut, batch, arr))
+        pf = prefetch_iter(_src())
+        try:
+            for batch, arr in pf:
+                fut = aligner.map_batch_device(batch.codes, batch.lens)
+                if arr.shape[0] < batch.n_reads:
+                    raise ValueError("R1 has fewer reads than R2")
+                pipe.push((fut, batch, arr))
+        finally:
+            pf.close()  # stop + join BEFORE the readers close below
         pipe.close()
     finally:
         # close even on mid-stream errors: R1PrefixReader holds an mmap

@@ -290,7 +290,7 @@ def test_multihost_kill_restart_resume(small_index, small_reads, tmp_path):
     for pid in range(2):
         prog = os.path.join(crash_dir, f"part-{pid}.txt.progress")
         assert os.path.exists(prog)
-        assert int(open(prog).read().split()[0]) >= 1  # durable progress
+        assert int(np.load(prog)["batches"]) >= 1  # durable progress
 
     # restart with resume: outputs must equal the uninterrupted run
     outs, procs = launch(crash_dir, die_after=0)
