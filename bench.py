@@ -314,10 +314,13 @@ def serve_pass(aligner, batches, depth=None, devnull=None, has_native=None):
     if depth is None:
         depth = getattr(aligner.config, "pipeline_depth", 1)
 
-    def finish(st_n):
-        nonlocal n_done, n_unmapped
+    def render(st_n):  # ordered single-worker pool (pipeline.py)
         st, n = st_n
-        data = aligner.emit_finish(st)
+        return aligner.emit_finish(st), n
+
+    def finish(data_n):
+        nonlocal n_done, n_unmapped
+        data, n = data_n
         devnull.write(data)
         n_done += n
         n_unmapped += data.count(b", [], ")
@@ -333,7 +336,7 @@ def serve_pass(aligner, batches, depth=None, devnull=None, has_native=None):
         n_unmapped += sum(1 for r in recs if not r.eq_class)
         return None
 
-    pipe = DepthPipeline(depth, prepare, finish)
+    pipe = DepthPipeline(depth, prepare, finish, render=render)
     for codes, ls in batches:
         fut = aligner.map_batch_device(codes, ls)
         pipe.push((fut, _make_rb(codes, ls)))

@@ -680,10 +680,13 @@ class Pseudoaligner:
         # stays full across both waits.  The record-path fallback
         # (segmented long reads, cross-batch groups) drains the
         # prepared stage first, preserving output order.
-        def finish(st_n):
-            nonlocal n_reads, n_flagged
+        def render(st_n):  # ordered single-worker pool (pipeline.py)
             st, n = st_n
-            data = self.emit_finish(st)
+            return self.emit_finish(st), n
+
+        def finish(data_n):
+            nonlocal n_reads, n_flagged
+            data, n = data_n
             out.write(data)
             n_reads += n
             n_flagged += int(data.startswith(b"(true")) + int(
@@ -725,7 +728,7 @@ class Pseudoaligner:
             return None
 
         pipe = DepthPipeline(getattr(self.config, "pipeline_depth", 1),
-                             prepare, finish)
+                             prepare, finish, render=render)
         from ..pipeline import prefetch_iter
 
         pf = prefetch_iter(iter(reader))
@@ -1041,13 +1044,15 @@ class Pseudoaligner:
             res, comb, bb1, n1 = item
             return (self.emit_prepare(res, comb), bb1, n1)
 
-        def finish(st):
-            out.write(self.emit_finish_paired(*st))
+        def finish(data):
+            out.write(data)
             if progress_cb is not None:
                 progress_cb(self._paired_emitted)
 
-        pipe = DepthPipeline(getattr(self.config, "pipeline_depth", 1),
-                             prepare, finish)
+        pipe = DepthPipeline(
+            getattr(self.config, "pipeline_depth", 1), prepare, finish,
+            render=lambda st: self.emit_finish_paired(*st),
+        )
 
         from ..pipeline import prefetch_iter
 

@@ -35,19 +35,33 @@ class DepthPipeline:
     and write directly), and may return None to skip stage 2 for its
     item.  Items flow strictly FIFO through both stages, so output
     order equals push order.
+
+    Optional `render` runs between the stages on ONE worker thread:
+    each prepare result is submitted to the pool immediately and
+    ``finish`` receives the rendered value `depth` batches later —
+    numpy/C++-heavy rendering (record formatting, paired intersection)
+    overlaps the main thread's dispatch work for free (the GIL releases
+    across sorts, gathers and ctypes).  A single worker preserves
+    render-side mutation order (tcc counters, progress), so semantics
+    equal the inline path exactly; render exceptions re-raise at the
+    corresponding ordered finish.
     """
 
-    __slots__ = ("depth", "_prepare", "_finish", "_pending", "_prepared")
+    __slots__ = ("depth", "_prepare", "_finish", "_render", "_pool",
+                 "_pending", "_prepared")
 
     def __init__(
         self,
         depth: int,
         prepare: Callable[[Any, Any], Any],
         finish: Callable[[Any], None] | None = None,
+        render: Callable[[Any], Any] | None = None,
     ):
         self.depth = max(1, int(depth))
         self._prepare = prepare
         self._finish = finish
+        self._render = render
+        self._pool = None
         self._pending: deque = deque()
         self._prepared: deque = deque()
 
@@ -61,20 +75,35 @@ class DepthPipeline:
         nxt = self._pending[0] if self._pending else None
         st = self._prepare(item, nxt)
         if st is not None:
+            if self._render is not None:
+                if self._pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    self._pool = ThreadPoolExecutor(max_workers=1)
+                st = self._pool.submit(self._render, st)
             self._prepared.append(st)
             if len(self._prepared) > self.depth:
-                self._finish(self._prepared.popleft())
+                self._finish_one()
+
+    def _finish_one(self) -> None:
+        st = self._prepared.popleft()
+        if self._render is not None:
+            st = st.result()  # ordered; re-raises render errors in order
+        self._finish(st)
 
     def drain_prepared(self) -> None:
         """Run every queued finish now (oldest first)."""
         while self._prepared:
-            self._finish(self._prepared.popleft())
+            self._finish_one()
 
     def close(self) -> None:
         """Drain both stages in order; the pipeline is reusable after."""
         while self._pending:
             self._step()
         self.drain_prepared()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
 
 
 class prefetch_iter:
