@@ -171,11 +171,30 @@ def _recipe_from_pool(flat, startable, n_reads, read_len, seed):
     return reads, lens
 
 
+READS_CACHE = os.path.join(_HERE, ".bench_reads_k20.npy")
+
+
 def synth_reads(image, n_reads, read_len=60, seed=0):
     """Deterministic reads over the bundled transcriptome (see
-    `_recipe_from_pool`)."""
+    `_recipe_from_pool`).  The default-seed set is disk-cached: it is a
+    pure function of (n, L, seed, bundled FASTA) and regenerating ~1M
+    reads costs ~14s of the bench's setup budget."""
+    if seed == 0:
+        try:
+            reads = np.load(READS_CACHE)
+            if reads.shape[0] >= n_reads and reads.shape[1] == read_len:
+                return (reads[:n_reads].astype(np.int32),
+                        np.full(n_reads, read_len, dtype=np.int32))
+        except Exception:
+            pass
     flat, startable = _transcript_pool(read_len)
-    return _recipe_from_pool(flat, startable, n_reads, read_len, seed)
+    reads, lens = _recipe_from_pool(flat, startable, n_reads, read_len, seed)
+    if seed == 0:
+        try:
+            np.save(READS_CACHE, reads.astype(np.uint8))
+        except Exception:
+            pass
+    return reads, lens
 
 
 _ACGT = np.frombuffer(b"ACGT", dtype=np.uint8)

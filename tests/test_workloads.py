@@ -325,6 +325,39 @@ def test_count_gz_inputs_match_plain(small_index, small_transcripts, tmp_path):
     assert outs[0] == outs[1]
 
 
+def test_paired_gz_inputs_match_plain(aligner, small_transcripts, tmp_path):
+    """Gzipped R1/R2 through the paired serving emitter must produce
+    output byte-identical to the plain-file native path (the gz branch
+    of the FastqReader feeds the same combined-batch pipeline)."""
+    import gzip
+    import io as iomod
+
+    rng = np.random.default_rng(53)
+    r1, r2 = [], []
+    for i in range(150):
+        tx = int(rng.integers(0, 50))
+        r1.append((f"p{i}", _tx_window(small_transcripts, tx,
+                                       int(rng.integers(0, 20)), 60)))
+        w2 = _tx_window(small_transcripts, tx, int(rng.integers(0, 20)), 60)
+        if i % 5 == 0:
+            w2 = w2[::-1]  # unmapped mate
+        r2.append((f"p{i}", w2))
+    _write_fastq(tmp_path / "p1.fq", r1)
+    _write_fastq(tmp_path / "p2.fq", r2)
+    for nm in ("p1.fq", "p2.fq"):
+        with open(tmp_path / nm, "rb") as f, \
+                gzip.open(tmp_path / (nm + ".gz"), "wb") as g:
+            g.write(f.read())
+    outs = []
+    for suffix in ("", ".gz"):
+        buf = iomod.BytesIO()
+        n = aligner.emit_fastq_paired(str(tmp_path / f"p1.fq{suffix}"),
+                                      str(tmp_path / f"p2.fq{suffix}"), buf)
+        assert n == 150
+        outs.append(buf.getvalue())
+    assert outs[0] == outs[1]
+
+
 def test_directional_umi_dedup():
     from pseudoaligner_tpu.singlecell import CellCounts
 
