@@ -551,10 +551,11 @@ def main():
         # and the host-remap overlap shift the cap optimum run to run;
         # pool_overlap (single-row window fetch, bit-exact, CPU-validated)
         # proves itself on the real chip here — a candidate that fails to
-        # compile/run is skipped below
-        # (6,2) never won a session sweep; dropping it keeps the compile
-        # budget flat after adding the pool_overlap candidate
-        caps = [(3, 2, False), (4, 2, False), (3, 2, True)]
+        # compile/run is skipped below.
+        # (6,2) and (4,2) never won a session sweep; walk cap 2 measured
+        # +14% over 3 (interleaved, round 3) — the ~4k extra flagged
+        # reads/batch ride the overlapped host mapper for free
+        caps = [(2, 2, False), (3, 2, False), (2, 2, True)]
     # serving shape: compact EC output at distinct_cap=3 (down-transfer is
     # on the critical path of the serialized tunnel; >3-class reads take
     # the overlapped host remap), node buffer sized to the push bound
