@@ -240,16 +240,24 @@ def synth_pairs(n_pairs, read_len=60, seed=1):
     return r1, r2
 
 
-def synth_count_inputs(n_pairs, n_cells=400, read_len=60, seed=2):
+def synth_count_inputs(n_pairs, n_cells=400, read_len=60, seed=2,
+                       bc_error_rate=0.02):
     """10x-style inputs: R1 = 16bp barcode (from an n_cells pool, skewed
-    abundance so the knee call has structure) + 12bp UMI; R2 = cDNA."""
+    abundance so the knee call has structure) + 12bp UMI; R2 = cDNA.
+    2% of barcodes carry a 1-Hamming sequencing error (the real-data
+    shape that the knee-call + fold correction pays for)."""
     rng = np.random.default_rng(seed)
     cells = rng.integers(0, 4, size=(n_cells, 16), dtype=np.int32)
     # zipf-ish skew: a minority of barcodes carry most reads
     w = 1.0 / np.arange(1, n_cells + 1)
     cell_of = rng.choice(n_cells, size=n_pairs, p=w / w.sum())
+    bcs = cells[cell_of]
+    n_err = int(n_pairs * bc_error_rate)
+    rows = rng.choice(n_pairs, size=n_err, replace=False)
+    pos = rng.integers(0, 16, size=n_err)
+    bcs[rows, pos] = (bcs[rows, pos] + rng.integers(1, 4, size=n_err)) % 4
     umis = rng.integers(0, 4, size=(n_pairs, 12), dtype=np.int32)
-    r1 = np.concatenate([cells[cell_of], umis], axis=1)
+    r1 = np.concatenate([bcs, umis], axis=1)
     r2, _ = synth_reads(None, n_pairs, read_len=read_len, seed=seed + 1)
     return r1, r2
 
