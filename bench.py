@@ -182,8 +182,11 @@ def synth_reads(image, n_reads, read_len=60, seed=0):
     if seed == 0:
         try:
             reads = np.load(READS_CACHE)
-            if reads.shape[0] >= n_reads and reads.shape[1] == read_len:
-                return (reads[:n_reads].astype(np.int32),
+            # EXACT n only: the recipe's exact/SNP/reversed thirds are
+            # positioned by the generating n, so a sliced prefix of a
+            # larger cache would carry the wrong workload mix
+            if reads.shape[0] == n_reads and reads.shape[1] == read_len:
+                return (reads.astype(np.int32),
                         np.full(n_reads, read_len, dtype=np.int32))
         except Exception:
             pass
@@ -434,8 +437,8 @@ def build_or_load_scale(n_reads, read_len=60):
             reads = np.load(SCALE_READS_CACHE)
             if (meta.get("mode") == SCALE_MODE
                     and meta.get("mb") == scale_mb
-                    and reads.shape[0] >= n_reads
-                    and reads.shape[1] == read_len):
+                    and reads.shape[0] == n_reads  # exact: recipe mix is
+                    and reads.shape[1] == read_len):  # positioned by n
                 return load_index(SCALE_INDEX_CACHE), reads
         except Exception:
             pass

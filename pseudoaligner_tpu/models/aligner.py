@@ -739,9 +739,12 @@ class Pseudoaligner:
                 pipe.push((res, batch))
                 if progress_cb is not None:
                     progress_cb(n_reads)
+            pipe.close()
+        except BaseException:
+            pipe.abort()  # drop queued work; no orphan render tasks
+            raise
         finally:
             pf.close()
-        pipe.close()
         if any_batch and progress_cb is not None:
             progress_cb(n_reads)
         return n_reads, n_flagged
@@ -1044,14 +1047,22 @@ class Pseudoaligner:
             res, comb, bb1, n1 = item
             return (self.emit_prepare(res, comb), bb1, n1)
 
-        def finish(data):
+        def render(st):
+            return self.emit_finish_paired(*st), st[2]
+
+        def finish(data_n):
+            # the durable count advances HERE, after the ordered write —
+            # on the render thread it would run ahead of what is flushed
+            # (crash-safe progress contract, round-2 review)
+            data, n1 = data_n
             out.write(data)
+            self._paired_emitted += n1
             if progress_cb is not None:
                 progress_cb(self._paired_emitted)
 
         pipe = DepthPipeline(
             getattr(self.config, "pipeline_depth", 1), prepare, finish,
-            render=lambda st: self.emit_finish_paired(*st),
+            render=render,
         )
 
         from ..pipeline import prefetch_iter
@@ -1067,6 +1078,9 @@ class Pseudoaligner:
         pairs = prefetch_iter(_pair_gen())
         try:
             return self._emit_paired_loop(pairs, pipe, h)
+        except BaseException:
+            pipe.abort()  # drop queued work; no orphan render tasks
+            raise
         finally:
             pairs.close()
 
@@ -1280,7 +1294,6 @@ class Pseudoaligner:
         self._tick("pfin.overrides", _t)
         _t = time.time()
         ids_concat, id_offs = _concat_ids_for_emit(b1)
-        self._paired_emitted = getattr(self, "_paired_emitted", 0) + n1
         out = _native.emit_records_sig(
             cov, self.config.read_coverage_threshold, ids_concat, id_offs,
             sig_of_read, sig_start, sig_flat, ovr_rows, ovr_start, ovr_ids,

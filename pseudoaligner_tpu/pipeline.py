@@ -105,6 +105,17 @@ class DepthPipeline:
             self._pool.shutdown(wait=True)
             self._pool = None
 
+    def abort(self) -> None:
+        """Error-path teardown: drop queued work WITHOUT running it and
+        wait out any in-flight render, so no orphan worker keeps
+        mutating shared state (or holding device futures) after the
+        caller has raised."""
+        self._pending.clear()
+        self._prepared.clear()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True, cancel_futures=True)
+            self._pool = None
+
 
 class prefetch_iter:
     """Run an iterator on a daemon thread, keeping up to `depth` items
@@ -124,6 +135,7 @@ class prefetch_iter:
 
         self._q: queue.Queue = queue.Queue(maxsize=max(1, int(depth)))
         self._stop = threading.Event()
+        self._done = False
         self._thread = threading.Thread(
             target=self._worker, args=(gen,), daemon=True
         )
@@ -153,9 +165,12 @@ class prefetch_iter:
         return self
 
     def __next__(self):
+        if self._done:  # iterator protocol: exhausted stays exhausted
+            raise StopIteration
         kind, val = self._q.get()
         if kind == 0:
             return val
+        self._done = True
         if kind == 1:
             self.close()
             raise StopIteration
@@ -163,9 +178,16 @@ class prefetch_iter:
         raise val
 
     def close(self, timeout: float = 10.0) -> None:
+        self._done = True
         self._stop.set()
         try:  # unblock a worker parked on a full queue
             self._q.get_nowait()
         except Exception:
             pass
         self._thread.join(timeout)
+        if self._thread.is_alive():
+            # the join guarantee is what makes closing the underlying
+            # readers safe (mmap under an in-flight native scan) —
+            # block until the worker really is out, however slow the
+            # current read is
+            self._thread.join()

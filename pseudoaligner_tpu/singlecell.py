@@ -925,9 +925,12 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
                 if arr.shape[0] < batch.n_reads:
                     raise ValueError("R1 has fewer reads than R2")
                 pipe.push((fut, batch, arr))
+            pipe.close()
+        except BaseException:
+            pipe.abort()  # drop queued work; no orphan render tasks
+            raise
         finally:
             pf.close()  # stop + join BEFORE the readers close below
-        pipe.close()
     finally:
         # close even on mid-stream errors: R1PrefixReader holds an mmap
         # of the whole R1 file
