@@ -325,6 +325,24 @@ def test_count_gz_inputs_match_plain(small_index, small_transcripts, tmp_path):
     assert outs[0] == outs[1]
 
 
+def test_count_short_r1_errors_promptly(aligner, small_transcripts,
+                                        tmp_path):
+    """R1 shorter than R2 must raise (not hang): the error path aborts
+    the prefetch worker and the render pipeline cleanly."""
+    from pseudoaligner_tpu.singlecell import Chemistry, count_single_cell
+
+    rng = np.random.default_rng(61)
+    r2 = [(f"s{i}", _tx_window(small_transcripts, int(rng.integers(0, 50)),
+                               5, 60)) for i in range(120)]
+    r1 = [(f"s{i}", "ACGTACGTACGTACGT" + "ACGTACGTACGT")
+          for i in range(40)]  # 40 < 120
+    _write_fastq(tmp_path / "s1.fq", r1)
+    _write_fastq(tmp_path / "s2.fq", r2)
+    with pytest.raises(ValueError, match="R1 has fewer reads"):
+        count_single_cell(aligner, str(tmp_path / "s1.fq"),
+                          str(tmp_path / "s2.fq"), Chemistry())
+
+
 def test_paired_gz_inputs_match_plain(aligner, small_transcripts, tmp_path):
     """Gzipped R1/R2 through the paired serving emitter must produce
     output byte-identical to the plain-file native path (the gz branch
