@@ -549,7 +549,13 @@ def main():
     from pseudoaligner_tpu.config import AlignerConfig
     from pseudoaligner_tpu.models.aligner import Pseudoaligner
 
+    _marks = [("init", time.time())]
+
+    def _mark(name):
+        _marks.append((name, time.time()))
+
     image = build_or_load_index()
+    _mark("index")
 
     B = int(os.environ.get("BENCH_BATCH", 65536))
     L = 60
@@ -594,17 +600,20 @@ def main():
         aligners = [_mk_aligner(*c) for c in caps]
         best_cap = tuple(caps[0])
     aligner = aligners[0]
+    _mark("aligners(table build+upload)")
 
     reads, lens = synth_reads(image, B * (n_batches + 1))
     batches = [
         (reads[i * B : (i + 1) * B], lens[i * B : (i + 1) * B])
         for i in range(n_batches + 1)
     ]
+    _mark("reads")
 
     # warmup / compile (includes first host record materialization)
     rb0 = _make_rb(*batches[0])
     r0 = jax.device_get(aligner.map_batch_device(batches[0][0], batches[0][1]))
     aligner.records_from_result(r0, rb0)
+    _mark("first batch (compile/cache-load)")
 
     # pipelined end-to-end: dispatch batch k+1, then emit batch k's records
     # natively while the device works (the emit_fastq serving pattern)
@@ -663,6 +672,11 @@ def main():
             f" -> depth {best_depth}\n"
         )
         _tune_save(tune_key, {"cap": list(best_cap), "depth": best_depth})
+    _mark("tune/warm")
+    sys.stderr.write("bench: setup phases " + ", ".join(
+        f"{name} {_marks[i + 1][1] - _marks[i][1]:.1f}s"
+        for i, (name, _) in enumerate(m for m in _marks[1:])
+    ) + "\n")
     setup_s = time.time() - t_setup
     n_passes = int(os.environ.get("BENCH_PASSES", 3))
     dts = []
