@@ -63,3 +63,104 @@ def test_depth_floor_and_reuse():
     pipe.push("c")  # reusable after close
     pipe.close()
     assert seen == ["a", "b", "c"]
+
+
+def test_render_stage_order_and_threading():
+    """render runs on ONE worker thread (submission order = completion
+    order), finish receives rendered values strictly FIFO, and
+    render-side mutations stay ordered."""
+    import threading
+
+    order = []
+    main = threading.current_thread()
+    threads = set()
+
+    def render(item):
+        order.append(item)
+        threads.add(threading.current_thread())
+        return item * 10
+
+    got = []
+    pipe = DepthPipeline(2, lambda i, _n: i, got.append, render=render)
+    for i in range(7):
+        pipe.push(i)
+    pipe.close()
+    assert got == [i * 10 for i in range(7)]
+    assert order == list(range(7))  # single worker -> submission order
+    assert len(threads) == 1 and main not in threads
+
+
+def test_render_error_reraises_at_ordered_finish():
+    import pytest
+
+    def render(item):
+        if item == 2:
+            raise RuntimeError("boom")
+        return item
+
+    got = []
+    pipe = DepthPipeline(1, lambda i, _n: i, got.append, render=render)
+    with pytest.raises(RuntimeError, match="boom"):
+        for i in range(5):
+            pipe.push(i)
+        pipe.close()
+    assert got == [0, 1]  # everything before the failing item landed
+
+
+def test_abort_drops_queued_work():
+    rendered = []
+    got = []
+    pipe = DepthPipeline(3, lambda i, _n: i, got.append,
+                         render=rendered.append)
+    for i in range(4):
+        pipe.push(i)
+    pipe.abort()
+    # nothing new runs after abort; no finishes were forced out
+    n_r = len(rendered)
+    assert got == []
+    pipe.abort()  # idempotent
+    assert len(rendered) == n_r
+
+
+def test_prefetch_iter_protocol_and_close():
+    from pseudoaligner_tpu.pipeline import prefetch_iter
+
+    pf = prefetch_iter(iter(range(5)), depth=2)
+    assert list(pf) == list(range(5))
+    import pytest
+
+    with pytest.raises(StopIteration):  # exhausted stays exhausted
+        next(pf)
+    with pytest.raises(StopIteration):
+        next(pf)
+
+    # errors propagate in order, after the preceding items
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("reader died")
+
+    pf = prefetch_iter(gen())
+    assert next(pf) == 1
+    assert next(pf) == 2
+    with pytest.raises(ValueError, match="reader died"):
+        next(pf)
+
+    # close() joins the worker even when the consumer abandons mid-way
+    import threading
+
+    started = threading.Event()
+    release = threading.Event()
+
+    def slow():
+        for i in range(100):
+            started.set()
+            release.wait(5)
+            yield i
+
+    pf = prefetch_iter(slow(), depth=1)
+    started.wait(5)
+    release.set()
+    assert next(pf) == 0
+    pf.close()
+    assert not pf._thread.is_alive()
