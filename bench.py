@@ -346,7 +346,7 @@ def serve_pass(aligner, batches, depth=None, devnull=None, has_native=None):
 
     def render(st_n):  # ordered single-worker pool (pipeline.py)
         st, n = st_n
-        return aligner.emit_finish(st), n
+        return aligner.emit_finish(aligner.emit_prepare_group(st)), n
 
     def finish(data_n):
         nonlocal n_done, n_unmapped
@@ -358,7 +358,8 @@ def serve_pass(aligner, batches, depth=None, devnull=None, has_native=None):
     def prepare(item, _nxt):
         res, rb = item
         if has_native:
-            return (aligner.emit_prepare(res, rb), rb.n_reads)
+            return (aligner.emit_prepare(res, rb, defer_group=True),
+                    rb.n_reads)
         pipe.drain_prepared()
         recs = aligner.records_from_result(jax.device_get(res), rb)
         nonlocal n_done, n_unmapped

@@ -480,10 +480,18 @@ class Pseudoaligner:
         stall was ~60% of the serving period)."""
         return self.emit_finish(self.emit_prepare(result, batch, tcc))
 
-    def emit_prepare(self, result: MapResult, batch: ReadBatch, tcc=None):
+    def emit_prepare(self, result: MapResult, batch: ReadBatch, tcc=None,
+                     defer_group=False):
         """Phase 1: fetch compact outputs, dispatch the overflow re-map,
         group signatures and materialize their EC lists (cached).  Returns
-        an opaque state for emit_finish."""
+        an opaque state for emit_finish.
+
+        With `defer_group=True` only the fetch + re-map dispatch happen
+        here (the parts that must run promptly on the dispatch thread);
+        the grouping/siglist work is completed by `emit_prepare_group`,
+        which the serving loops run on the ordered render worker — it is
+        ~10ms/batch of pure numpy that otherwise crowds the dispatch
+        thread (the paired loop's measured bottleneck, PERF round 3)."""
         n = batch.n_reads
         # pick up the background fetch from map_batch_device when present
         # (the transfer then overlapped the previous batch's host work);
@@ -506,6 +514,26 @@ class Pseudoaligner:
         overflow_rows = np.nonzero(flagged)[0].tolist()
         remap_fut = self._remap_dispatch(batch, overflow_rows)
         self._tick("prep.remap_dispatch", _t)
+        st = {
+            "batch": batch,
+            "tcc": tcc,
+            "n": n,
+            "cov": cov,
+            "dist": dist,
+            "flagged": flagged,
+            "overflow_rows": overflow_rows,
+            "remap_fut": remap_fut,
+        }
+        return st if defer_group else self.emit_prepare_group(st)
+
+    def emit_prepare_group(self, st):
+        """Phase 1b (idempotent): signature grouping + EC-list
+        materialization for a deferred emit_prepare state."""
+        if "inv" in st:
+            return st
+        n = st["n"]
+        dist = st.pop("dist")
+        flagged = st.pop("flagged")
         _t = time.time()
         # signature grouping: most rows are single-class ([e, -1, ...]) —
         # group those on one int column (fast) and only the multi-class
@@ -559,18 +587,11 @@ class Pseudoaligner:
         sig_flat = np.concatenate([flat1, flat2])
         self._tick("prep.siglists", _t)
 
-        return {
-            "batch": batch,
-            "tcc": tcc,
-            "n": n,
-            "cov": cov,
-            "inv": inv,
-            "none_mask": none_mask,
-            "sig_start": sig_start,
-            "sig_flat": sig_flat,
-            "overflow_rows": overflow_rows,
-            "remap_fut": remap_fut,
-        }
+        st["inv"] = inv
+        st["none_mask"] = none_mask
+        st["sig_start"] = sig_start
+        st["sig_flat"] = sig_flat
+        return st
 
     def emit_finish(self, state) -> bytes:
         """Phase 2: collect the overflow re-map, patch coverage and format
@@ -682,7 +703,7 @@ class Pseudoaligner:
         # prepared stage first, preserving output order.
         def render(st_n):  # ordered single-worker pool (pipeline.py)
             st, n = st_n
-            return self.emit_finish(st), n
+            return self.emit_finish(self.emit_prepare_group(st)), n
 
         def finish(data_n):
             nonlocal n_reads, n_flagged
@@ -710,7 +731,8 @@ class Pseudoaligner:
                 and (next_first_group is None or int(grp[n - 1]) != next_first_group)
             )
             if simple:
-                st = self.emit_prepare(res, batch, tcc=tcc)
+                st = self.emit_prepare(res, batch, tcc=tcc,
+                                       defer_group=True)
                 return (st, n)
             pipe.drain_prepared()
             for rec, g, end in self._batch_rows(res, batch):
@@ -1045,10 +1067,12 @@ class Pseudoaligner:
         # queue stays ~pipeline_depth combined batches deep
         def prepare(item, _nxt):
             res, comb, bb1, n1 = item
-            return (self.emit_prepare(res, comb), bb1, n1)
+            return (self.emit_prepare(res, comb, defer_group=True),
+                    bb1, n1)
 
         def render(st):
-            return self.emit_finish_paired(*st), st[2]
+            grouped = self.emit_prepare_group(st[0])
+            return self.emit_finish_paired(grouped, st[1], st[2]), st[2]
 
         def finish(data_n):
             # the durable count advances HERE, after the ordered write —

@@ -906,12 +906,15 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
 
         pipe = DepthPipeline(
             getattr(aligner.config, "pipeline_depth", 1),
-            prepare=lambda t, _n: (aligner.emit_prepare(t[0], t[1]), t[2]),
+            prepare=lambda t, _n: (
+                aligner.emit_prepare(t[0], t[1], defer_group=True), t[2]),
             finish=lambda _done: None,
-            # the whole accumulation runs on the ordered single-worker
-            # render pool (one thread -> first-appearance interning order
-            # is unchanged); its exceptions re-raise at the ordered finish
-            render=lambda st: consume(*st),
+            # grouping + the whole accumulation run on the ordered
+            # single-worker render pool (one thread -> first-appearance
+            # interning order is unchanged); exceptions re-raise at the
+            # ordered finish
+            render=lambda st: consume(
+                aligner.emit_prepare_group(st[0]), st[1]),
         )
 
         def _src():  # parse R2 + scan R1 a couple of batches ahead
