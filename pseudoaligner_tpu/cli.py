@@ -147,6 +147,28 @@ def cmd_index(args) -> int:
     return 0
 
 
+def _serving_config(k: int, args) -> AlignerConfig:
+    """The chip-validated serving shape (PERF.md round 3): compact EC
+    output at distinct_cap=3 with read-length-proportional walk caps and
+    a matching node buffer.  Lanes the caps cut off take the exact host
+    re-map (-3 channel), so per-read output is byte-identical to the
+    uncapped debug shape — the caps only move rare work to the
+    overlapped host mapper.  Measured 1.60M reads/s at B=65536/L=60 on
+    one v5e chip (vs ~0.5M at the old uncapped CLI defaults)."""
+    wcap = max(3, args.max_read_len // 20)
+    lcap = 2
+    return AlignerConfig(
+        k=k,
+        batch_size=args.batch_size,
+        max_read_len=args.max_read_len,
+        seed_index=getattr(args, "seed_index", "cuckoo"),
+        distinct_cap=3,
+        max_walk_iters=wcap,
+        max_left_iters=lcap,
+        max_nodes=wcap + lcap + 2,
+    )
+
+
 def cmd_map(args, outdir: str) -> int:
     from .models.aligner import Pseudoaligner
     from .serde import load_index
@@ -160,12 +182,7 @@ def cmd_map(args, outdir: str) -> int:
     log.info("Mapping reads from fastq")
     log.info("Output directory: %s", outdir)
 
-    cfg = AlignerConfig(
-        k=image.k,
-        batch_size=args.batch_size,
-        max_read_len=args.max_read_len,
-        seed_index=args.seed_index,
-    )
+    cfg = _serving_config(image.k, args)
     aligner = Pseudoaligner(image, cfg)
 
     tcc = None
@@ -301,9 +318,7 @@ def cmd_count(args, outdir: str) -> int:
         # wrong-index mixup, not something to silently ignore
         print(f"Index was built with k={image.k}, not k={args.kmer_size}")
         return 1
-    cfg = AlignerConfig(
-        k=image.k, batch_size=args.batch_size, max_read_len=args.max_read_len
-    )
+    cfg = _serving_config(image.k, args)
     aligner = Pseudoaligner(image, cfg)
     chem = Chemistry(bc_len=args.bc_len, umi_len=args.umi_len)
     wl = Whitelist.load(args.whitelist, args.bc_len) if args.whitelist else None
