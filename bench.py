@@ -676,7 +676,7 @@ def main():
     _mark("tune/warm")
     sys.stderr.write("bench: setup phases " + ", ".join(
         f"{name} {_marks[i + 1][1] - _marks[i][1]:.1f}s"
-        for i, (name, _) in enumerate(m for m in _marks[1:])
+        for i, (name, _) in enumerate(_marks[1:])
     ) + "\n")
     setup_s = time.time() - t_setup
     n_passes = int(os.environ.get("BENCH_PASSES", 3))

@@ -157,15 +157,18 @@ def _serving_config(k: int, args) -> AlignerConfig:
     one v5e chip (vs ~0.5M at the old uncapped CLI defaults)."""
     wcap = max(3, args.max_read_len // 20)
     lcap = 2
+    kw = {}
+    if hasattr(args, "seed_index"):  # count has no flag: dataclass default
+        kw["seed_index"] = args.seed_index
     return AlignerConfig(
         k=k,
         batch_size=args.batch_size,
         max_read_len=args.max_read_len,
-        seed_index=getattr(args, "seed_index", "cuckoo"),
         distinct_cap=3,
         max_walk_iters=wcap,
         max_left_iters=lcap,
         max_nodes=wcap + lcap + 2,
+        **kw,
     )
 
 

@@ -532,8 +532,8 @@ class Pseudoaligner:
         if "inv" in st:
             return st
         n = st["n"]
-        dist = st.pop("dist")
-        flagged = st.pop("flagged")
+        dist = st["dist"]
+        flagged = st["flagged"]
         _t = time.time()
         # signature grouping: most rows are single-class ([e, -1, ...]) —
         # group those on one int column (fast) and only the multi-class
@@ -587,6 +587,9 @@ class Pseudoaligner:
         sig_flat = np.concatenate([flat1, flat2])
         self._tick("prep.siglists", _t)
 
+        # drop the inputs only on success, then set the completion marker
+        # (a failed call stays re-runnable — idempotence promise above)
+        del st["dist"], st["flagged"]
         st["inv"] = inv
         st["none_mask"] = none_mask
         st["sig_start"] = sig_start
