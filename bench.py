@@ -587,8 +587,10 @@ def main():
         ))
 
     # tune-cache lookup FIRST: a hit builds (and uploads) only the one
-    # winning candidate instead of all of them
-    d_cands = (2, 3, 4)
+    # winning candidate instead of all of them.  Depth candidates reach 8:
+    # deeper in-flight queues measured a consistent paired win (604->639k,
+    # round 3) and the sweep is host-side (no recompile, ~1s/candidate)
+    d_cands = (2, 3, 4, 6, 8)
     tune_key = _tune_key(B, L, caps, d_cands)
     retune = "--retune" in sys.argv[1:] or os.environ.get("BENCH_RETUNE") == "1"
     tuned = None if retune else _tune_load(tune_key)
