@@ -171,21 +171,17 @@ def _recipe_from_pool(flat, startable, n_reads, read_len, seed):
     return reads, lens
 
 
-READS_CACHE = os.path.join(_HERE, ".bench_reads_k20.npy")
-
-
 def synth_reads(image, n_reads, read_len=60, seed=0):
     """Deterministic reads over the bundled transcriptome (see
-    `_recipe_from_pool`).  The default-seed set is disk-cached: it is a
-    pure function of (n, L, seed, bundled FASTA) and regenerating ~1M
-    reads costs ~14s of the bench's setup budget."""
+    `_recipe_from_pool`).  The default-seed set is disk-cached PER SHAPE
+    (the recipe's exact/SNP/reversed thirds are positioned by the
+    generating n, so shapes can't share a file): regenerating ~1M reads
+    costs ~14s of the bench's setup budget."""
+    cache = os.path.join(_HERE, f".bench_reads_k20_{n_reads}x{read_len}.npy")
     if seed == 0:
         try:
-            reads = np.load(READS_CACHE)
-            # EXACT n only: the recipe's exact/SNP/reversed thirds are
-            # positioned by the generating n, so a sliced prefix of a
-            # larger cache would carry the wrong workload mix
-            if reads.shape[0] == n_reads and reads.shape[1] == read_len:
+            reads = np.load(cache)
+            if reads.shape == (n_reads, read_len):
                 return (reads.astype(np.int32),
                         np.full(n_reads, read_len, dtype=np.int32))
         except Exception:
@@ -194,7 +190,7 @@ def synth_reads(image, n_reads, read_len=60, seed=0):
     reads, lens = _recipe_from_pool(flat, startable, n_reads, read_len, seed)
     if seed == 0:
         try:
-            np.save(READS_CACHE, reads.astype(np.uint8))
+            np.save(cache, reads.astype(np.uint8))
         except Exception:
             pass
     return reads, lens
