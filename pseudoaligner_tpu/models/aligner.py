@@ -639,6 +639,25 @@ class Pseudoaligner:
 
         ids_concat, id_offs = _concat_ids_for_emit(batch)
 
+        # per-transcript count deltas (multihost merge): each record's
+        # eq_class entries count once — groups contribute sig_counts[g]
+        # per transcript in their list, overflow rows contribute 1 each.
+        # Appended to the caller-provided per-batch sink so the ordered
+        # finish can checkpoint counts consistent with the write offset
+        # (parallel/multihost.py durable-progress contract).
+        tx_sink = state.get("tx_sink")
+        if tx_sink is not None:
+            gcounts = np.bincount(inv, minlength=len(none_mask))
+            w = np.repeat(
+                np.where(none_mask, 0, gcounts).astype(np.int64),
+                np.diff(sig_start),
+            )
+            tx_sink.append((sig_flat[: int(sig_start[-1])], w))
+            if len(ovr_ids):
+                tx_sink.append(
+                    (ovr_ids, np.ones(len(ovr_ids), dtype=np.int64))
+                )
+
         if tcc is not None:
             tcc.n_reads += n
             sig_counts = np.bincount(inv, minlength=len(none_mask))
@@ -672,19 +691,31 @@ class Pseudoaligner:
         return data
 
     def emit_fastq(self, path: str, out, skip_reads: int = 0, tcc=None,
-                   progress_cb=None):
+                   progress_cb=None, batch_iter=None, count_cb=None):
         """Stream a FASTQ and write reference-style records to `out` (a
         binary stream) via the native emitter.  Falls back to the record
         path for batches containing segmented long reads.  Returns
-        (n_reads, n_flagged)."""
-        reader = FastqReader(
-            path,
-            batch_size=self.config.batch_size,
-            max_len=self.config.max_read_len,
-            segment_long=True,
-            window_overlap=self.config.k - 1,
-            skip_reads=skip_reads,
-        )
+        (n_reads, n_flagged).
+
+        `batch_iter` substitutes an external ReadBatch iterator for the
+        internal FastqReader (multihost batch striding —
+        parallel/multihost.py); `path`/`skip_reads` are then unused.
+        `count_cb(n_batch_reads, deltas)` fires at each batch's ORDERED
+        finish, after its records hit `out`: `deltas` is a list of
+        (tx_ids, weights) sparse per-transcript count contributions for
+        exactly that batch — flushing `out` and checkpointing inside the
+        callback gives a crash-consistent (offset, counts) pair."""
+        if batch_iter is None:
+            reader = FastqReader(
+                path,
+                batch_size=self.config.batch_size,
+                max_len=self.config.max_read_len,
+                segment_long=True,
+                window_overlap=self.config.k - 1,
+                skip_reads=skip_reads,
+            )
+        else:
+            reader = batch_iter
         n_reads = 0
         n_flagged = 0
         any_batch = False
@@ -695,8 +726,15 @@ class Pseudoaligner:
             out.write(rec.format_reference_style().encode() + b"\n")
             if tcc is not None:
                 tcc.add(rec.eq_class, mapped=rec.coverage > 0)
+            if count_cb is not None and rec.eq_class:
+                _fb_sink.append((
+                    np.asarray(rec.eq_class, dtype=np.int64),
+                    np.ones(len(rec.eq_class), dtype=np.int64),
+                ))
             n_reads += 1
             n_flagged += rec.flag
+
+        _fb_sink: list = []  # record-path count deltas (fallback batches)
 
         # DepthPipeline (pipeline.py): the compact-output fetch
         # (emit_prepare) and the overflow re-map wait (emit_finish) are
@@ -706,16 +744,19 @@ class Pseudoaligner:
         # prepared stage first, preserving output order.
         def render(st_n):  # ordered single-worker pool (pipeline.py)
             st, n = st_n
-            return self.emit_finish(self.emit_prepare_group(st)), n
+            st = self.emit_prepare_group(st)
+            return self.emit_finish(st), n, st.get("tx_sink")
 
         def finish(data_n):
             nonlocal n_reads, n_flagged
-            data, n = data_n
+            data, n, sink = data_n
             out.write(data)
             n_reads += n
             n_flagged += int(data.startswith(b"(true")) + int(
                 data.count(b"\n(true")
             )
+            if count_cb is not None:
+                count_cb(n, sink or [])
 
         def prepare(item, nxt):
             nonlocal merge_state
@@ -736,8 +777,11 @@ class Pseudoaligner:
             if simple:
                 st = self.emit_prepare(res, batch, tcc=tcc,
                                        defer_group=True)
+                if count_cb is not None:
+                    st["tx_sink"] = []
                 return (st, n)
             pipe.drain_prepared()
+            n_before = n_reads
             for rec, g, end in self._batch_rows(res, batch):
                 merge_state, done = self._merge_push(merge_state, rec, g, end)
                 if done is not None:
@@ -750,6 +794,12 @@ class Pseudoaligner:
                         self._finalize_merged(merge_state[1], merge_state[2])
                     )
                     merge_state = None
+            if count_cb is not None:
+                # record-path batches checkpoint at record granularity
+                # (a window-merge carried past the boundary counts with
+                # the batch that finalizes it)
+                count_cb(n_reads - n_before, list(_fb_sink))
+                _fb_sink.clear()
             return None
 
         pipe = DepthPipeline(getattr(self.config, "pipeline_depth", 1),

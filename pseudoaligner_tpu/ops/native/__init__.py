@@ -172,7 +172,10 @@ def intersect_ecs(rows: np.ndarray, ec_offsets: np.ndarray,
         ec_offsets.ctypes.data_as(_I64P), ec_txs.ctypes.data_as(_U32P),
         sent, out.ctypes.data_as(_U32P), offs.ctypes.data_as(_I64P),
     )
-    return out, offs
+    # `out` is allocated at CAPACITY (shortest-member bound); the C++
+    # writes offs with the true lengths — trim the uninitialized tail so
+    # len(flat) == offs[-1] holds for every consumer
+    return out[: int(offs[-1])], offs
 
 
 def intersect_pairs(flat_a, offs_a, flat_b, offs_b):

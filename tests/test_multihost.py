@@ -207,15 +207,25 @@ sys.path.insert(0, {repo!r})
 import numpy as np
 die_after = {die_after}
 if die_after:
+    # crash on the per-batch render step of whichever serving path runs:
+    # emit_finish (native fast path, on the render worker thread) or
+    # records_from_result (no-toolchain record fallback) — shared counter
     import pseudoaligner_tpu.models.aligner as A
-    _orig = A.Pseudoaligner.records_from_result
     _calls = [0]
-    def _wrapped(self, res, b):
+    def _maybe_die():
         _calls[0] += 1
         if _calls[0] > die_after:
             os._exit(137)  # hard crash mid-run (no flush, no cleanup)
-        return _orig(self, res, b)
-    A.Pseudoaligner.records_from_result = _wrapped
+    _orig_rec = A.Pseudoaligner.records_from_result
+    def _wrapped_rec(self, res, b):
+        _maybe_die()
+        return _orig_rec(self, res, b)
+    A.Pseudoaligner.records_from_result = _wrapped_rec
+    _orig_fin = A.Pseudoaligner.emit_finish
+    def _wrapped_fin(self, st):
+        _maybe_die()
+        return _orig_fin(self, st)
+    A.Pseudoaligner.emit_finish = _wrapped_fin
 from pseudoaligner_tpu.parallel.multihost import init_from_env, map_fastq_multihost
 from pseudoaligner_tpu.serde import load_index
 from pseudoaligner_tpu.config import AlignerConfig
@@ -282,10 +292,13 @@ def test_multihost_kill_restart_resume(small_index, small_reads, tmp_path):
     for p, (_so, se) in zip(procs, outs):
         assert p.returncode == 0, se.decode()[-2000:]
 
-    # crash run: both children die mid-stream, some batches flushed
+    # crash run: both children die mid-stream, some batches flushed.
+    # die_after=6 of 8 per-host batches: with the depth-3 pipeline the
+    # ordered finish (durable checkpoint) trails the render by ~depth
+    # batches, so an earlier crash could fire before ANY checkpoint
     crash_dir = str(tmp_path / "crash")
     os.makedirs(crash_dir, exist_ok=True)
-    outs, procs = launch(crash_dir, die_after=3)
+    outs, procs = launch(crash_dir, die_after=6)
     # both children die mid-stream: at least one by the injected hard
     # crash (137); the peer may instead die from the broken coordination
     # first, with some nonzero code — either way no child succeeds
