@@ -113,7 +113,15 @@ def read_transcripts(
     fasta_format = FastaFormat.UNKNOWN
 
     log.info("Reading transcripts from Fasta file")
+    n_sub = 0
+    n_sub_records = 0
     for record in iter_fasta(path):
+        # fast non-ACGT detection on the raw bytes (C-level translate):
+        # anything that survives deletion of ACGTacgt gets substituted
+        bad = len(record.seq.translate(None, b"ACGTacgt"))
+        if bad:
+            n_sub += bad
+            n_sub_records += 1
         seqs.append(from_acgt_bytes_hashn(record.seq, record.id.encode()))
         if fasta_format == FastaFormat.UNKNOWN:
             fasta_format = detect_fasta_format(record)
@@ -121,5 +129,17 @@ def read_transcripts(
         tx_ids.append(tx_id)
         tx_gene[tx_id] = gene_id
 
+    if n_sub:
+        # KNOWN REFERENCE DIVERGENCE: the reference substitutes non-ACGT
+        # bases via the unvendored debruijn crate's hashn scheme
+        # (src/utils.rs:76); this framework uses its own documented
+        # FNV-1a(id)+position->fmix32 substitution (dna.py), so indexes
+        # built from N-containing FASTAs are deterministic here but not
+        # bit-identical to the reference binary's.
+        log.warning(
+            "%d non-ACGT bases across %d records were deterministically "
+            "substituted (hashn divergence vs the reference binary — see "
+            "dna.from_acgt_bytes_hashn)", n_sub, n_sub_records,
+        )
     log.info("Done reading the Fasta file; Found %d sequences", len(seqs))
     return seqs, tx_ids, tx_gene

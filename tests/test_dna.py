@@ -58,3 +58,38 @@ def test_hashn_deterministic():
     # different record ids may give different substitutions (not required,
     # but the clean positions always agree)
     assert np.array_equal(a[:4], c[:4])
+
+
+def test_hashn_pinned_divergence():
+    """KNOWN REFERENCE DIVERGENCE (VERDICT r3 #6): the reference's
+    N-substitution lives in the unvendored debruijn crate
+    (DnaString::from_acgt_bytes_hashn, called at src/utils.rs:76) and is
+    unobservable offline; this framework's documented FNV-1a(id) +
+    position -> fmix32 scheme is pinned HERE so any change to it is a
+    deliberate, test-visible event (indexes built from N-containing
+    FASTAs would silently change otherwise)."""
+    got = dna.from_acgt_bytes_hashn(b"ACGNNTNGACGT", b"tx_with_N")
+    assert got.tolist() == [0, 1, 2, 1, 3, 3, 1, 2, 0, 1, 2, 3]
+    got2 = dna.from_acgt_bytes_hashn(b"NNNN", b"other_id")
+    assert got2.tolist() == [3, 2, 0, 1]
+
+
+def test_n_fasta_warns_and_is_deterministic(tmp_path, caplog):
+    """read_transcripts on an N-containing FASTA fires the one-line
+    divergence warning and produces deterministic codes."""
+    import logging
+
+    from pseudoaligner_tpu.io.fasta import read_transcripts
+
+    fa = tmp_path / "n.fa"
+    fa.write_text(
+        ">tx1|g1|x|x|x|x|x|x|\nACGTNNACGTACGTACGTACGTNACGT\n"
+        ">tx2|g2|x|x|x|x|x|x|\nACGTACGTACGTACGTACGTACGT\n"
+    )
+    with caplog.at_level(logging.WARNING):
+        seqs_a, names, gmap = read_transcripts(str(fa))
+    assert any("substituted" in r.message and "divergence" in r.message
+               for r in caplog.records)
+    seqs_b, _, _ = read_transcripts(str(fa))
+    assert all(np.array_equal(a, b) for a, b in zip(seqs_a, seqs_b))
+    assert all((s < 4).all() for s in seqs_a)
