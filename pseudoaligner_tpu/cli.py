@@ -37,6 +37,30 @@ def _rust_f32_str(v: float) -> str:
     return np.format_float_positional(f, unique=True, trim="-")
 
 
+def make_ticker(stream=None, every: int = 1_000_000):
+    """Reference-style stderr progress ticker for the fast emit paths
+    (src/pseudoaligner.rs:497-504): prints `\\rDone Mapping N reads w/
+    Rate: X` at every N = multiple of `every`.  The fast paths advance in
+    whole batches, so the printed N is the crossed multiple and the rate
+    is computed at the batch boundary (the record path computes it at the
+    exact millionth record — same shape, batch-granular rate)."""
+
+    state = [every]
+
+    def tick(n_reads: int, n_mapped: int) -> None:
+        s = stream if stream is not None else sys.stderr
+        while n_reads >= state[0]:
+            frac = (np.float32(n_mapped) * np.float32(100.0)
+                    / np.float32(n_reads))
+            s.write(
+                f"\rDone Mapping {state[0]} reads w/ Rate: {_rust_f32_str(frac)}"
+            )
+            s.flush()
+            state[0] += every
+
+    return tick
+
+
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pseudoaligner",
@@ -222,6 +246,7 @@ def cmd_map(args, outdir: str) -> int:
             n_reads = aligner.emit_fastq_paired(
                 args.reads_fastq, args.reads_fastq2, sys.stdout.buffer,
                 progress_cb=pprog if args.progress_file else None,
+                ticker=make_ticker(),
             )
             sys.stdout.buffer.flush()
             sys.stderr.write("\n")
@@ -253,6 +278,7 @@ def cmd_map(args, outdir: str) -> int:
             n_reads, n_flagged = aligner.emit_fastq(
                 args.reads_fastq, sys.stdout.buffer,
                 skip_reads=args.skip_reads, tcc=tcc, progress_cb=progress,
+                ticker=make_ticker(),
             )
             sys.stdout.buffer.flush()
             sys.stderr.write("\n")

@@ -691,7 +691,8 @@ class Pseudoaligner:
         return data
 
     def emit_fastq(self, path: str, out, skip_reads: int = 0, tcc=None,
-                   progress_cb=None, batch_iter=None, count_cb=None):
+                   progress_cb=None, batch_iter=None, count_cb=None,
+                   ticker=None):
         """Stream a FASTQ and write reference-style records to `out` (a
         binary stream) via the native emitter.  Falls back to the record
         path for batches containing segmented long reads.  Returns
@@ -704,7 +705,10 @@ class Pseudoaligner:
         finish, after its records hit `out`: `deltas` is a list of
         (tx_ids, weights) sparse per-transcript count contributions for
         exactly that batch — flushing `out` and checkpointing inside the
-        callback gives a crash-consistent (offset, counts) pair."""
+        callback gives a crash-consistent (offset, counts) pair.
+        `ticker(n_reads, n_mapped)` fires after each batch's ordered
+        finish — the stderr progress-ticker hook (reference
+        src/pseudoaligner.rs:497-504; see cli.make_ticker)."""
         if batch_iter is None:
             reader = FastqReader(
                 path,
@@ -757,6 +761,8 @@ class Pseudoaligner:
             )
             if count_cb is not None:
                 count_cb(n, sink or [])
+            if ticker is not None:
+                ticker(n_reads, n_flagged)
 
         def prepare(item, nxt):
             nonlocal merge_state
@@ -800,6 +806,8 @@ class Pseudoaligner:
                 # the batch that finalizes it)
                 count_cb(n_reads - n_before, list(_fb_sink))
                 _fb_sink.clear()
+            if ticker is not None:
+                ticker(n_reads, n_flagged)
             return None
 
         pipe = DepthPipeline(getattr(self.config, "pipeline_depth", 1),
@@ -1100,7 +1108,7 @@ class Pseudoaligner:
         return ReadRecord(flag, rec.read_id, rec.eq_class, cov)
 
     def emit_fastq_paired(self, path1: str, path2: str, out,
-                          progress_cb=None) -> int:
+                          progress_cb=None, ticker=None) -> int:
         """Paired-end serving fast path: BOTH mates ride one device batch
         (mate1 in rows [0, h), mate2 in [h, 2h), h = batch_size // 2) —
         one dispatch, one transfer, one shared signature table and one
@@ -1127,15 +1135,23 @@ class Pseudoaligner:
             grouped = self.emit_prepare_group(st[0])
             return self.emit_finish_paired(grouped, st[1], st[2]), st[2]
 
+        n_true = 0
+
         def finish(data_n):
             # the durable count advances HERE, after the ordered write —
             # on the render thread it would run ahead of what is flushed
             # (crash-safe progress contract, round-2 review)
+            nonlocal n_true
             data, n1 = data_n
             out.write(data)
             self._paired_emitted += n1
             if progress_cb is not None:
                 progress_cb(self._paired_emitted)
+            if ticker is not None:
+                n_true += int(data.startswith(b"(true")) + int(
+                    data.count(b"\n(true")
+                )
+                ticker(self._paired_emitted, n_true)
 
         pipe = DepthPipeline(
             getattr(self.config, "pipeline_depth", 1), prepare, finish,

@@ -269,3 +269,52 @@ def test_map_paired_fast_path_matches_record_path(cli_index, tmp_path):
     assert slow.returncode == 0, slow.stderr
     assert fast.stdout == slow.stdout
     assert len(fast.stdout.strip().splitlines()) == 200
+
+
+def test_ticker_shape_fast_vs_record(cli_index, tmp_path):
+    """VERDICT r3 #9: the fast emit paths reproduce the reference's
+    stderr ticker (src/pseudoaligner.rs:497-504).  With `every` set to a
+    batch-aligned interval the fast path's ticker lines must equal the
+    record path's exactly (same crossings, same Rust-f32 rate)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pseudoaligner_tpu.cli import make_ticker, _rust_f32_str
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+    from pseudoaligner_tpu.serde import load_index
+
+    fq = tmp_path / "reads.fq"
+    with open("/root/reference/test/small.fq") as f:
+        head = [next(f) for _ in range(1600)]  # 400 reads
+    fq.write_text("".join(head))
+
+    image = load_index(cli_index)
+    cfg = AlignerConfig(k=20, batch_size=64, max_read_len=64,
+                        distinct_cap=3, max_walk_iters=3, max_left_iters=2,
+                        max_nodes=7)
+    al = Pseudoaligner(image, cfg)
+
+    # fast path with a test-sized interval (CLI uses 1e6 = reference)
+    buf_f = io.StringIO()
+    out_f = io.BytesIO()
+    n, _fl = al.emit_fastq(str(fq), out_f,
+                           ticker=make_ticker(stream=buf_f, every=128))
+    assert n == 400
+
+    # record path: the cli.py inline ticker semantics, same interval
+    buf_r = io.StringIO()
+    read_counter = 0
+    mapped = 0
+    for rec in al.map_fastq(str(fq)):
+        read_counter += 1
+        if rec.flag:
+            mapped += 1
+        if read_counter % 128 == 0:
+            frac = np.float32(mapped) * np.float32(100.0) / np.float32(read_counter)
+            buf_r.write(
+                f"\rDone Mapping {read_counter} reads w/ Rate: {_rust_f32_str(frac)}"
+            )
+
+    assert buf_f.getvalue() == buf_r.getvalue()
+    assert "\rDone Mapping 128 reads w/ Rate: " in buf_f.getvalue()
