@@ -536,6 +536,117 @@ class CellCounts:
         knee = int(np.argmax(dist))
         return [inv_cells[c] for c, _ in ranked[: knee + 1]]
 
+    def _fold_targets(self, wl: "Whitelist", called_set: set):
+        """Vectorized whitelist fold resolution (VERDICT r3 #7): yields
+        (cid, called_code) for every uncalled barcode with a UNIQUE
+        1-Hamming called neighbor — semantics of `wl.match` per barcode
+        (ambiguous >=2 candidates drop; single-N barcodes try all 4
+        bases at the N position), but as L masked-key sorted joins
+        instead of ~1M * 3L python set probes (seconds, not minutes, at
+        real 10x scale).
+
+        Masked-key rule: u and w are 1-Hamming iff their codes agree
+        with position p masked out, for exactly one p — and an uncalled
+        clean u can never equal a called w, so every masked-join hit IS
+        a distinct candidate; candidate count per u == wl.match's
+        distinct-hit count."""
+        import numpy as np
+
+        L = wl.bc_len
+        names = []
+        cids = []
+        for bc, cid in self.cells.items():
+            if bc not in called_set and len(bc) == L:
+                names.append(bc)
+                cids.append(cid)
+        if not names:
+            return
+        joined = "".join(names).encode("utf-8", "surrogateescape")
+        if len(joined) != L * len(names):
+            # non-ASCII barcode strings (garbage reads): per-barcode
+            # fallback, exact original semantics
+            for bc, cid in zip(names, cids):
+                m = wl.match(bc.encode("utf-8", "surrogateescape"))
+                if m is not None and m != bc:
+                    enc = _encode_bc(m.encode())
+                    yield cid, enc[0]
+            return
+        raw = np.frombuffer(joined, np.uint8).reshape(len(names), L)
+        lut = np.full(256, 255, np.uint8)
+        for i, b in enumerate(b"ACGT"):
+            lut[b] = i
+        codes2 = lut[raw]
+        bad = codes2 == 255
+        nbad = bad.sum(axis=1)
+        keep = nbad <= 1  # >1 non-ACGT never folds (_encode_bc -> None)
+        if not keep.any():
+            return
+        codes2 = np.where(bad, 0, codes2)[keep]
+        # big-endian 2-bit pack (matches _encode_bc): column
+        # shift-accumulate (a uint64 matmul has no BLAS path — 10x slower)
+        u_code = np.zeros(len(codes2), np.uint64)
+        for i in range(L):
+            u_code |= codes2[:, i].astype(np.uint64) << np.uint64(
+                2 * (L - 1 - i)
+            )
+        u_np = np.where(nbad[keep] == 1, np.argmax(bad[keep], axis=1),
+                        -1).astype(np.int64)
+        u_cid = np.asarray(cids, np.int64)[keep]
+        w_code = np.fromiter(wl.exact, np.uint64, len(wl.exact))
+        W = len(w_code)
+
+        n_hits = np.zeros(len(u_cid), np.int64)
+        hit_w = np.zeros(len(u_cid), np.uint64)
+
+        # clean barcodes: ONE sorted join of u_code against the 3L*W
+        # 1-Hamming neighbor table of the called set (u == neighbor(w)
+        # <=> u is 1-Hamming from w; an uncalled clean u never equals a
+        # called w, and each (u, w) pair meets at exactly one neighbor,
+        # so the match count IS wl.match's distinct-candidate count)
+        clean = np.nonzero(u_np < 0)[0]
+        if len(clean) and W:
+            nbr = np.empty(3 * L * W, np.uint64)
+            k = 0
+            for p in range(L):
+                sh = np.uint64(2 * (L - 1 - p))
+                for d in (1, 2, 3):
+                    nbr[k: k + W] = w_code ^ (np.uint64(d) << sh)
+                    k += W
+            nbr_w = np.tile(np.arange(W, dtype=np.int64), 3 * L)
+            order = np.argsort(nbr, kind="stable")
+            nbr = nbr[order]
+            nbr_w = nbr_w[order]
+            uk = u_code[clean]
+            lo = np.searchsorted(nbr, uk, "left")
+            hi = np.searchsorted(nbr, uk, "right")
+            n = hi - lo
+            got = n >= 1
+            n_hits[clean] += n
+            hit_w[clean[got]] = w_code[nbr_w[lo[got]]]
+
+        # single-N barcodes (rare): all 4 bases at the N position are
+        # candidates — masked-key join at that one position
+        npos_rows = np.nonzero(u_np >= 0)[0]
+        if len(npos_rows) and W:
+            for p in np.unique(u_np[npos_rows]):
+                mask = np.uint64(
+                    ~(3 << (2 * (L - 1 - int(p)))) & ((1 << (2 * L)) - 1)
+                )
+                order = np.argsort(w_code & mask, kind="stable")
+                wk = (w_code & mask)[order]
+                rows = npos_rows[u_np[npos_rows] == p]
+                uk = u_code[rows] & mask
+                lo = np.searchsorted(wk, uk, "left")
+                hi = np.searchsorted(wk, uk, "right")
+                n = hi - lo
+                got = n >= 1
+                n_hits[rows] += n
+                hit_w[rows[got]] = w_code[order[lo[got]]]
+
+        unique = n_hits == 1
+        for cid, w in zip(u_cid[unique].tolist(), hit_w[unique].tolist()):
+            yield cid, w
+
     def correct_barcodes(self, method: str = "exact") -> int:
         """Whitelist-free barcode error correction (alevin convention):
         knee-call abundant barcodes (`call_cells`), then fold each
@@ -561,12 +672,10 @@ class CellCounts:
         inv = {v: k for k, v in self.cells.items()}
         target = np.arange(len(self.cells), dtype=np.int64)
         folded = 0
-        for bc, cid in self.cells.items():
-            m = (wl.match(bc.encode())
-                 if bc not in called_set and len(bc) == wl.bc_len else None)
-            if m is not None and m != bc:
-                target[cid] = self.cells[m]
-                folded += 1
+        for cid, w_code in self._fold_targets(wl, called_set):
+            m = wl._decode(int(w_code))
+            target[cid] = self.cells[m]
+            folded += 1
         if not folded:
             return 0
         new_cells: dict[str, int] = {}

@@ -610,3 +610,78 @@ def test_entry_counts_directional_matches_bruteforce():
     # and the exact method still counts distinct UMIs
     ex = c.entry_counts("exact")
     assert ex == {k: len(pool) for k, pool in c.umis.items()}
+
+
+def test_fold_targets_matches_per_barcode_match():
+    """The vectorized masked-key fold (_fold_targets, VERDICT r3 #7) must
+    reproduce per-barcode wl.match semantics exactly: unique 1-Hamming
+    folds, ambiguous drops, single-N folds, >1-N / wrong-length skipped —
+    randomized cross-check on a dense barcode space (length 6 so
+    collisions and ambiguity are common)."""
+    from pseudoaligner_tpu.singlecell import CellCounts, Whitelist, _encode_bc
+
+    rng = np.random.default_rng(11)
+    L = 6
+    called = sorted({"".join("ACGT"[int(b)] for b in rng.integers(0, 4, L))
+                     for _ in range(40)})
+    wl = Whitelist(called, L)
+    called_set = set(called)
+
+    c = CellCounts()
+    pool = []
+    for _ in range(600):
+        bc = list("".join("ACGT"[int(b)] for b in rng.integers(0, 4, L)))
+        r = rng.random()
+        if r < 0.25:                       # single N
+            bc[int(rng.integers(0, L))] = "N"
+        elif r < 0.3:                      # two Ns (never folds)
+            bc[0] = "N"; bc[-1] = "N"
+        elif r < 0.35:                     # wrong length (never folds)
+            bc = bc + ["A"]
+        pool.append("".join(bc))
+    for bc in pool:
+        c.add(bc, "U0", [1])
+
+    got = {cid: w for cid, w in c._fold_targets(wl, called_set)}
+
+    for bc, cid in c.cells.items():
+        want = (wl.match(bc.encode())
+                if bc not in called_set and len(bc) == L else None)
+        if want is not None and want != bc:
+            assert cid in got, (bc, want)
+            assert wl._decode(int(got[cid])) == want, (bc, want)
+        else:
+            assert cid not in got, (bc, want, wl._decode(int(got.get(cid, 0))))
+
+
+def test_fold_targets_scale_smoke():
+    """1M raw barcodes fold in seconds (the old per-barcode loop was
+    ~minutes at this scale)."""
+    import time
+
+    from pseudoaligner_tpu.singlecell import CellCounts, Whitelist
+
+    rng = np.random.default_rng(7)
+    L = 16
+    codes = rng.integers(0, 1 << 32, size=5000, dtype=np.uint64)
+    dec = np.array(list("ACGT"))
+    def decode(x):
+        return "".join(dec[(int(x) >> (2 * (L - 1 - i))) & 3] for i in range(L))
+    called = sorted({decode(x) for x in codes})
+    wl = Whitelist(called, L)
+    called_set = set(called)
+
+    c = CellCounts()
+    n = 1_000_000
+    raw_codes = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+    # build the cells dict directly (add() would dominate the timing)
+    c.cells = {}
+    for i in range(n):
+        s = decode(raw_codes[i])
+        if s not in c.cells:
+            c.cells[s] = len(c.cells)
+    t0 = time.time()
+    got = list(c._fold_targets(wl, called_set))
+    dt = time.time() - t0
+    assert dt < 15, f"vectorized fold took {dt:.1f}s for 1M barcodes"
+    assert len(got) > 0  # dense space: some folds must exist
