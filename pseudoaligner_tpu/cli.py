@@ -228,10 +228,7 @@ def cmd_map(args, outdir: str) -> int:
             have_native_p = True
         except Exception:
             have_native_p = False
-        gz = args.reads_fastq.endswith(".gz") or args.reads_fastq2.endswith(
-            ".gz"
-        )
-        if (have_native_p and not gz and tcc is None
+        if (have_native_p and tcc is None
                 and aligner.meta.distinct_cap > 0):
             # paired serving fast path: native signature-indirect emitter,
             # fragment ECs intersected per distinct pair group in C++
@@ -261,7 +258,7 @@ def cmd_map(args, outdir: str) -> int:
             have_native = True
         except Exception:
             have_native = False
-        if have_native and not args.reads_fastq.endswith(".gz"):
+        if have_native:
             def progress(n):
                 if args.progress_file:
                     # crash-safe resume contract: every record counted by

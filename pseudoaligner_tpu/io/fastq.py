@@ -22,6 +22,91 @@ def _open(path: str) -> IO[bytes]:
     return open(path, "rb")
 
 
+class _GzScanBuffer:
+    """Streaming gzip -> native-scanner buffer (VERDICT r3 #4).
+
+    Decompresses chunks into a growable numpy uint8 buffer the C scanner
+    (parser.cpp) reads directly — the buffer-fed mode parser.cpp was
+    designed for.  Invariants:
+
+    - `arr[:length]` is the decompressed-so-far window; `visible` is the
+      end of the last COMPLETE line (scanners must not look past it until
+      `eof`, or parser.cpp's final-record-without-newline acceptance
+      could mis-fire on a mid-stream chunk boundary).
+    - numpy (not bytearray) backing: scan wrappers hand out frombuffer
+      views, which would pin a bytearray against resizing.
+    - multi-member gzip (bgzf-style concatenation, ubiquitous in
+      bioinformatics) is handled by restarting the decompressobj on
+      member end.
+    """
+
+    def __init__(self, path: str, chunk: int = 1 << 20):
+        import zlib
+
+        self._zlib = zlib
+        self._f = open(path, "rb")
+        self._dec = zlib.decompressobj(wbits=31)
+        self._chunk = chunk
+        self.arr = np.empty(4 << 20, np.uint8)
+        self.length = 0
+        self.visible = 0
+        self.eof = False
+        self._fed = False  # bytes fed into the CURRENT member
+        # adaptive bytes-per-record estimate for right-sizing fills
+        self.rec_est = 512
+
+    def _append(self, data: bytes) -> None:
+        if not data:
+            return
+        need = self.length + len(data)
+        if need > len(self.arr):
+            new = np.empty(max(need, 2 * len(self.arr)), np.uint8)
+            new[: self.length] = self.arr[: self.length]
+            self.arr = new
+        self.arr[self.length: need] = np.frombuffer(data, np.uint8)
+        nl = data.rfind(b"\n")
+        if nl >= 0:
+            self.visible = self.length + nl + 1
+        self.length = need
+
+    def compact(self, off: int) -> int:
+        """Drop the consumed prefix; returns the new (zero) offset."""
+        if off > 0:
+            rem = self.length - off
+            if rem:
+                self.arr[:rem] = self.arr[off: self.length]
+            self.length = rem
+            self.visible = max(0, self.visible - off)
+        return 0
+
+    def fill(self, min_len: int) -> None:
+        """Decompress until length >= min_len or end of stream."""
+        while self.length < min_len and not self.eof:
+            data = self._f.read(self._chunk)
+            if not data:
+                self._append(self._dec.flush())
+                if self._fed and not self._dec.eof:
+                    raise ValueError("truncated gzip stream")
+                self.eof = True
+                self.visible = self.length
+                return
+            while data:
+                self._fed = True
+                self._append(self._dec.decompress(data))
+                if not self._dec.eof:
+                    break
+                # next gzip member (concatenated/bgzf files)
+                data = self._dec.unused_data
+                self._dec = self._zlib.decompressobj(wbits=31)
+                self._fed = False
+
+    def close(self) -> None:
+        f = self._f
+        if f is not None:
+            f.close()
+            self._f = None
+
+
 class ReadBatch:
     """A fixed-shape batch of reads.
 
@@ -140,25 +225,32 @@ class R1PrefixReader:
     def __init__(self, path: str, P: int, use_native: bool = True):
         self.P = P
         self._native = None
-        if use_native and not path.endswith(".gz"):
+        self._gzsrc = None
+        if use_native:
             try:
-                import mmap
-
                 from . import native as _native_mod
 
-                f = open(path, "rb")
-                try:
-                    self._buf = mmap.mmap(
-                        f.fileno(), 0, access=mmap.ACCESS_READ
-                    )
-                except Exception:
-                    f.close()
-                    raise
-                self._file = f
-                self._off = 0
-                self._native = _native_mod
+                if path.endswith(".gz"):
+                    self._gzsrc = _GzScanBuffer(path)
+                    self._off = 0
+                    self._native = _native_mod
+                else:
+                    import mmap
+
+                    f = open(path, "rb")
+                    try:
+                        self._buf = mmap.mmap(
+                            f.fileno(), 0, access=mmap.ACCESS_READ
+                        )
+                    except Exception:
+                        f.close()
+                        raise
+                    self._file = f
+                    self._off = 0
+                    self._native = _native_mod
             except Exception:
                 self._native = None
+                self._gzsrc = None
         if self._native is None:
             self._seqs = read_fastq_seqs(path)
 
@@ -166,6 +258,34 @@ class R1PrefixReader:
         """Next n records' prefixes; fewer rows only at end of stream."""
         P = self.P
         out = np.empty((n, P), dtype=np.uint8)
+        if self._gzsrc is not None:
+            src = self._gzsrc
+            self._off = src.compact(self._off)
+            got = 0
+            while got < n:
+                if self._off >= src.visible:
+                    if src.eof:
+                        if self._off < src.length:
+                            raise ValueError("truncated FASTQ record")
+                        break
+                    src.fill(src.length
+                             + max((n - got) * src.rec_est, 1 << 20))
+                    continue
+                m, _, resume = self._native.fastq_scan_prefix(
+                    src.arr, self._off, n - got, P, out[got:],
+                    end=src.visible,
+                )
+                if m == 0:
+                    if src.eof:
+                        if resume < src.visible:
+                            raise ValueError("truncated FASTQ record")
+                        break
+                    src.fill(src.length + (1 << 20))
+                    continue
+                src.rec_est = max(64, (resume - self._off) // m)
+                self._off = resume
+                got += m
+            return out[:got]
         if self._native is not None:
             got = 0
             while got < n:
@@ -201,6 +321,10 @@ class R1PrefixReader:
             except Exception:
                 pass
             self._buf = None
+        src = getattr(self, "_gzsrc", None)
+        if src is not None:
+            src.close()
+            self._gzsrc = None
         f = getattr(self, "_file", None)
         if f is not None:
             f.close()
@@ -242,39 +366,111 @@ class FastqReader:
         self._pending: list[tuple[str, np.ndarray, int, int]] = []
         self._skip = skip_reads
         self._native = None
-        if use_native and not path.endswith(".gz"):
+        self._gzsrc = None
+        if use_native:
             try:
                 from . import native as _native_mod
-                import mmap
 
-                f = open(path, "rb")
-                try:
-                    self._buf = mmap.mmap(
-                        f.fileno(), 0, access=mmap.ACCESS_READ
-                    )
-                except Exception:
-                    f.close()
-                    raise
-                self._file = f
-                self._off = 0
-                self._native = _native_mod
+                if path.endswith(".gz"):
+                    # gz fast path: stream-decompress into the scanner's
+                    # buffer-fed mode (_GzScanBuffer) — same C scan, same
+                    # batch layout as the mmap path
+                    self._gzsrc = _GzScanBuffer(path)
+                    self._buf = self._gzsrc.arr
+                    self._off = 0
+                    self._native = _native_mod
+                else:
+                    import mmap
+
+                    f = open(path, "rb")
+                    try:
+                        self._buf = mmap.mmap(
+                            f.fileno(), 0, access=mmap.ACCESS_READ
+                        )
+                    except Exception:
+                        f.close()
+                        raise
+                    self._file = f
+                    self._off = 0
+                    self._native = _native_mod
             except Exception:
                 self._native = None
+                self._gzsrc = None
         if self._native is None:
             self._records = read_fastq_records(path)
         if self._skip:
             self._do_skip(self._skip)
 
+    def _scan(self, max_n: int, L: int):
+        """One logical scan of up to max_n records: a direct C scan on
+        the mmap path; on the gz path, compaction + fill/rescan until
+        max_n records, end of stream, or a truncation error.  Returns
+        the fastq_scan tuple; self._off advances to the resume offset."""
+        if self._gzsrc is None:
+            return self._native.fastq_scan(self._buf, self._off, max_n, L)
+        src = self._gzsrc
+        self._off = src.compact(self._off)
+        parts = []
+        got = 0
+        while got < max_n:
+            if self._off >= src.visible:
+                if src.eof:
+                    if self._off < src.length:
+                        raise ValueError("truncated FASTQ record")
+                    break
+                src.fill(src.length
+                         + max((max_n - got) * src.rec_est, 1 << 20))
+                self._buf = src.arr
+                continue
+            t = self._native.fastq_scan(
+                src.arr, self._off, max_n - got, L, end=src.visible
+            )
+            n, resume = t[0], t[5]
+            if n == 0:
+                if src.eof:
+                    if resume < src.visible:
+                        raise ValueError("truncated FASTQ record")
+                    break
+                src.fill(src.length + (1 << 20))
+                self._buf = src.arr
+                continue
+            src.rec_est = max(64, (resume - self._off) // n)
+            self._off = resume
+            got += n
+            parts.append(t)
+        if len(parts) == 1:
+            return parts[0]
+        if not parts:
+            z = np.zeros
+            return (0, z((max_n, L), np.uint8), z(0, np.int32),
+                    z((0, 2), np.int64), z(0, np.int64), self._off)
+        codes = np.concatenate([t[1][: t[0]] for t in parts], axis=0)
+        if len(codes) < max_n:  # callers index codes[:max_n] shapes
+            pad = np.zeros((max_n - len(codes), L), np.uint8)
+            codes = np.concatenate([codes, pad], axis=0)
+        return (
+            got,
+            codes,
+            np.concatenate([t[2] for t in parts]),
+            np.concatenate([t[3] for t in parts], axis=0),
+            np.concatenate([t[4] for t in parts]),
+            self._off,
+        )
+
     def close(self) -> None:
-        """Release the mmap/file handles deterministically (also called
-        when iteration completes; safe to call twice)."""
+        """Release the mmap/gz/file handles deterministically (also
+        called when iteration completes; safe to call twice)."""
         buf = getattr(self, "_buf", None)
         if buf is not None:
             try:
-                buf.close()
+                buf.close()  # mmap; ndarray (gz) has no close
             except Exception:
                 pass
             self._buf = None
+        src = getattr(self, "_gzsrc", None)
+        if src is not None:
+            src.close()
+            self._gzsrc = None
         f = getattr(self, "_file", None)
         if f is not None:
             f.close()
@@ -285,9 +481,7 @@ class FastqReader:
         if self._native is not None:
             left = n
             while left > 0:
-                got, _, _, _, _, resume = self._native.fastq_scan(
-                    self._buf, self._off, min(left, 65536), 1
-                )
+                got, _, _, _, _, resume = self._scan(min(left, 65536), 1)
                 if got == 0:
                     break
                 self._off = resume
@@ -336,10 +530,12 @@ class FastqReader:
 
         k = len(ids)
         if k < b:
-            n, scodes, slens, id_spans, seq_off, resume = self._native.fastq_scan(
-                self._buf, self._off, b - k, L
+            n, scodes, slens, id_spans, seq_off, resume = self._scan(
+                b - k, L
             )
-            if n == 0 and resume < len(self._buf) and self._off < len(self._buf):
+            if (self._gzsrc is None and n == 0
+                    and resume < len(self._buf)
+                    and self._off < len(self._buf)):
                 raise ValueError("truncated FASTQ record")
             self._off = resume
             buf = self._buf
@@ -361,7 +557,9 @@ class FastqReader:
                 pos = (np.arange(int(offs[-1]), dtype=np.int64)
                        - np.repeat(offs[:-1], blens)
                        + np.repeat(starts, blens))
-                concat = np.frombuffer(buf, np.uint8)[pos].tobytes()
+                bview = (buf if isinstance(buf, np.ndarray)
+                         else np.frombuffer(buf, np.uint8))
+                concat = bview[pos].tobytes()
                 return ReadBatch(
                     codes=codes, lens=lens,
                     ids_concat=concat, id_offs=offs,

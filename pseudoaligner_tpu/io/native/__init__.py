@@ -39,20 +39,24 @@ def _load():
     return _lib
 
 
-def fastq_scan(buf, start: int, max_reads: int, L: int):
-    """Scan up to max_reads records from buf[start:] (bytes or mmap).
+def fastq_scan(buf, start: int, max_reads: int, L: int, end: int | None = None):
+    """Scan up to max_reads records from buf[start:end] (bytes, mmap, or
+    a uint8 ndarray — the gz streaming buffer hands its backing array in
+    directly with `end` at the last complete line, _GzScanBuffer).
 
     Returns (n, codes [max,L] u8, lens [n], id_spans [n,2], seq_off [n],
     resume_off).  Raises on malformed records."""
     lib = _load()
-    arr = np.frombuffer(buf, dtype=np.uint8)
+    arr = (buf if isinstance(buf, np.ndarray)
+           else np.frombuffer(buf, dtype=np.uint8))
+    stop = len(arr) if end is None else min(int(end), len(arr))
     codes = np.zeros((max_reads, L), dtype=np.uint8)
     lens = np.zeros(max_reads, dtype=np.int32)
     id_off = np.zeros(2 * max_reads, dtype=np.int64)
     seq_off = np.zeros(max_reads, dtype=np.int64)
     resume = ctypes.c_int64(0)
     n = lib.pa_fastq_scan(
-        arr.ctypes.data, len(arr), start, max_reads, L,
+        arr.ctypes.data, stop, start, max_reads, L,
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         id_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -68,8 +72,9 @@ def fastq_scan(buf, start: int, max_reads: int, L: int):
 
 
 def fastq_scan_prefix(buf, start: int, max_reads: int, P: int,
-                      out: np.ndarray | None = None):
-    """Scan up to max_reads records from buf[start:], copying each
+                      out: np.ndarray | None = None,
+                      end: int | None = None):
+    """Scan up to max_reads records from buf[start:end], copying each
     record's first P RAW seq bytes (N/case preserved) into a [max,P]
     uint8 array; too-short rows are 0xFF-filled.  Returns
     (n, out, resume_off)."""
@@ -83,12 +88,14 @@ def fastq_scan_prefix(buf, start: int, max_reads: int, P: int,
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib._prefix_ready = True
-    arr = np.frombuffer(buf, dtype=np.uint8)
+    arr = (buf if isinstance(buf, np.ndarray)
+           else np.frombuffer(buf, dtype=np.uint8))
+    stop = len(arr) if end is None else min(int(end), len(arr))
     if out is None:
         out = np.empty((max_reads, P), dtype=np.uint8)
     resume = ctypes.c_int64(0)
     n = lib.pa_fastq_scan_prefix(
-        arr.ctypes.data, len(arr), start, max_reads, P,
+        arr.ctypes.data, stop, start, max_reads, P,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.byref(resume),
     )

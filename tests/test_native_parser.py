@@ -183,3 +183,84 @@ def test_read_fastq_seqs_bulk_parity(tmp_path):
     assert list(read_fastq_seqs(str(plain), chunk_bytes=257)) == want
     assert list(read_fastq_seqs(str(crlf), chunk_bytes=131)) == want
     assert list(read_fastq_seqs(str(gz))) == want
+
+
+# ---------------------------------------------------------------------------
+# gz fast path (VERDICT r3 #4): stream-decompressed chunks fed to the C
+# scanner must be byte-identical to the mmap path on every surface
+# ---------------------------------------------------------------------------
+
+
+def _gzip_of(path, out):
+    import gzip
+
+    with open(path, "rb") as f, gzip.open(out, "wb") as g:
+        g.write(f.read())
+    return str(out)
+
+
+def test_gz_reader_parity(tmp_path):
+    from pseudoaligner_tpu.io.fastq import FastqReader
+
+    src = "/root/reference/test/small.fq"
+    gz = _gzip_of(src, tmp_path / "r.fq.gz")
+
+    def batches(path, **kw):
+        return [(b.codes.copy(), b.lens.copy(), list(b.ids))
+                for b in FastqReader(path, batch_size=257, max_len=64, **kw)]
+
+    r = FastqReader(gz, batch_size=64, max_len=64)
+    assert r._native is not None and r._gzsrc is not None, \
+        "gz must ride the native scanner"
+    r.close()
+    for kw in ({}, {"skip_reads": 1000}):
+        a, b = batches(src, **kw), batches(gz, **kw)
+        assert len(a) == len(b)
+        for (ca, la, ia), (cb, lb, ib) in zip(a, b):
+            assert np.array_equal(ca, cb)
+            assert np.array_equal(la, lb)
+            assert ia == ib
+
+
+def test_gz_multimember_and_errors(tmp_path):
+    import gzip
+
+    from pseudoaligner_tpu.io.fastq import FastqReader
+
+    data = open("/root/reference/test/small.fq", "rb").read()
+    half = data.find(b"@", len(data) // 2)
+    mm = tmp_path / "two.fq.gz"
+    mm.write_bytes(gzip.compress(data[:half]) + gzip.compress(data[half:]))
+    n = sum(b.n_reads for b in FastqReader(str(mm), 500, 64))
+    assert n == 9309
+
+    # truncated gzip stream -> error, not silent short read
+    whole = gzip.compress(data)
+    trunc = tmp_path / "trunc.fq.gz"
+    trunc.write_bytes(whole[: len(whole) // 2])
+    with pytest.raises(ValueError):
+        for _ in FastqReader(str(trunc), 500, 64):
+            pass
+
+    # complete gzip of a truncated FASTQ -> truncated-record error
+    tfq = tmp_path / "tfq.fq.gz"
+    tfq.write_bytes(gzip.compress(data[: data.rfind(b"@") + 30]))
+    with pytest.raises(ValueError):
+        for _ in FastqReader(str(tfq), 500, 64):
+            pass
+
+
+def test_gz_r1_prefix_parity(tmp_path):
+    from pseudoaligner_tpu.io.fastq import R1PrefixReader
+
+    src = "/root/reference/test/small.fq"
+    gz = _gzip_of(src, tmp_path / "r1.fq.gz")
+    pa, pb = R1PrefixReader(src, 28), R1PrefixReader(gz, 28)
+    assert pb._gzsrc is not None
+    while True:
+        x, y = pa.take(100), pb.take(100)
+        assert np.array_equal(x, y)
+        if len(x) < 100:
+            break
+    pa.close()
+    pb.close()
