@@ -278,6 +278,30 @@ def _bench_paired(aligner, n_pairs, workdir):
     return n / dt
 
 
+def _bench_gz(aligner, n_reads, workdir):
+    """gz serving row (VERDICT r3 #4): emit_fastq over a gzipped FASTQ
+    (stream-decompress -> native scanner) vs the same plain file.
+    Returns (gz_rps, plain_rps)."""
+    import gzip
+
+    codes, _lens = synth_reads(aligner.image, n_reads)
+    p = os.path.join(workdir, "bench_gz.fq")
+    pgz = p + ".gz"
+    _write_synth_fastq(p, codes)
+    with open(p, "rb") as f, gzip.open(pgz, "wb", compresslevel=1) as g:
+        g.write(f.read())
+    devnull = open(os.devnull, "wb")
+    aligner.emit_fastq(p, devnull)  # warm/compile
+    t0 = time.time()
+    n, _ = aligner.emit_fastq(p, devnull)
+    plain = n / (time.time() - t0)
+    aligner.emit_fastq(pgz, devnull)  # warm the gz reader path
+    t0 = time.time()
+    n, _ = aligner.emit_fastq(pgz, devnull)
+    gz_rps = n / (time.time() - t0)
+    return gz_rps, plain
+
+
 def _bench_count(aligner, n_pairs, workdir):
     """count_single_cell end to end (R1 parse + barcode/UMI accounting,
     R2 device map, knee call + 1-Hamming fold, directional molecule
@@ -543,8 +567,20 @@ def main():
     init_s = time.time() - t_setup
     import jax
 
+    from pseudoaligner_tpu.coldstart import JitEventMonitor, probe_backend
     from pseudoaligner_tpu.config import AlignerConfig
     from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    # minimal-repro backend probe (VERDICT r3 #1): a trivial program's
+    # end-to-end time bounds the backend claim/load/dispatch floor —
+    # jax.devices() returns metadata fast, but the real chip claim
+    # happens lazily at FIRST EXECUTION and rides the tunnel's weather
+    backend_probe = probe_backend()
+    sys.stderr.write(
+        f"bench: backend probe (trivial program) first "
+        f"{backend_probe['first_s']}s, second {backend_probe['second_s']}s\n"
+    )
+    jitmon = JitEventMonitor().start()
 
     _marks = [("init", time.time())]
 
@@ -608,9 +644,17 @@ def main():
     ]
     _mark("reads")
 
-    # warmup / compile (includes first host record materialization)
+    # warmup / compile (includes first host record materialization);
+    # dispatch vs fetch timed separately: the first dispatch contains
+    # trace+lower+compile/cache-load (+ the backend's server-side program
+    # load on this tunnel), the fetch is execute+transfer
     rb0 = _make_rb(*batches[0])
-    r0 = jax.device_get(aligner.map_batch_device(batches[0][0], batches[0][1]))
+    _t0 = time.time()
+    _res0 = aligner.map_batch_device(batches[0][0], batches[0][1])
+    first_dispatch_s = time.time() - _t0
+    _t0 = time.time()
+    r0 = jax.device_get(_res0)
+    first_fetch_s = time.time() - _t0
     aligner.records_from_result(r0, rb0)
     _mark("first batch (compile/cache-load)")
 
@@ -676,6 +720,27 @@ def main():
         f"{name} {_marks[i + 1][1] - _marks[i][1]:.1f}s"
         for i, (name, _) in enumerate(_marks[1:])
     ) + "\n")
+    jitmon.stop()
+    jit_summary = jitmon.summary()
+    setup_breakdown = {
+        name: round(_marks[i + 1][1] - _marks[i][1], 1)
+        for i, (name, _) in enumerate(_marks[1:])
+    }
+    setup_breakdown.update({
+        "backend_probe_first_s": backend_probe["first_s"],
+        "backend_probe_second_s": backend_probe["second_s"],
+        "first_dispatch_s": round(first_dispatch_s, 1),
+        "first_fetch_s": round(first_fetch_s, 1),
+        "jit": jit_summary,
+    })
+    sys.stderr.write(
+        f"bench: first batch split: dispatch {first_dispatch_s:.1f}s "
+        f"(trace {jit_summary['trace_s']}s + lower {jit_summary['lower_s']}s"
+        f" + xla-compile {jit_summary['xla_compile_s']}s, persistent cache "
+        f"{jit_summary['cache_hits']} hits/{jit_summary['cache_misses']} "
+        f"misses; the unexplained dispatch remainder is the backend's "
+        f"server-side program load), fetch {first_fetch_s:.1f}s\n"
+    )
     setup_s = time.time() - t_setup
     n_passes = int(os.environ.get("BENCH_PASSES", 3))
     dts = []
@@ -714,6 +779,19 @@ def main():
                          "unit": "pairs/s", "vs_baseline": 0.0,
                          "error": f"{type(e).__name__}: {e}"})
 
+    if os.environ.get("BENCH_GZ", "1") == "1":
+        try:
+            n_gz = int(os.environ.get("BENCH_GZ_READS", B * 8))
+            gz_rps, plain_rps = _bench_gz(aligner, n_gz, workdir)
+            rows.append({"metric": "gz_map_throughput",
+                         "value": round(gz_rps, 1), "unit": "reads/s",
+                         "vs_baseline": round(gz_rps / BASELINE_READS_PER_SEC, 3),
+                         "plain_ratio": round(gz_rps / plain_rps, 3)})
+        except Exception as e:
+            rows.append({"metric": "gz_map_throughput", "value": 0,
+                         "unit": "reads/s", "vs_baseline": 0.0,
+                         "error": f"{type(e).__name__}: {e}"})
+
     if os.environ.get("BENCH_COUNT", "1") == "1":
         try:
             n_pairs = int(os.environ.get("BENCH_COUNT_PAIRS", B * 8))
@@ -749,6 +827,7 @@ def main():
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
         "setup_s": round(setup_s - init_s, 1),
         "backend_init_s": round(init_s, 1),
+        "setup_breakdown": setup_breakdown,
         "tuned": {"cap": list(best_cap), "depth": best_depth,
                   "cached": tuned is not None},
     })
