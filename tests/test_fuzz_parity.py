@@ -494,3 +494,191 @@ def test_fuzz_kpart_paired_parity(tmp_path):
     n_k = srv.emit_fastq_paired(str(r1), str(r2), buf_k)
     assert n_k == n_b == len(reads1)
     assert buf_k.getvalue() == buf_b.getvalue()
+
+
+def test_fuzz_gz_paired_emit_parity(tmp_path):
+    """gz x paired fuzz axis (VERDICT r3 #10): the paired fast path over
+    stream-decompressed gz inputs must be byte-identical to the plain
+    run — same family-structured overflow-heavy data as the paired fuzz,
+    one mate gz and one plain (the asymmetric case), then both gz."""
+    import gzip
+    import io as iomod
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    rng = np.random.default_rng(4242)
+    seqs, names, gmap = [], [], {}
+    for g in range(4):
+        base = rng.integers(0, 4, 1000).astype(np.uint8)
+        for i in range(3):
+            if i == 0:
+                s = base
+            else:
+                a = int(rng.integers(50, 400))
+                b = int(rng.integers(a + 60, a + 350))
+                s = np.concatenate([base[:a], base[b:]])
+            nm = f"gx{g}_{i}"
+            seqs.append(s)
+            names.append(nm)
+            gmap[nm] = f"gg{g}"
+    image = build_index(seqs, names, gmap, k=20)
+
+    reads1 = _fuzz_reads(rng, seqs, k=20, n=300, L=72)
+    reads2 = _fuzz_reads(rng, seqs, k=20, n=300, L=72)
+    dec = "ACGT"
+    r1, r2 = tmp_path / "p1.fq", tmp_path / "p2.fq"
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for (rid, wa), (_, wb) in zip(reads1, reads2):
+            f1.write(f"@{rid}\n{''.join(dec[b] for b in wa)}\n+\n{'I' * len(wa)}\n")
+            f2.write(f"@{rid}\n{''.join(dec[b] for b in wb)}\n+\n{'I' * len(wb)}\n")
+    r1gz, r2gz = tmp_path / "p1.fq.gz", tmp_path / "p2.fq.gz"
+    for src, dst in ((r1, r1gz), (r2, r2gz)):
+        with open(src, "rb") as f, gzip.open(dst, "wb") as g:
+            g.write(f.read())
+
+    srv = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=128, max_read_len=80, max_nodes=8,
+        distinct_cap=3, max_walk_iters=3, max_left_iters=2))
+    outs = []
+    for a, b in ((r1, r2), (r1gz, r2), (r1gz, r2gz)):
+        buf = iomod.BytesIO()
+        n = srv.emit_fastq_paired(str(a), str(b), buf)
+        assert n == 300
+        outs.append(buf.getvalue())
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_fuzz_count_whitelist_parity(tmp_path):
+    """count-with-whitelist fuzz axis (VERDICT r3 #10): counting raw
+    error-bearing barcodes THROUGH the whitelist must equal counting
+    pre-corrected inputs at face value (reads whose barcode the
+    whitelist drops removed from both mates) — matrix, barcodes and
+    totals."""
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+    from pseudoaligner_tpu.singlecell import (Chemistry, Whitelist,
+                                              count_single_cell)
+
+    rng = np.random.default_rng(777)
+    seqs, names, gmap = _random_transcripts(rng, n=10, lo=300, hi=700)
+    image = build_index(seqs, names, gmap, k=20)
+    al = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=64, max_read_len=80, max_nodes=8,
+        distinct_cap=3, max_walk_iters=3, max_left_iters=2))
+
+    BC, UMI = 8, 6
+    chem = Chemistry(bc_len=BC, umi_len=UMI)
+    wl_bcs = sorted({"".join("ACGT"[int(b)] for b in rng.integers(0, 4, BC))
+                     for _ in range(24)})
+    wl = Whitelist(wl_bcs, BC)
+    dec = "ACGT"
+
+    n = 500
+    raw_r1 = []
+    for i in range(n):
+        bc = list(wl_bcs[int(rng.integers(len(wl_bcs)))])
+        r = rng.random()
+        if r < 0.3:  # 1-Hamming error (may be unique-correctable or not)
+            p = int(rng.integers(BC))
+            bc[p] = "ACGT"[int(rng.integers(4))]
+        elif r < 0.4:  # garbage barcode (likely dropped)
+            bc = ["ACGT"[int(b)] for b in rng.integers(0, 4, BC)]
+        elif r < 0.45:  # N in barcode
+            bc[int(rng.integers(BC))] = "N"
+        umi = "".join("ACGT"[int(b)] for b in rng.integers(0, 4, UMI))
+        raw_r1.append("".join(bc) + umi)
+    r2_reads = _fuzz_reads(rng, seqs, k=20, n=n, L=72)
+
+    def write(r1_path, r2_path, keep, correct):
+        with open(r1_path, "w") as f1, open(r2_path, "w") as f2:
+            for i in range(n):
+                if not keep[i]:
+                    continue
+                s1 = correct[i] if correct else raw_r1[i]
+                w = r2_reads[i][1]
+                f1.write(f"@p{i}\n{s1}\n+\n{'I' * len(s1)}\n")
+                f2.write(f"@p{i}\n{''.join(dec[b] for b in w)}\n+\n{'I' * len(w)}\n")
+
+    # run 1: raw barcodes through the whitelist
+    write(tmp_path / "a1.fq", tmp_path / "a2.fq", [True] * n, None)
+    got = count_single_cell(al, str(tmp_path / "a1.fq"),
+                            str(tmp_path / "a2.fq"), chem, whitelist=wl)
+
+    # run 2: pre-corrected barcodes at face value (dropped reads removed)
+    corrected, keep = [], []
+    for s in raw_r1:
+        m = wl.match(s[:BC].encode())
+        keep.append(m is not None)
+        corrected.append((m or "") + s[BC:])
+    write(tmp_path / "b1.fq", tmp_path / "b2.fq", keep, corrected)
+    want = count_single_cell(al, str(tmp_path / "b1.fq"),
+                             str(tmp_path / "b2.fq"), chem,
+                             whitelist=None, bc_correct=False)
+
+    assert got.n_bad_barcode == n - sum(keep)
+    assert got.cells == want.cells
+    assert got.classes == want.classes
+    assert got.entry_counts() == want.entry_counts()
+    assert got.entry_counts("directional") == want.entry_counts("directional")
+
+
+def test_fuzz_longread_window_batch_boundary_depth(tmp_path):
+    """long-read windows x batch boundary x pipeline_depth fuzz axis
+    (VERDICT r3 #10): reads long enough that one read's overlapping
+    windows span MULTIPLE small batches, emitted at depth>1 (the
+    drain-ordered record fallback inside emit_fastq), vs an unsegmented
+    full-length record-path reference."""
+    import io as iomod
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    rng = np.random.default_rng(1234)
+    seqs, names, gmap = _random_transcripts(rng, n=12, lo=600, hi=1200)
+    image = build_index(seqs, names, gmap, k=20)
+    dec = "ACGT"
+
+    reads = []
+    for i in range(60):
+        kind = i % 3
+        if kind == 0:  # long exact window (windows merge cleanly)
+            s = seqs[int(rng.integers(len(seqs)))]
+            ln = int(rng.integers(300, 560))
+            st = int(rng.integers(0, max(1, len(s) - ln)))
+            w = s[st: st + ln].copy()
+        elif kind == 1:  # long with SNPs
+            s = seqs[int(rng.integers(len(seqs)))]
+            ln = int(rng.integers(200, 500))
+            st = int(rng.integers(0, max(1, len(s) - ln)))
+            w = s[st: st + ln].copy()
+            for _ in range(6):
+                p = int(rng.integers(0, len(w)))
+                w[p] = (w[p] + 1 + rng.integers(0, 3)) % 4
+        else:  # short read interleaved between long ones
+            w = seqs[int(rng.integers(len(seqs)))][:40].copy()
+        reads.append((f"lr{i}", w))
+    fq = tmp_path / "long.fq"
+    with open(fq, "w") as f:
+        for rid, w in reads:
+            f.write(f"@{rid}\n{''.join(dec[b] for b in w)}\n+\n{'I' * len(w)}\n")
+
+    # reference: the RECORD path under the same segmentation config
+    # (window merging is a documented approximation of whole-read
+    # mapping, so the axis under test is the emit pipeline's ordered
+    # merge across batch boundaries and depths, not segmentation itself)
+    ref = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=8, max_read_len=96, max_nodes=128,
+        distinct_cap=12))
+    want = "".join(rec.format_reference_style() + "\n"
+                   for rec in ref.map_fastq(str(fq))).encode()
+
+    # serving: tiny batches (one read's windows cross several), depth 4
+    for depth in (1, 4):
+        srv = Pseudoaligner(image, AlignerConfig(
+            k=20, batch_size=8, max_read_len=96, max_nodes=128,
+            distinct_cap=12, pipeline_depth=depth))
+        buf = iomod.BytesIO()
+        n_out, _ = srv.emit_fastq(str(fq), buf)
+        assert n_out == len(reads)
+        assert buf.getvalue() == want, f"depth={depth}"
