@@ -44,6 +44,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1264,15 +1266,34 @@ def _pack_pool_rows(seq_pool: np.ndarray, pad_front: int, pad_back: int,
     return words.reshape(-1, 8)
 
 
+_DEVCACHE_VERSION = 1
+
+
+def _devcache_path(image, pool_pad, pool_stride, seed_index, tx_words):
+    """Disk-cache location for the derived device-image arrays, or None.
+
+    The pool packing + cuckoo placement + node-row fusion cost ~25-60s
+    at GENCODE scale and are pure functions of (index file, these shape
+    knobs) — the reference's build/serve decoupling
+    (src/bin/pseudoaligner.rs:114,135) applied to the derived arrays
+    (VERDICT r3 #8: scale-row serve init).  Keyed on the index file's
+    (path, size, mtime) identity captured at load_index time."""
+    import hashlib
+    import json as _json
+
+    ident = getattr(image, "source_ident", None)
+    if ident is None or os.environ.get("PSEUDOALIGNER_DEVCACHE") == "0":
+        return None
+    key = _json.dumps([_DEVCACHE_VERSION, list(ident), pool_pad,
+                       pool_stride, seed_index, tx_words])
+    h = hashlib.sha1(key.encode()).hexdigest()[:16]
+    return f"{ident[0]}.dev-{h}.npz"
+
+
 def device_index_from_image(image, config: AlignerConfig):
     """IndexImage -> (DeviceIndex of numpy arrays, MapMeta)."""
     use_bitset = len(image.tx_names) <= config.bitset_tx_threshold
     tx_words = (len(image.tx_names) + 31) // 32 if use_bitset else 0
-    ec_bits = (
-        build_ec_bitsets(image.ec_offsets, image.ec_txs, len(image.tx_names))
-        if use_bitset
-        else np.zeros((1, 0), np.uint32)
-    )
 
     L = config.max_read_len
     pool_pad = ((L + 127) // 128 + 1) * 128
@@ -1295,63 +1316,106 @@ def device_index_from_image(image, config: AlignerConfig):
                 L,
             )
         pool_stride = 0  # window wider than a row: legacy 2-row fetch
-    pool_rows = _pack_pool_rows(
-        image.seq_pool, pool_pad, pool_pad, stride=pool_stride
-    )
 
-    N = image.n_nodes
-    node_row = np.zeros((N, 12), dtype=np.int32)
-    node_row[:, 0] = image.node_start.astype(np.int64) + pool_pad
-    node_row[:, 1] = image.node_len
-    node_row[:, 2] = image.node_exts
-    node_row[:, 3] = image.node_ec
-    # r_edge before l_edge: the forward walk consumes columns 0..7 as a
-    # contiguous prefix, letting XLA narrow its per-iteration node-row
-    # gather to 8 of the 12 words; the (lane-compacted) left loop reads
-    # the l_edge tail at 8..11
-    node_row[:, 4:8] = image.r_edge
-    node_row[:, 8:12] = image.l_edge
-
-    bucket_seed = 0
     W = image.kmer_keys.shape[1]
-    cuckoo_vals = np.zeros((1, 2), np.uint32)
-    ones_node = ones_off = -1
-    if config.seed_index == "cuckoo":
-        ck = build_cuckoo_fast(
-            image.kmer_keys, image.kmer_node, image.kmer_offset
-        )
-        cuckoo_mask = ck.mask
-        # split the fused [nb, SLOTS*(W+2)] rows into keys-only rows
-        # (aligned SLOTS*W width; empty slots -> all-ones keys) and a
-        # flat values array: the probe consumes per element and row
-        # widths quantize to powers of two (PERF.md)
-        nb = ck.buckets.shape[0]
-        full = ck.buckets.reshape(nb, CK_SLOTS, W + 2)
-        keys = full[:, :, :W].copy()
-        empty = full[:, :, W] == CK_EMPTY
-        keys[empty] = 0xFFFFFFFF
-        cuckoo_rows = np.ascontiguousarray(keys.reshape(nb, CK_SLOTS * W))
-        cuckoo_vals = np.ascontiguousarray(
-            full[:, :, W : W + 2].reshape(nb * CK_SLOTS, 2)
-        )
-        if image.k * 2 == 32 * W:
-            # the all-ones k-mer is real at word-filling k and collides
-            # with the empty-slot pattern: its payload rides in meta
-            hit = np.all(
-                image.kmer_keys == np.uint32(0xFFFFFFFF), axis=1
-            ).nonzero()[0]
-            if len(hit):
-                ones_node = int(image.kmer_node[hit[0]])
-                ones_off = int(image.kmer_offset[hit[0]])
-    elif config.seed_index == "bucket1":
-        from ..index.cuckoo import build_bucket1
-
-        cuckoo_rows, cuckoo_mask, bucket_seed = build_bucket1(
-            image.kmer_keys, image.kmer_node, image.kmer_offset
-        )
+    cache_path = _devcache_path(
+        image, pool_pad, pool_stride, config.seed_index, tx_words
+    )
+    cached = None
+    if cache_path is not None and os.path.exists(cache_path):
+        try:
+            z = np.load(cache_path)
+            cached = {k: z[k] for k in z.files}
+        except Exception:
+            cached = None
+    if cached is not None:
+        ec_bits = cached["ec_bits"]
+        pool_rows = cached["pool_rows"]
+        node_row = cached["node_row"]
+        cuckoo_rows = cached["cuckoo_rows"]
+        cuckoo_vals = cached["cuckoo_vals"]
+        cuckoo_mask = int(cached["scalars"][0])
+        bucket_seed = int(cached["scalars"][1])
+        ones_node = int(cached["scalars"][2])
+        ones_off = int(cached["scalars"][3])
     else:
-        cuckoo_rows = np.zeros((1, CK_SLOTS * W), np.uint32)
-        cuckoo_mask = 0
+        ec_bits = (
+            build_ec_bitsets(image.ec_offsets, image.ec_txs,
+                             len(image.tx_names))
+            if use_bitset
+            else np.zeros((1, 0), np.uint32)
+        )
+        pool_rows = _pack_pool_rows(
+            image.seq_pool, pool_pad, pool_pad, stride=pool_stride
+        )
+
+        N = image.n_nodes
+        node_row = np.zeros((N, 12), dtype=np.int32)
+        node_row[:, 0] = image.node_start.astype(np.int64) + pool_pad
+        node_row[:, 1] = image.node_len
+        node_row[:, 2] = image.node_exts
+        node_row[:, 3] = image.node_ec
+        # r_edge before l_edge: the forward walk consumes columns 0..7 as
+        # a contiguous prefix, letting XLA narrow its per-iteration
+        # node-row gather to 8 of the 12 words; the (lane-compacted) left
+        # loop reads the l_edge tail at 8..11
+        node_row[:, 4:8] = image.r_edge
+        node_row[:, 8:12] = image.l_edge
+
+        bucket_seed = 0
+        cuckoo_vals = np.zeros((1, 2), np.uint32)
+        ones_node = ones_off = -1
+        if config.seed_index == "cuckoo":
+            ck = build_cuckoo_fast(
+                image.kmer_keys, image.kmer_node, image.kmer_offset
+            )
+            cuckoo_mask = ck.mask
+            # split the fused [nb, SLOTS*(W+2)] rows into keys-only rows
+            # (aligned SLOTS*W width; empty slots -> all-ones keys) and a
+            # flat values array: the probe consumes per element and row
+            # widths quantize to powers of two (PERF.md)
+            nb = ck.buckets.shape[0]
+            full = ck.buckets.reshape(nb, CK_SLOTS, W + 2)
+            keys = full[:, :, :W].copy()
+            empty = full[:, :, W] == CK_EMPTY
+            keys[empty] = 0xFFFFFFFF
+            cuckoo_rows = np.ascontiguousarray(keys.reshape(nb, CK_SLOTS * W))
+            cuckoo_vals = np.ascontiguousarray(
+                full[:, :, W : W + 2].reshape(nb * CK_SLOTS, 2)
+            )
+            if image.k * 2 == 32 * W:
+                # the all-ones k-mer is real at word-filling k and
+                # collides with the empty-slot pattern: its payload rides
+                # in meta
+                hit = np.all(
+                    image.kmer_keys == np.uint32(0xFFFFFFFF), axis=1
+                ).nonzero()[0]
+                if len(hit):
+                    ones_node = int(image.kmer_node[hit[0]])
+                    ones_off = int(image.kmer_offset[hit[0]])
+        elif config.seed_index == "bucket1":
+            from ..index.cuckoo import build_bucket1
+
+            cuckoo_rows, cuckoo_mask, bucket_seed = build_bucket1(
+                image.kmer_keys, image.kmer_node, image.kmer_offset
+            )
+        else:
+            cuckoo_rows = np.zeros((1, CK_SLOTS * W), np.uint32)
+            cuckoo_mask = 0
+        if cache_path is not None:
+            try:
+                tmp = cache_path + ".tmp"
+                np.savez(tmp, ec_bits=ec_bits, pool_rows=pool_rows,
+                         node_row=node_row, cuckoo_rows=cuckoo_rows,
+                         cuckoo_vals=cuckoo_vals,
+                         scalars=np.array(
+                             [cuckoo_mask, bucket_seed, ones_node,
+                              ones_off], np.int64))
+                # np.savez appends .npz to names without the suffix
+                os.replace(tmp if os.path.exists(tmp) else tmp + ".npz",
+                           cache_path)
+            except Exception:
+                pass  # cache write is best-effort (read-only fs, ...)
 
     dev = DeviceIndex(
         pool_rows=pool_rows,

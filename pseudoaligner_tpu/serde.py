@@ -15,6 +15,7 @@ dtypes of IndexImage.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -124,7 +125,7 @@ def load_index(path: str, mmap: bool = True) -> IndexImage:
         bits=arr("mphf_bits"),
         ranks=arr("mphf_ranks"),
     )
-    return IndexImage(
+    image = IndexImage(
         k=meta["k"],
         node_start=arr("node_start"),
         node_len=arr("node_len"),
@@ -142,3 +143,12 @@ def load_index(path: str, mmap: bool = True) -> IndexImage:
         tx_names=list(meta["tx_names"]),
         tx_gene_mapping=dict(meta["tx_gene_mapping"]),
     )
+    # identity for the derived-artifact cache (device-image arrays are
+    # disk-cached beside the index, keyed on this; ops/map_kernel.py)
+    try:
+        st = os.stat(path)
+        image.source_ident = (os.path.abspath(path), st.st_size,
+                              st.st_mtime_ns)
+    except OSError:
+        pass
+    return image
