@@ -64,6 +64,11 @@ class JitEventMonitor:
                             (time.time(), kind, m.group(1), dur)
                         )
                         return
+                # propagation is muted while active (so DEBUG records
+                # don't flood stderr) — hand real diagnostics through to
+                # the root handlers ourselves
+                if rec.levelno >= logging.WARNING:
+                    logging.getLogger().handle(rec)
 
         self._handler = _H(level=logging.DEBUG)
         for name in _WATCHED:

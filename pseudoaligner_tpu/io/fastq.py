@@ -273,7 +273,7 @@ class R1PrefixReader:
                     continue
                 m, _, resume = self._native.fastq_scan_prefix(
                     src.arr, self._off, n - got, P, out[got:],
-                    end=src.visible,
+                    end=src.visible, final=src.eof,
                 )
                 if m == 0:
                     if src.eof:
@@ -423,7 +423,8 @@ class FastqReader:
                 self._buf = src.arr
                 continue
             t = self._native.fastq_scan(
-                src.arr, self._off, max_n - got, L, end=src.visible
+                src.arr, self._off, max_n - got, L, end=src.visible,
+                final=src.eof,
             )
             n, resume = t[0], t[5]
             if n == 0:

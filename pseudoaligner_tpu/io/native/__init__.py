@@ -34,15 +34,22 @@ def _load():
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32,
             ]
             _lib = lib
     return _lib
 
 
-def fastq_scan(buf, start: int, max_reads: int, L: int, end: int | None = None):
+def fastq_scan(buf, start: int, max_reads: int, L: int, end: int | None = None,
+               final: bool = True):
     """Scan up to max_reads records from buf[start:end] (bytes, mmap, or
     a uint8 ndarray — the gz streaming buffer hands its backing array in
     directly with `end` at the last complete line, _GzScanBuffer).
+
+    `final=False` (streaming callers mid-stream) disables the
+    final-record-without-trailing-newline acceptance, which could
+    otherwise consume a zero-length-sequence record split at a chunk
+    boundary without its qual line.
 
     Returns (n, codes [max,L] u8, lens [n], id_spans [n,2], seq_off [n],
     resume_off).  Raises on malformed records."""
@@ -61,7 +68,7 @@ def fastq_scan(buf, start: int, max_reads: int, L: int, end: int | None = None):
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         id_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         seq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ctypes.byref(resume),
+        ctypes.byref(resume), 1 if final else 0,
     )
     if n < 0:
         raise ValueError("malformed FASTQ record")
@@ -73,7 +80,7 @@ def fastq_scan(buf, start: int, max_reads: int, L: int, end: int | None = None):
 
 def fastq_scan_prefix(buf, start: int, max_reads: int, P: int,
                       out: np.ndarray | None = None,
-                      end: int | None = None):
+                      end: int | None = None, final: bool = True):
     """Scan up to max_reads records from buf[start:end], copying each
     record's first P RAW seq bytes (N/case preserved) into a [max,P]
     uint8 array; too-short rows are 0xFF-filled.  Returns
@@ -86,6 +93,7 @@ def fastq_scan_prefix(buf, start: int, max_reads: int, P: int,
             ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
         ]
         lib._prefix_ready = True
     arr = (buf if isinstance(buf, np.ndarray)
@@ -97,7 +105,7 @@ def fastq_scan_prefix(buf, start: int, max_reads: int, P: int,
     n = lib.pa_fastq_scan_prefix(
         arr.ctypes.data, stop, start, max_reads, P,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.byref(resume),
+        ctypes.byref(resume), 1 if final else 0,
     )
     if n < 0:
         raise ValueError("malformed FASTQ record")

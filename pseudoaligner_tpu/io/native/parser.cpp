@@ -39,7 +39,7 @@ extern "C" {
 int64_t pa_fastq_scan(const char* buf, int64_t n, int64_t start,
                       int64_t max_reads, int32_t L, uint8_t* codes,
                       int32_t* lens, int64_t* id_off, int64_t* seq_off,
-                      int64_t* resume_off) {
+                      int64_t* resume_off, int32_t final_chunk) {
   static uint8_t lut[256];
   static bool init = false;
   if (!init) {
@@ -79,8 +79,14 @@ int64_t pa_fastq_scan(const char* buf, int64_t n, int64_t start,
     const char* q_end = find_nl(q, end);
     if (!q_end) {
       // final record may lack a trailing newline: accept if the qual line
-      // is complete (same length as seq) at buffer end
-      if (end - q >= s_stop - s) q_end = end - 1; else { p = rec_start; break; }
+      // is complete (same length as seq) at buffer end — but ONLY when the
+      // caller says this buffer really is the end of the stream
+      // (final_chunk): a streaming (gz) chunk boundary could otherwise
+      // split a zero-length-sequence record after its '+' line and the
+      // acceptance would consume it without its qual line, desyncing the
+      // next scan
+      if (final_chunk && end - q >= s_stop - s) q_end = end - 1;
+      else { p = rec_start; break; }
     }
 
     int64_t slen = s_stop - s;
@@ -107,7 +113,7 @@ int64_t pa_fastq_scan(const char* buf, int64_t n, int64_t start,
 // structure validation + resume contract as pa_fastq_scan.
 int64_t pa_fastq_scan_prefix(const char* buf, int64_t n, int64_t start,
                              int64_t max_reads, int32_t P, uint8_t* out,
-                             int64_t* resume_off) {
+                             int64_t* resume_off, int32_t final_chunk) {
   const char* base = buf;
   const char* end = buf + n;
   const char* p = buf + start;
@@ -133,7 +139,10 @@ int64_t pa_fastq_scan_prefix(const char* buf, int64_t n, int64_t start,
     const char* q = plus_end + 1;
     const char* q_end = find_nl(q, end);
     if (!q_end) {
-      if (end - q >= s_stop - s) q_end = end - 1; else { p = rec_start; break; }
+      // same final-chunk gate as pa_fastq_scan (zero-length-seq records
+      // at a streaming chunk boundary)
+      if (final_chunk && end - q >= s_stop - s) q_end = end - 1;
+      else { p = rec_start; break; }
     }
 
     uint8_t* dst = out + count * (int64_t)P;

@@ -1324,8 +1324,8 @@ def device_index_from_image(image, config: AlignerConfig):
     cached = None
     if cache_path is not None and os.path.exists(cache_path):
         try:
-            z = np.load(cache_path)
-            cached = {k: z[k] for k in z.files}
+            with np.load(cache_path) as z:
+                cached = {k: z[k] for k in z.files}
         except Exception:
             cached = None
     if cached is not None:
@@ -1404,16 +1404,16 @@ def device_index_from_image(image, config: AlignerConfig):
             cuckoo_mask = 0
         if cache_path is not None:
             try:
-                tmp = cache_path + ".tmp"
+                # pid-unique tmp: concurrent processes (multihost) on a
+                # cold cache must not interleave writes into one file
+                tmp = f"{cache_path}.tmp{os.getpid()}.npz"
                 np.savez(tmp, ec_bits=ec_bits, pool_rows=pool_rows,
                          node_row=node_row, cuckoo_rows=cuckoo_rows,
                          cuckoo_vals=cuckoo_vals,
                          scalars=np.array(
                              [cuckoo_mask, bucket_seed, ones_node,
                               ones_off], np.int64))
-                # np.savez appends .npz to names without the suffix
-                os.replace(tmp if os.path.exists(tmp) else tmp + ".npz",
-                           cache_path)
+                os.replace(tmp, cache_path)
             except Exception:
                 pass  # cache write is best-effort (read-only fs, ...)
 

@@ -264,3 +264,46 @@ def test_gz_r1_prefix_parity(tmp_path):
             break
     pa.close()
     pb.close()
+
+
+def test_gz_zero_length_record_chunk_boundary(tmp_path):
+    """Review r4 finding: a zero-length-sequence record whose qual line
+    lands exactly past a streaming chunk boundary must NOT be accepted
+    without its qual line (the final-record-without-newline path is
+    gated on final_chunk now).  Direct scan repro + end-to-end gz run."""
+    import gzip
+
+    from pseudoaligner_tpu.io import native as N
+    from pseudoaligner_tpu.io.fastq import FastqReader
+
+    data = b"@r1\n\n+\n\n@r2\nACGT\n+\nIIII\n"
+    # mid-stream window ending right after the '+' line: must leave the
+    # whole record for the next fill, not consume it qual-less
+    n, _, _, _, _, resume = N.fastq_scan(data, 0, 10, 8, end=7, final=False)
+    assert n == 0 and resume == 0
+    # at true EOF the old acceptance still applies
+    n, _, lens, _, _, _ = N.fastq_scan(data[:7], 0, 10, 8, final=True)
+    assert n == 1 and lens[0] == 0
+
+    # end-to-end: gz file with zero-length reads scattered through, tiny
+    # decompress chunks so boundaries land everywhere
+    recs = []
+    for i in range(200):
+        seq = b"" if i % 7 == 0 else b"ACGTACGTACGTACGT"[: 4 + i % 12]
+        recs.append(b"@z%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+    raw = b"".join(recs)
+    gz = tmp_path / "z.fq.gz"
+    gz.write_bytes(gzip.compress(raw))
+    plain = tmp_path / "z.fq"
+    plain.write_bytes(raw)
+
+    def run(path, chunk=None):
+        r = FastqReader(str(path), batch_size=33, max_len=32)
+        if chunk and r._gzsrc is not None:
+            r._gzsrc._chunk = chunk
+        return [(b.lens.copy().tolist(), list(b.ids)) for b in r]
+
+    a = run(plain)
+    for chunk in (7, 64, 1 << 20):
+        b = run(gz, chunk)
+        assert a == b, f"chunk={chunk}"
