@@ -32,6 +32,14 @@ from ..ops.map_kernel import (
 
 log = logging.getLogger(__name__)
 
+# ONE process-wide jitted map step, meta as a static (hashable) arg:
+# every Pseudoaligner with equal meta shares the jit-cache entry, so
+# constructing a new aligner (multihost workers, bench candidates, CLI
+# re-runs in one process) never re-traces or re-compiles the kernel.
+# (A per-instance jax.jit(partial(...)) was a fresh callable each time
+# — measured 3.5s of silent recompile per construction on CPU.)
+_MAP_STEP_JIT = jax.jit(map_batch_packed, static_argnums=0)
+
 # sentinel for invalid/padding EC ids in canonicalized signature rows
 # (larger than any class id; int64 rows)
 _SENT = np.int64(1) << 40
@@ -282,7 +290,7 @@ class Pseudoaligner:
             dev, meta = device_index_from_image(image, config)
             self.meta = meta
             self.dev = jax.device_put(dev, device)
-            self._step = jax.jit(partial(map_batch_packed, meta))
+            self._step = partial(_MAP_STEP_JIT, meta)
         else:
             if meta is None:
                 raise ValueError("map_step requires the engine's meta")
@@ -911,7 +919,7 @@ class Pseudoaligner:
                 max_left_iters=0,
                 max_nodes=max(base_meta.max_nodes, 2 * base_meta.read_len),
             )
-            self._remap_step = jax.jit(partial(map_batch_packed, meta_full))
+            self._remap_step = partial(_MAP_STEP_JIT, meta_full)
         L = self.meta.read_len
         futures = []
         for c0 in range(0, len(rows), B2):
