@@ -27,6 +27,8 @@ import gzip
 import os
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from .io.fastq import read_fastq_records
 from .models.aligner import Pseudoaligner
 
@@ -99,6 +101,63 @@ class Whitelist:
         with op(path, "rt") as f:
             bcs = [line.strip() for line in f if line.strip()]
         return cls(bcs, bc_len)
+
+    _INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def _neighbor_tables(self):
+        """Lazy sorted 1-Hamming neighbor table of the whitelist: 3L*W
+        packed codes + the member index each came from.  One sorted join
+        replaces per-barcode 3L set probes on the batched count path
+        (same construction as CellCounts._fold_targets; ~280MB for the
+        737k-barcode 10x v3 list, built once per Whitelist)."""
+        t = getattr(self, "_nbr", None)
+        if t is None:
+            L = self.bc_len
+            w = np.fromiter(self.exact, np.uint64, len(self.exact))
+            W = len(w)
+            nbr = np.empty(3 * L * W, np.uint64)
+            k = 0
+            for p in range(L):
+                sh = np.uint64(2 * (L - 1 - p))
+                for d in (1, 2, 3):
+                    nbr[k: k + W] = w ^ (np.uint64(d) << sh)
+                    k += W
+            w_idx = np.tile(np.arange(W, dtype=np.int64), 3 * L)
+            order = np.argsort(nbr, kind="stable")
+            t = self._nbr = (nbr[order], w_idx[order], w)
+        return t
+
+    def correct_clean_batch(self, codes: np.ndarray) -> np.ndarray:
+        """Batched 1-Hamming correction for CLEAN (all-ACGT), packed,
+        NON-member barcodes: returns the unique whitelist member's code
+        per row, or _INVALID when none/ambiguous — exactly wl.match's
+        distinct-candidate rule (each (member, position) pair meets a
+        query at most once, so the join count IS the candidate count).
+
+        Rent-or-buy: the neighbor table costs ~19s to build at the 737k
+        10x-v3 scale but answers in ~3ms/batch (vs ~30us/row probing);
+        per-row probes serve until the cumulative row count reaches the
+        ~breakeven (≈ |whitelist| rows), so short runs never pay the
+        build and long runs converge to the fast path."""
+        codes = np.asarray(codes, np.uint64)
+        out = np.full(len(codes), self._INVALID, np.uint64)
+        if not len(self.exact) or not len(codes):
+            return out
+        if getattr(self, "_nbr", None) is None:
+            seen = getattr(self, "_cb_rows", 0) + len(codes)
+            self._cb_rows = seen
+            if seen <= max(50_000, len(self.exact)):
+                for j, c in enumerate(codes):
+                    m = self.match(_decode_2bit(int(c), self.bc_len).encode())
+                    if m is not None:
+                        out[j] = _encode_bc(m.encode())[0]
+                return out
+        nbr, w_idx, w = self._neighbor_tables()
+        lo = np.searchsorted(nbr, codes, "left")
+        hi = np.searchsorted(nbr, codes, "right")
+        one = (hi - lo) == 1
+        out[one] = w[w_idx[lo[one]]]
+        return out
 
     def match(self, seq: bytes) -> str | None:
         """Exact match or unique 1-Hamming correction; None = drop."""
@@ -889,9 +948,28 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         bckey = np.where(exact, pk_bc.astype(np.int64), np.int64(-1))
         ukey = np.where(exact, pk_umi.astype(np.int64), np.int64(-1))
 
-        # rows the vector path can't represent: whitelist corrections,
-        # non-ACGT barcodes/UMIs (face value), unpackable chemistry
-        for i in np.nonzero(~short & ~exact)[0]:
+        # clean-but-not-exact rows correct through the whitelist's
+        # batched neighbor-table join (the per-row wl.match loop cost
+        # ~15us/row — material at realistic error rates); rows with
+        # non-ACGT bases keep the per-row path below
+        done = np.zeros(n, bool)
+        if whitelist is not None and packable:
+            vrows_ = np.nonzero(~short & ~exact & clean)[0]
+            if len(vrows_):
+                corr = whitelist.correct_clean_batch(pk_bc[vrows_])
+                ok = corr != Whitelist._INVALID
+                counts.n_bad_barcode += int((~ok).sum())
+                # a clean non-member's unique correction always differs
+                # from the raw barcode -> every hit counts as corrected
+                counts.n_corrected += int(ok.sum())
+                okr = vrows_[ok]
+                bckey[okr] = corr[ok].astype(np.int64)
+                ukey[okr] = pk_umi[okr].astype(np.int64)
+                done[vrows_] = True
+
+        # rows the vector path can't represent: non-ACGT barcodes/UMIs,
+        # unpackable chemistry (and, without a whitelist, face value)
+        for i in np.nonzero(~short & ~exact & ~done)[0]:
             raw = arr[i].tobytes()
             raw_bc = raw[:bl]
             if whitelist is not None:

@@ -685,3 +685,35 @@ def test_fold_targets_scale_smoke():
     dt = time.time() - t0
     assert dt < 15, f"vectorized fold took {dt:.1f}s for 1M barcodes"
     assert len(got) > 0  # dense space: some folds must exist
+
+
+def test_whitelist_batched_correction_parity():
+    """correct_clean_batch (both the per-row rent phase and the
+    neighbor-table buy phase) must reproduce wl.match exactly on clean
+    non-member barcodes: unique 1-Hamming corrections, ambiguity drops."""
+    from pseudoaligner_tpu.singlecell import Whitelist, _decode_2bit
+
+    rng = np.random.default_rng(21)
+    L = 6
+    wl_bcs = sorted({"".join("ACGT"[int(b)] for b in rng.integers(0, 4, L))
+                     for _ in range(60)})
+    q = []
+    while len(q) < 300:
+        s = "".join("ACGT"[int(b)] for b in rng.integers(0, 4, L))
+        if s not in set(wl_bcs):
+            q.append(s)
+    codes = np.array(
+        [sum(("ACGT".index(c)) << (2 * (L - 1 - i)) for i, c in enumerate(s))
+         for s in q], np.uint64)
+
+    for force_table in (False, True):
+        wl = Whitelist(wl_bcs, L)
+        if force_table:
+            wl._neighbor_tables()
+        got = wl.correct_clean_batch(codes)
+        for s, g in zip(q, got):
+            want = wl.match(s.encode())
+            if want is None:
+                assert g == Whitelist._INVALID, (force_table, s)
+            else:
+                assert _decode_2bit(int(g), L) == want, (force_table, s)
