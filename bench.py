@@ -637,26 +637,42 @@ def main():
     aligner = aligners[0]
     _mark("aligners(table build+upload)")
 
-    reads, lens = synth_reads(image, B * (n_batches + 1))
-    batches = [
-        (reads[i * B : (i + 1) * B], lens[i * B : (i + 1) * B])
-        for i in range(n_batches + 1)
-    ]
-    _mark("reads")
+    # read synthesis overlaps the first (compile/backend-load-bound)
+    # batch on a background thread — the device_get wait releases the
+    # GIL, so the minutes-long cold path absorbs the reads cost for free
+    import threading
 
-    # warmup / compile (includes first host record materialization);
-    # dispatch vs fetch timed separately: the first dispatch contains
-    # trace+lower+compile/cache-load (+ the backend's server-side program
-    # load on this tunnel), the fetch is execute+transfer
-    rb0 = _make_rb(*batches[0])
+    _reads_box = {}
+
+    def _synth():
+        _reads_box["rl"] = synth_reads(image, B * (n_batches + 1))
+
+    _synth_th = threading.Thread(target=_synth, daemon=True)
+    _synth_th.start()
+
+    # warmup / compile on an all-zeros batch (shape-identical, so the
+    # compiled executable is the serving one); dispatch vs fetch timed
+    # separately: the first dispatch contains trace+lower+compile/
+    # cache-load (+ the backend's server-side program load on this
+    # tunnel), the fetch is execute+transfer
+    z_codes = np.zeros((B, L), np.uint8)
+    z_lens = np.full(B, L, np.int32)
     _t0 = time.time()
-    _res0 = aligner.map_batch_device(batches[0][0], batches[0][1])
+    _res0 = aligner.map_batch_device(z_codes, z_lens)
     first_dispatch_s = time.time() - _t0
     _t0 = time.time()
     r0 = jax.device_get(_res0)
     first_fetch_s = time.time() - _t0
-    aligner.records_from_result(r0, rb0)
+    aligner.records_from_result(r0, _make_rb(z_codes, z_lens))
     _mark("first batch (compile/cache-load)")
+
+    _synth_th.join()
+    reads, lens = _reads_box["rl"]
+    batches = [
+        (reads[i * B : (i + 1) * B], lens[i * B : (i + 1) * B])
+        for i in range(n_batches + 1)
+    ]
+    _mark("reads (overlapped)")
 
     # pipelined end-to-end: dispatch batch k+1, then emit batch k's records
     # natively while the device works (the emit_fastq serving pattern)
