@@ -665,6 +665,7 @@ def main():
     first_fetch_s = time.time() - _t0
     aligner.records_from_result(r0, _make_rb(z_codes, z_lens))
     _mark("first batch (compile/cache-load)")
+    jit_first = jitmon.summary()  # events up to here = the first batch's
 
     _synth_th.join()
     reads, lens = _reads_box["rl"]
@@ -747,13 +748,14 @@ def main():
         "backend_probe_second_s": backend_probe["second_s"],
         "first_dispatch_s": round(first_dispatch_s, 1),
         "first_fetch_s": round(first_fetch_s, 1),
-        "jit": jit_summary,
+        "jit_first_batch": jit_first,
+        "jit_setup_total": jit_summary,
     })
     sys.stderr.write(
         f"bench: first batch split: dispatch {first_dispatch_s:.1f}s "
-        f"(trace {jit_summary['trace_s']}s + lower {jit_summary['lower_s']}s"
-        f" + xla-compile {jit_summary['xla_compile_s']}s, persistent cache "
-        f"{jit_summary['cache_hits']} hits/{jit_summary['cache_misses']} "
+        f"(trace {jit_first['trace_s']}s + lower {jit_first['lower_s']}s"
+        f" + xla-compile {jit_first['xla_compile_s']}s, persistent cache "
+        f"{jit_first['cache_hits']} hits/{jit_first['cache_misses']} "
         f"misses; the unexplained dispatch remainder is the backend's "
         f"server-side program load), fetch {first_fetch_s:.1f}s\n"
     )
