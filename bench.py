@@ -645,7 +645,10 @@ def main():
     _reads_box = {}
 
     def _synth():
-        _reads_box["rl"] = synth_reads(image, B * (n_batches + 1))
+        try:
+            _reads_box["rl"] = synth_reads(image, B * (n_batches + 1))
+        except BaseException as e:  # re-raised on the main thread below
+            _reads_box["err"] = e
 
     _synth_th = threading.Thread(target=_synth, daemon=True)
     _synth_th.start()
@@ -668,6 +671,8 @@ def main():
     jit_first = jitmon.summary()  # events up to here = the first batch's
 
     _synth_th.join()
+    if "err" in _reads_box:
+        raise _reads_box["err"]
     reads, lens = _reads_box["rl"]
     batches = [
         (reads[i * B : (i + 1) * B], lens[i * B : (i + 1) * B])

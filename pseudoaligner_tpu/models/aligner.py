@@ -38,6 +38,8 @@ log = logging.getLogger(__name__)
 # re-runs in one process) never re-traces or re-compiles the kernel.
 # (A per-instance jax.jit(partial(...)) was a fresh callable each time
 # — measured 3.5s of silent recompile per construction on CPU.)
+# Tradeoff: one compiled executable per distinct meta stays cached for
+# the process lifetime (a handful in practice — bench sweeps 3-4).
 _MAP_STEP_JIT = jax.jit(map_batch_packed, static_argnums=0)
 
 # sentinel for invalid/padding EC ids in canonicalized signature rows
@@ -896,9 +898,6 @@ class Pseudoaligner:
         B2 = 2048
         if not hasattr(self, "_remap_step"):
             import dataclasses
-            from functools import partial
-
-            from ..ops.map_kernel import map_batch_packed
 
             if hasattr(self, "dev"):
                 base_meta, remap_dev = self.meta, self.dev

@@ -108,8 +108,9 @@ class Whitelist:
         """Lazy sorted 1-Hamming neighbor table of the whitelist: 3L*W
         packed codes + the member index each came from.  One sorted join
         replaces per-barcode 3L set probes on the batched count path
-        (same construction as CellCounts._fold_targets; ~280MB for the
-        737k-barcode 10x v3 list, built once per Whitelist)."""
+        (same construction as CellCounts._fold_targets; ~430MB retained
+        for the 737k-barcode 10x v3 list — 283MB uint64 codes + 142MB
+        int32 member indexes — built once per Whitelist)."""
         t = getattr(self, "_nbr", None)
         if t is None:
             L = self.bc_len
@@ -122,7 +123,7 @@ class Whitelist:
                 for d in (1, 2, 3):
                     nbr[k: k + W] = w ^ (np.uint64(d) << sh)
                     k += W
-            w_idx = np.tile(np.arange(W, dtype=np.int64), 3 * L)
+            w_idx = np.tile(np.arange(W, dtype=np.int32), 3 * L)
             order = np.argsort(nbr, kind="stable")
             t = self._nbr = (nbr[order], w_idx[order], w)
         return t
