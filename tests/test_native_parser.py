@@ -307,3 +307,49 @@ def test_gz_zero_length_record_chunk_boundary(tmp_path):
     for chunk in (7, 64, 1 << 20):
         b = run(gz, chunk)
         assert a == b, f"chunk={chunk}"
+
+
+def test_gz_scanner_structural_fuzz(tmp_path):
+    """Randomized gz-vs-python reader parity over adversarial record
+    shapes (zero-length seqs, \\r\\n endings, ids with tabs/spaces, very
+    long and k-length seqs, missing trailing newline) x random compressed
+    chunk sizes — the decompress-window/scan-resume state machine must
+    agree with the plain python reader byte for byte."""
+    import gzip
+
+    from pseudoaligner_tpu.io.fastq import FastqReader, read_fastq_records
+
+    rng = np.random.default_rng(31337)
+    for trial in range(6):
+        recs = []
+        n = int(rng.integers(50, 300))
+        for i in range(n):
+            kind = int(rng.integers(0, 6))
+            ln = (0 if kind == 0 else int(rng.integers(1, 200)))
+            seq = "".join("ACGTN"[int(b)]
+                          for b in rng.integers(0, 5, ln)).encode()
+            rid = f"q{trial}_{i}".encode()
+            if kind == 1:
+                rid += b" extra desc\ttoken"  # id stops at whitespace
+            eol = b"\r\n" if kind == 2 else b"\n"
+            recs.append(b"@%s%s%s%s+%s%s%s" % (
+                rid, eol, seq, eol, eol, b"I" * ln, eol))
+        raw = b"".join(recs)
+        if trial % 2:  # final record without trailing newline
+            raw = raw[:-1] if raw.endswith(b"\n") else raw
+        plain = tmp_path / f"f{trial}.fq"
+        plain.write_bytes(raw)
+        gz = tmp_path / f"f{trial}.fq.gz"
+        gz.write_bytes(gzip.compress(raw))
+
+        want = list(read_fastq_records(str(plain)))
+
+        r = FastqReader(str(gz), batch_size=int(rng.integers(3, 40)),
+                        max_len=220)
+        assert r._gzsrc is not None
+        r._gzsrc._chunk = int(rng.integers(5, 400))
+        got = []
+        for b in r:
+            for j, rid in enumerate(b.ids):
+                got.append((rid, int(b.lens[j])))
+        assert got == [(rid, len(s)) for rid, s in want], f"trial {trial}"
