@@ -604,8 +604,10 @@ def main():
         # compile/run is skipped below.
         # (6,2) and (4,2) never won a session sweep; walk cap 2 measured
         # +14% over 3 (interleaved, round 3) — the ~4k extra flagged
-        # reads/batch ride the overlapped host mapper for free
-        caps = [(2, 2, False), (3, 2, False), (2, 2, True)]
+        # reads/batch ride the overlapped host mapper for free.  (2,1)
+        # extends the same bet to the left loop (r4 candidate: lanes the
+        # cap cuts take the exact -3 host remap, output identical).
+        caps = [(2, 2, False), (3, 2, False), (2, 2, True), (2, 1, False)]
     # serving shape: compact EC output at distinct_cap=3 (down-transfer is
     # on the critical path of the serialized tunnel; >3-class reads take
     # the overlapped host remap), node buffer sized to the push bound
