@@ -574,8 +574,32 @@ def main():
     # minimal-repro backend probe (VERDICT r3 #1): a trivial program's
     # end-to-end time bounds the backend claim/load/dispatch floor —
     # jax.devices() returns metadata fast, but the real chip claim
-    # happens lazily at FIRST EXECUTION and rides the tunnel's weather
-    backend_probe = probe_backend()
+    # happens lazily at FIRST EXECUTION and rides the tunnel's weather.
+    # Bounded in a daemon thread: during a tunnel outage devices()
+    # succeeds while the first execution blocks FOREVER (observed r4,
+    # >3h) — the probe doubles as the hang guard for the whole run.
+    import threading as _threading
+
+    _probe_box: dict = {}
+
+    def _probe():
+        try:
+            _probe_box["res"] = probe_backend()
+        except Exception as e:
+            _probe_box["err"] = f"backend probe failed: {e!r}"
+
+    _pt = _threading.Thread(target=_probe, daemon=True)
+    _pt.start()
+    _pt.join(float(os.environ.get("BENCH_PROBE_TIMEOUT", 1800)))
+    if _pt.is_alive():
+        return _fail(
+            "backend claimed (devices() ok) but a trivial program never "
+            "executed within the probe timeout — the tunnel's execute "
+            "path is down (the claim is lazy; see PERF.md round 4)"
+        )
+    if "err" in _probe_box:
+        return _fail(_probe_box["err"])
+    backend_probe = _probe_box["res"]
     sys.stderr.write(
         f"bench: backend probe (trivial program) first "
         f"{backend_probe['first_s']}s, second {backend_probe['second_s']}s\n"
