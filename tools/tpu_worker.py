@@ -75,6 +75,10 @@ while True:
         with open(outpath, "w") as f:
             f.write(buf.getvalue())
         print(f"[worker] ran {name}", flush=True)
+        # idle clock restarts at COMPLETION: a script that blocks for
+        # hours (tunnel outage) must not trip the idle release before
+        # later-queued scripts get their turn (round-4 incident)
+        last_work = time.time()
     if os.path.exists(os.path.join(SPOOL, "_quit")):
         print("[worker] quit", flush=True)
         break
