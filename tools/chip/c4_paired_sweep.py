@@ -1,0 +1,43 @@
+# worker spool script: paired-serving depth sweep + phase timers on the
+# real chip (VERDICT r3 #2: paired at ~75% of its map/2 floor; CPU
+# timers say host phases are negligible — the residual is device step +
+# link + remap-collect, measurable only here).
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+import bench
+from pseudoaligner_tpu.config import AlignerConfig
+from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+B, L = 65536, 60
+image = bench.build_or_load_index()
+al = Pseudoaligner(image, AlignerConfig(
+    k=20, batch_size=B, max_read_len=L, max_nodes=6, distinct_cap=3,
+    max_walk_iters=2, max_left_iters=2, pool_overlap=False,
+))
+n_pairs = (B // 2) * 8
+r1, r2 = bench.synth_pairs(n_pairs)
+p1, p2 = "/tmp/ab_r1.fq", "/tmp/ab_r2.fq"
+bench._write_synth_fastq(p1, r1)
+bench._write_synth_fastq(p2, r2)
+devnull = open(os.devnull, "wb")
+al.emit_fastq_paired(p1, p2, devnull)  # compile/warm
+for rnd in range(2):
+    for depth in (2, 3, 4, 6, 8):
+        object.__setattr__(al.config, "pipeline_depth", depth)
+        t0 = time.time()
+        n = al.emit_fastq_paired(p1, p2, devnull)
+        dt = time.time() - t0
+        print(f"[{rnd}] paired depth={depth}: {n / dt:.0f} pairs/s "
+              f"({n} in {dt:.2f}s)", flush=True)
+# one timed pass with phase timers at the best-known depth
+os.environ["PA_TIMERS"] = "1"
+object.__setattr__(al.config, "pipeline_depth", 4)
+t0 = time.time()
+n = al.emit_fastq_paired(p1, p2, devnull)
+print(f"timers pass: {n / (time.time() - t0):.0f} pairs/s", flush=True)
+os.environ.pop("PA_TIMERS", None)
