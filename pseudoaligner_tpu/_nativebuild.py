@@ -15,9 +15,11 @@ import os
 import subprocess
 
 
-def ensure_built(src: str, so_name: str) -> str:
+def ensure_built(src: str, so_name: str, libs: tuple = ()) -> str:
     """Compile `src` to `so_name` beside it (preferred) or in the user
-    cache; returns the shared-object path.  Raises if compilation fails."""
+    cache; returns the shared-object path.  Raises if compilation fails.
+    `libs` adds linker flags (e.g. ("-lz",)) to the direct-g++ fallback;
+    the Makefile path carries its own."""
     d = os.path.dirname(os.path.abspath(src))
     so = os.path.join(d, so_name)
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
@@ -31,7 +33,7 @@ def ensure_built(src: str, so_name: str) -> str:
             pass
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
-             src, "-o", so, "-lpthread"],
+             src, "-o", so, "-lpthread", *libs],
             check=True, capture_output=True)
         return so
     # read-only install: build into a user-writable cache
@@ -50,7 +52,7 @@ def ensure_built(src: str, so_name: str) -> str:
     tmp = so + ".tmp"
     subprocess.run(
         ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
-         src, "-o", tmp, "-lpthread"],
+         src, "-o", tmp, "-lpthread", *libs],
         check=True, capture_output=True)
     os.replace(tmp, so)
     return so

@@ -41,19 +41,90 @@ class _GzScanBuffer:
     """
 
     def __init__(self, path: str, chunk: int = 1 << 20):
-        import zlib
+        import os as _os
 
-        self._zlib = zlib
-        self._f = open(path, "rb")
-        self._dec = zlib.decompressobj(wbits=31)
-        self._chunk = chunk
         self.arr = np.empty(4 << 20, np.uint8)
         self.length = 0
         self.visible = 0
         self.eof = False
-        self._fed = False  # bytes fed into the CURRENT member
         # adaptive bytes-per-record estimate for right-sizing fills
         self.rec_est = 512
+        # zlib inflate is the expensive step (~150-190 MB/s single-stream,
+        # i.e. LESS than the device's serving appetite at ~220 MB/s of
+        # FASTQ) — run it on a dedicated producer thread so it overlaps
+        # the scan + pack + dispatch work instead of serializing with it.
+        self._chunk = int(_os.environ.get("PA_GZ_CHUNK", chunk))
+        self._f = None
+        self._gz = None
+        try:
+            # native producer (gzstream.cpp): file read + inflate on a
+            # GIL-free thread; Python-thread handoff jitter measurably
+            # drained the FIFO dispatch pipeline (PERF.md round 4)
+            from . import native as _native
+
+            _native._load_gz()  # toolchain errors -> Python fallback
+        except Exception:
+            _native = None
+        if _native is not None:
+            # an unopenable file is the caller's error, never a fallback
+            self._gz = _native.GzSource(path, self._chunk)
+            return
+        # no-toolchain fallback: Python inflate thread + bounded queue of
+        # decompressed chunks (PA_GZ_DEPTH read-ahead); the consumer
+        # memcpy-appends finished chunks (GB/s)
+        import queue
+        import threading
+
+        self._f = open(path, "rb")
+        self._q: queue.Queue = queue.Queue(
+            maxsize=int(_os.environ.get("PA_GZ_DEPTH", 8)))
+        self._stop = False
+        self._th = threading.Thread(target=self._inflate_loop, daemon=True)
+        self._th.start()
+
+    def _inflate_loop(self) -> None:
+        """Producer: file chunk -> inflate -> bounded queue.  Ends with
+        None (clean eof) or an exception object (re-raised in fill)."""
+        import zlib
+
+        dec = zlib.decompressobj(wbits=31)
+        fed = False  # bytes fed into the CURRENT member
+        try:
+            while not self._stop:
+                data = self._f.read(self._chunk)
+                if not data:
+                    tail = dec.flush()
+                    if tail:
+                        self._put(tail)
+                    if fed and not dec.eof:
+                        raise ValueError("truncated gzip stream")
+                    break
+                while data and not self._stop:
+                    fed = True
+                    out = dec.decompress(data)
+                    if out:
+                        self._put(out)
+                    if not dec.eof:
+                        break
+                    # next gzip member (concatenated/bgzf files)
+                    data = dec.unused_data
+                    dec = zlib.decompressobj(wbits=31)
+                    fed = False
+            self._put(None)
+        except BaseException as e:  # surfaced at the consumer's fill()
+            self._put(e)
+
+    def _put(self, item) -> None:
+        """Bounded put; drops (and lets the thread wind down) once the
+        consumer has closed — nothing will ever drain the queue then."""
+        import queue
+
+        while not self._stop:
+            try:
+                self._q.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
 
     def _append(self, data: bytes) -> None:
         if not data:
@@ -80,29 +151,52 @@ class _GzScanBuffer:
         return 0
 
     def fill(self, min_len: int) -> None:
-        """Decompress until length >= min_len or end of stream."""
+        """Append inflated chunks until length >= min_len or stream end
+        (the inflate itself runs ahead on the producer thread)."""
+        if self._gz is not None:
+            while self.length < min_len and not self.eof:
+                if len(self.arr) < min_len or len(self.arr) == self.length:
+                    new = np.empty(max(min_len, 2 * len(self.arr)), np.uint8)
+                    new[: self.length] = self.arr[: self.length]
+                    self.arr = new
+                try:
+                    app, last_nl, eof = self._gz.fill_into(
+                        self.arr, self.length, min_len)
+                except Exception:
+                    self.eof = True
+                    raise
+                self.length += app
+                if last_nl >= 0:
+                    self.visible = last_nl
+                if eof:
+                    self.eof = True
+                    self.visible = self.length
+            return
         while self.length < min_len and not self.eof:
-            data = self._f.read(self._chunk)
-            if not data:
-                self._append(self._dec.flush())
-                if self._fed and not self._dec.eof:
-                    raise ValueError("truncated gzip stream")
+            item = self._q.get()
+            if item is None:
                 self.eof = True
                 self.visible = self.length
                 return
-            while data:
-                self._fed = True
-                self._append(self._dec.decompress(data))
-                if not self._dec.eof:
-                    break
-                # next gzip member (concatenated/bgzf files)
-                data = self._dec.unused_data
-                self._dec = self._zlib.decompressobj(wbits=31)
-                self._fed = False
+            if isinstance(item, BaseException):
+                self.eof = True
+                raise item
+            self._append(item)
 
     def close(self) -> None:
+        if self._gz is not None:
+            self._gz.close()
+            self._gz = None
+            return
         f = self._f
         if f is not None:
+            self._stop = True  # producer drops instead of blocking
+            while True:  # unblock a full queue so the thread can exit
+                try:
+                    self._q.get_nowait()
+                except Exception:
+                    break
+            self._th.join(timeout=5)
             f.close()
             self._f = None
 

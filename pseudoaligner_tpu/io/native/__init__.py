@@ -230,3 +230,76 @@ def emit_records(flags, covs, ids_concat: bytes, id_offs, eq_offsets, eq_ids) ->
     data = ctypes.string_at(out, ln)
     lib.pa_free_buf(out)
     return data
+
+
+# --- native streaming gzip source (gzstream.cpp) ---
+
+_gz_lock = threading.Lock()
+_gz_lib = None
+
+
+def _load_gz():
+    global _gz_lib
+    with _gz_lock:
+        if _gz_lib is None:
+            from ..._nativebuild import ensure_built
+
+            lib = ctypes.CDLL(ensure_built(
+                os.path.join(_DIR, "gzstream.cpp"), "libpagz.so",
+                libs=("-lz",)))
+            lib.pa_gz_open.restype = ctypes.c_void_p
+            lib.pa_gz_open.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+            lib.pa_gz_fill.restype = ctypes.c_int64
+            lib.pa_gz_fill.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_char_p, ctypes.c_int64]
+            lib.pa_gz_close.restype = None
+            lib.pa_gz_close.argtypes = [ctypes.c_void_p]
+            _gz_lib = lib
+    return _gz_lib
+
+
+class GzSource:
+    """Streaming gzip inflate on a NATIVE producer thread (gzstream.cpp):
+    file read + inflate never touch the GIL, and the consumer's fill is
+    one ctypes call (GIL released) that memcpy-appends finished chunks
+    into the caller's scan buffer.  Multi-member files supported;
+    truncated streams raise at fill time."""
+
+    def __init__(self, path: str, chunk: int = 1 << 20,
+                 ahead: int = 32 << 20):
+        lib = _load_gz()
+        self._lib = lib
+        self._h = lib.pa_gz_open(path.encode(), chunk, ahead)
+        if not self._h:
+            raise OSError(f"cannot open {path}")
+
+    def fill_into(self, arr: np.ndarray, cur_len: int, min_len: int):
+        """Append into arr[cur_len:]; returns (appended, last_nl, eof)
+        where last_nl is one past the last '\\n' across the appended
+        region (or -1), eof means stream fully drained."""
+        last_nl = ctypes.c_int64(-1)
+        eof = ctypes.c_int32(0)
+        err = ctypes.create_string_buffer(192)
+        n = self._lib.pa_gz_fill(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(arr), cur_len, min_len, ctypes.byref(last_nl),
+            ctypes.byref(eof), err, len(err))
+        if n < 0:
+            raise ValueError(err.value.decode() or "gzip stream error")
+        return int(n), int(last_nl.value), bool(eof.value)
+
+    def close(self) -> None:
+        h, self._h = self._h, None
+        if h:
+            self._lib.pa_gz_close(h)
+
+    def __del__(self):  # best-effort: the handle owns a thread + FILE*
+        try:
+            self.close()
+        except Exception:
+            pass

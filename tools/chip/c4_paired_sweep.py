@@ -34,6 +34,23 @@ for rnd in range(2):
         dt = time.time() - t0
         print(f"[{rnd}] paired depth={depth}: {n / dt:.0f} pairs/s "
               f"({n} in {dt:.2f}s)", flush=True)
+# combined-batch size sweep: 131072 rows = 65536 pairs/batch halves the
+# per-batch fixed costs (signature table, remap round trip, render task)
+# at the price of a bigger down transfer — only measurable on the chip
+al2 = Pseudoaligner(image, AlignerConfig(
+    k=20, batch_size=131072, max_read_len=L, max_nodes=6, distinct_cap=3,
+    max_walk_iters=2, max_left_iters=2, pool_overlap=False,
+))
+al2.emit_fastq_paired(p1, p2, devnull)  # compile/warm
+for rnd in range(2):
+    for depth in (2, 3, 4):
+        object.__setattr__(al2.config, "pipeline_depth", depth)
+        t0 = time.time()
+        n = al2.emit_fastq_paired(p1, p2, devnull)
+        dt = time.time() - t0
+        print(f"[{rnd}] paired B=131072 depth={depth}: {n / dt:.0f} pairs/s "
+              f"({n} in {dt:.2f}s)", flush=True)
+
 # one timed pass with phase timers at the best-known depth
 os.environ["PA_TIMERS"] = "1"
 object.__setattr__(al.config, "pipeline_depth", 4)
