@@ -259,10 +259,15 @@ def read_fastq_records(path: str) -> Iterator[tuple[str, bytes]]:
             seq = f.readline().rstrip(b"\r\n")
             plus = f.readline()
             qual = f.readline()
-            if not qual:
-                raise ValueError("truncated FASTQ record")
             if not header.startswith(b"@") or not plus.startswith(b"+"):
                 raise ValueError("malformed FASTQ record")
+            if not qual.endswith(b"\n") and len(qual.rstrip(b"\r")) < len(seq):
+                # a final newline-less qual line is complete only if it
+                # covers the sequence (rust-bio reads qual lines until
+                # qual.len() >= seq.len(); EOF before that = incomplete —
+                # so a zero-length-seq record may end at its '+' line).
+                # Matches the native scanner's final_chunk acceptance.
+                raise ValueError("truncated FASTQ record")
             rid = header[1:].split(None, 1)[0].decode()  # first ws-token
             # (matches the native scanner, which stops at space/tab)
             yield rid, seq
@@ -278,14 +283,17 @@ def read_fastq_seqs(path: str, chunk_bytes: int = 1 << 26) -> Iterator[bytes]:
     with _open(path) as f:
         carry = b""
         lineno = 0  # cycles 0 header, 1 seq, 2 plus, 3 qual
+        last_seq_len = 0
 
         def take(ln):
-            nonlocal lineno
+            nonlocal lineno, last_seq_len
             if lineno == 0 and not ln.startswith(b"@"):
                 raise ValueError("malformed FASTQ record")
             if lineno == 2 and not ln.startswith(b"+"):
                 raise ValueError("malformed FASTQ record")
             out = ln.rstrip(b"\r") if lineno == 1 else None
+            if out is not None:
+                last_seq_len = len(out)
             lineno = (lineno + 1) & 3
             return out
 
@@ -300,9 +308,15 @@ def read_fastq_seqs(path: str, chunk_bytes: int = 1 << 26) -> Iterator[bytes]:
                 if seq is not None:
                     yield seq
         if carry:
+            # a final newline-less qual line is complete only if it
+            # covers the sequence (rust-bio / native-scanner semantics)
+            if lineno == 3 and len(carry.rstrip(b"\r")) < last_seq_len:
+                raise ValueError("truncated FASTQ record")
             seq = take(carry)
             if seq is not None:
                 yield seq
+        if lineno == 3 and last_seq_len == 0:
+            lineno = 0  # a zero-length-seq record may end at its '+' line
         if lineno != 0:
             raise ValueError("truncated FASTQ record")
 

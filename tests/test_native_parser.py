@@ -1,5 +1,7 @@
 """Native FASTQ scanner vs the python reader — identical batches."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -342,14 +344,88 @@ def test_gz_scanner_structural_fuzz(tmp_path):
         gz = tmp_path / f"f{trial}.fq.gz"
         gz.write_bytes(gzip.compress(raw))
 
-        want = list(read_fastq_records(str(plain)))
+        want = [(rid, len(s)) for rid, s in read_fastq_records(str(plain))]
 
-        r = FastqReader(str(gz), batch_size=int(rng.integers(3, 40)),
+        # the compressed-chunk size must be set at CONSTRUCTION — the
+        # native producer thread (gzstream.cpp) reads it once at open
+        os.environ["PA_GZ_CHUNK"] = str(int(rng.integers(5, 400)))
+        try:
+            for force_fallback in (False, True):
+                if force_fallback:
+                    # differential axis: the pure-Python inflate thread
+                    # must agree with the native producer byte for byte
+                    import pseudoaligner_tpu.io.fastq as fq_mod
+
+                    orig = fq_mod._GzScanBuffer.__init__
+
+                    def no_native(self, path, chunk=1 << 20,
+                                  __orig=orig):
+                        import unittest.mock as mock
+
+                        with mock.patch(
+                            "pseudoaligner_tpu.io.native._load_gz",
+                            side_effect=RuntimeError("forced"),
+                        ):
+                            __orig(self, path, chunk)
+
+                    fq_mod._GzScanBuffer.__init__ = no_native
+                try:
+                    r = FastqReader(
+                        str(gz), batch_size=int(rng.integers(3, 40)),
                         max_len=220)
-        assert r._gzsrc is not None
-        r._gzsrc._chunk = int(rng.integers(5, 400))
-        got = []
-        for b in r:
-            for j, rid in enumerate(b.ids):
-                got.append((rid, int(b.lens[j])))
-        assert got == [(rid, len(s)) for rid, s in want], f"trial {trial}"
+                    assert r._gzsrc is not None
+                    assert (r._gzsrc._gz is None) == force_fallback
+                    got = []
+                    for b in r:
+                        for j, rid in enumerate(b.ids):
+                            got.append((rid, int(b.lens[j])))
+                    assert got == want, f"trial {trial} fb={force_fallback}"
+                finally:
+                    if force_fallback:
+                        fq_mod._GzScanBuffer.__init__ = orig
+        finally:
+            os.environ.pop("PA_GZ_CHUNK", None)
+
+
+def test_final_record_qual_semantics(tmp_path):
+    """Final newline-less records: all three readers (python record path,
+    bulk seq stream, native scanner via FastqReader) agree with the
+    rust-bio rule — the qual is complete iff it covers the sequence, so
+    a zero-length-seq record may end at its '+' line (the reference
+    reads qual lines until qual.len() >= seq.len())."""
+    from pseudoaligner_tpu.io.fastq import read_fastq_seqs
+
+    cases = [
+        (b"@a\nACGT\n+\nIIII\n@x\n\n+\n", ["a", "x"], [4, 0]),  # empty-qual eof
+        (b"@a\nACGT\n+\nIIII", ["a"], [4]),                     # full qual no NL
+        (b"@x\n\n+\n\n", ["x"], [0]),                           # empty + final NL
+        (b"@a\nACGT\n+\n", None, None),                         # qual missing
+        (b"@a\nACGT\n+\nII", None, None),                       # short qual eof
+    ]
+    for raw, ids, lens in cases:
+        p = tmp_path / "c.fq"
+        p.write_bytes(raw)
+        for reader in ("records", "seqs", "native"):
+            def run():
+                if reader == "records":
+                    from pseudoaligner_tpu.io.fastq import read_fastq_records
+
+                    return [(r, len(s)) for r, s in
+                            read_fastq_records(str(p))]
+                if reader == "seqs":
+                    return [len(s) for s in read_fastq_seqs(str(p))]
+                out = []
+                for b in FastqReader(str(p), 8, 64):
+                    out += [(r, int(b.lens[j]))
+                            for j, r in enumerate(b.ids)]
+                return out
+
+            if ids is None:
+                with pytest.raises(ValueError):
+                    run()
+            else:
+                got = run()
+                if reader == "seqs":
+                    assert got == lens, (raw, reader)
+                else:
+                    assert got == list(zip(ids, lens)), (raw, reader)
