@@ -292,13 +292,17 @@ def _bench_gz(aligner, n_reads, workdir):
         g.write(f.read())
     devnull = open(os.devnull, "wb")
     aligner.emit_fastq(p, devnull)  # warm/compile
-    t0 = time.time()
-    n, _ = aligner.emit_fastq(p, devnull)
-    plain = n / (time.time() - t0)
     aligner.emit_fastq(pgz, devnull)  # warm the gz reader path
-    t0 = time.time()
-    n, _ = aligner.emit_fastq(pgz, devnull)
-    gz_rps = n / (time.time() - t0)
+    # best-of-2, interleaved: the gz side shares 4 host cores with the
+    # render/remap/scan threads and is the noisiest row (PERF.md r4)
+    plain = gz_rps = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        n, _ = aligner.emit_fastq(p, devnull)
+        plain = max(plain, n / (time.time() - t0))
+        t0 = time.time()
+        n, _ = aligner.emit_fastq(pgz, devnull)
+        gz_rps = max(gz_rps, n / (time.time() - t0))
     return gz_rps, plain
 
 

@@ -97,9 +97,9 @@ def test_emit_fastq_matches_record_path(small_index, tmp_path, small_reads):
     assert n_reads == len(expected) == 151
 
 
-def test_gzip_falls_back_to_python_reader(small_index, small_reads, tmp_path):
-    """Gzipped FASTQ takes the python reader path and yields identical
-    records through the full pipeline."""
+def test_gzip_record_path_parity(small_index, small_reads, tmp_path):
+    """Gzipped FASTQ through the record path (native gz source feeding
+    the C scanner) yields identical records to the plain file."""
     import gzip
 
     from pseudoaligner_tpu.config import AlignerConfig
