@@ -272,10 +272,12 @@ def _bench_paired(aligner, n_pairs, workdir):
     _write_synth_fastq(p2, r2)
     devnull = open(os.devnull, "wb")
     aligner.emit_fastq_paired(p1, p2, devnull)  # warm/compile
-    t0 = time.time()
-    n = aligner.emit_fastq_paired(p1, p2, devnull)  # returns PAIR count
-    dt = time.time() - t0
-    return n / dt
+    best = 0.0
+    for _ in range(2):  # best-of-2: single-shot rows eat tunnel jitter
+        t0 = time.time()
+        n = aligner.emit_fastq_paired(p1, p2, devnull)  # returns PAIRS
+        best = max(best, n / (time.time() - t0))
+    return best
 
 
 def _bench_gz(aligner, n_reads, workdir):
@@ -324,11 +326,13 @@ def _bench_count(aligner, n_pairs, workdir):
     _write_synth_fastq(pw1, r1[:w])
     _write_synth_fastq(pw2, r2[:w])
     count_single_cell(aligner, pw1, pw2, umi_dedup="directional")
-    t0 = time.time()
-    counts = count_single_cell(aligner, p1, p2, umi_dedup="directional")
-    counts.cell_totals("directional")
-    dt = time.time() - t0
-    return n_pairs / dt
+    best = 0.0
+    for _ in range(2):  # best-of-2: single-shot rows eat tunnel jitter
+        t0 = time.time()
+        counts = count_single_cell(aligner, p1, p2, umi_dedup="directional")
+        counts.cell_totals("directional")
+        best = max(best, n_pairs / (time.time() - t0))
+    return best
 
 
 def _make_rb(codes, ls):
@@ -519,7 +523,8 @@ def _bench_scale(B, L, cap, depth, n_batches):
     init_s = time.time() - t0
     serve_pass(al, batches[1:], depth=depth)  # warm (signature caches)
     n, _, dt = serve_pass(al, batches[1:], depth=depth)
-    return n / dt, init_s, int(image.mphf.n_keys)
+    _, _, dt2 = serve_pass(al, batches[1:], depth=depth)  # best-of-2
+    return n / min(dt, dt2), init_s, int(image.mphf.n_keys)
 
 
 def _fail(msg: str) -> int:
