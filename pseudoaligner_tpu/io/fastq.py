@@ -47,6 +47,11 @@ class _GzScanBuffer:
         self.length = 0
         self.visible = 0
         self.eof = False
+        # deliver-then-error contract: a mid-stream inflate error is
+        # STASHED here (eof flips true, visible stays at the last
+        # complete line) so consumers can emit every record inflated
+        # before the corruption point, then raise this at end-of-scan
+        self.err: BaseException | None = None
         # adaptive bytes-per-record estimate for right-sizing fills
         self.rec_est = 512
         # zlib inflate is the expensive step (~150-190 MB/s single-stream,
@@ -67,7 +72,9 @@ class _GzScanBuffer:
             _native = None
         if _native is not None:
             # an unopenable file is the caller's error, never a fallback
-            self._gz = _native.GzSource(path, self._chunk)
+            self._gz = _native.GzSource(
+                path, self._chunk,
+                ahead=int(_os.environ.get("PA_GZ_AHEAD", 32 << 20)))
             return
         # no-toolchain fallback: Python inflate thread + bounded queue of
         # decompressed chunks (PA_GZ_DEPTH read-ahead); the consumer
@@ -126,14 +133,18 @@ class _GzScanBuffer:
             except queue.Full:
                 continue
 
-    def _append(self, data: bytes) -> None:
-        if not data:
-            return
-        need = self.length + len(data)
+    def _grow(self, need: int) -> None:
+        """Ensure the backing array holds >= need bytes (keeps content)."""
         if need > len(self.arr):
             new = np.empty(max(need, 2 * len(self.arr)), np.uint8)
             new[: self.length] = self.arr[: self.length]
             self.arr = new
+
+    def _append(self, data: bytes) -> None:
+        if not data:
+            return
+        need = self.length + len(data)
+        self._grow(need)
         self.arr[self.length: need] = np.frombuffer(data, np.uint8)
         nl = data.rfind(b"\n")
         if nl >= 0:
@@ -156,15 +167,14 @@ class _GzScanBuffer:
         if self._gz is not None:
             while self.length < min_len and not self.eof:
                 if len(self.arr) < min_len or len(self.arr) == self.length:
-                    new = np.empty(max(min_len, 2 * len(self.arr)), np.uint8)
-                    new[: self.length] = self.arr[: self.length]
-                    self.arr = new
+                    self._grow(max(min_len, len(self.arr) + 1))
                 try:
                     app, last_nl, eof = self._gz.fill_into(
                         self.arr, self.length, min_len)
-                except Exception:
+                except Exception as e:
+                    self.err = e  # deliver-then-error: see __init__
                     self.eof = True
-                    raise
+                    return
                 self.length += app
                 if last_nl >= 0:
                     self.visible = last_nl
@@ -179,8 +189,9 @@ class _GzScanBuffer:
                 self.visible = self.length
                 return
             if isinstance(item, BaseException):
+                self.err = item  # deliver-then-error: see __init__
                 self.eof = True
-                raise item
+                return
             self._append(item)
 
     def close(self) -> None:
@@ -261,12 +272,17 @@ def read_fastq_records(path: str) -> Iterator[tuple[str, bytes]]:
             qual = f.readline()
             if not header.startswith(b"@") or not plus.startswith(b"+"):
                 raise ValueError("malformed FASTQ record")
-            if not qual.endswith(b"\n") and len(qual.rstrip(b"\r")) < len(seq):
+            if not plus.endswith(b"\n"):
+                # '+' line at EOF without its newline: incomplete record
+                # (the native scanner requires the separator newline)
+                raise ValueError("truncated FASTQ record")
+            if not qual.endswith(b"\n") and len(qual) < len(seq):
                 # a final newline-less qual line is complete only if it
-                # covers the sequence (rust-bio reads qual lines until
-                # qual.len() >= seq.len(); EOF before that = incomplete —
-                # so a zero-length-seq record may end at its '+' line).
-                # Matches the native scanner's final_chunk acceptance.
+                # covers the sequence — RAW bytes, matching the native
+                # scanner's final_chunk acceptance (rust-bio reads qual
+                # lines until qual.len() >= seq.len(); EOF before that =
+                # incomplete, so a zero-length-seq record may end right
+                # after its '+' line).
                 raise ValueError("truncated FASTQ record")
             rid = header[1:].split(None, 1)[0].decode()  # first ws-token
             # (matches the native scanner, which stops at space/tab)
@@ -309,14 +325,19 @@ def read_fastq_seqs(path: str, chunk_bytes: int = 1 << 26) -> Iterator[bytes]:
                     yield seq
         if carry:
             # a final newline-less qual line is complete only if it
-            # covers the sequence (rust-bio / native-scanner semantics)
-            if lineno == 3 and len(carry.rstrip(b"\r")) < last_seq_len:
+            # covers the sequence — RAW bytes (native-scanner semantics)
+            if lineno == 3 and len(carry) < last_seq_len:
+                raise ValueError("truncated FASTQ record")
+            if lineno == 2:
+                # a '+' line at EOF without its newline: incomplete
                 raise ValueError("truncated FASTQ record")
             seq = take(carry)
             if seq is not None:
                 yield seq
-        if lineno == 3 and last_seq_len == 0:
-            lineno = 0  # a zero-length-seq record may end at its '+' line
+        elif lineno == 3 and last_seq_len == 0:
+            # newline-terminated '+' then EOF: the empty qual of a
+            # zero-length-seq record is complete (rust-bio rule)
+            lineno = 0
         if lineno != 0:
             raise ValueError("truncated FASTQ record")
 
@@ -373,6 +394,10 @@ class R1PrefixReader:
             while got < n:
                 if self._off >= src.visible:
                     if src.eof:
+                        if src.err is not None:
+                            if got:  # deliver scanned rows; raise on the
+                                break  # next call (got==0 then)
+                            raise src.err
                         if self._off < src.length:
                             raise ValueError("truncated FASTQ record")
                         break
@@ -381,10 +406,14 @@ class R1PrefixReader:
                     continue
                 m, _, resume = self._native.fastq_scan_prefix(
                     src.arr, self._off, n - got, P, out[got:],
-                    end=src.visible, final=src.eof,
+                    end=src.visible, final=src.eof and src.err is None,
                 )
                 if m == 0:
                     if src.eof:
+                        if src.err is not None:
+                            if got:
+                                break
+                            raise src.err
                         if resume < src.visible:
                             raise ValueError("truncated FASTQ record")
                         break
@@ -523,6 +552,10 @@ class FastqReader:
         while got < max_n:
             if self._off >= src.visible:
                 if src.eof:
+                    if src.err is not None:
+                        if got:  # deliver scanned records; raise on the
+                            break  # next call (got==0 then)
+                        raise src.err
                     if self._off < src.length:
                         raise ValueError("truncated FASTQ record")
                     break
@@ -532,11 +565,15 @@ class FastqReader:
                 continue
             t = self._native.fastq_scan(
                 src.arr, self._off, max_n - got, L, end=src.visible,
-                final=src.eof,
+                final=src.eof and src.err is None,
             )
             n, resume = t[0], t[5]
             if n == 0:
                 if src.eof:
+                    if src.err is not None:
+                        if got:
+                            break
+                        raise src.err
                     if resume < src.visible:
                         raise ValueError("truncated FASTQ record")
                     break

@@ -97,6 +97,10 @@ struct PaGz {
         size_t produced = out.size() - zs.avail_out;
         if (produced) {
           out.resize(produced);
+          // right-size before queueing: a bgzf-style file (~64KB per
+          // member) would otherwise pin out_cap of heap per block while
+          // `queued` counts only the bytes — ahead_cap admits hundreds
+          if (out.capacity() > produced + 4096) out.shrink_to_fit();
           push(std::move(out));
         }
         if (rc == Z_STREAM_END) {
@@ -157,7 +161,11 @@ int64_t pa_gz_fill(void* hv, uint8_t* dst, int64_t cap, int64_t cur_len,
   std::unique_lock<std::mutex> g(h->mu);
   for (;;) {
     while (h->queued == 0 && !h->eof) h->cv_data.wait(g);
-    if (h->err) {
+    // on error: deliver already-inflated bytes FIRST (matching the
+    // Python fallback, whose queue holds chunks then the exception) —
+    // the error is reported on the next call, once the queue is dry
+    if (h->err && h->queued == 0) {
+      if (appended > 0) break;
       snprintf(errbuf, (size_t)errcap, "%s", h->msg);
       return -1;
     }
@@ -181,7 +189,9 @@ int64_t pa_gz_fill(void* hv, uint8_t* dst, int64_t cap, int64_t cur_len,
     if (cur_len + appended >= cap) break;  // caller must grow dst
     if (h->eof && h->queued == 0) break;
   }
-  if (h->eof && h->queued == 0) *eof_out = 1;
+  // never signal clean eof while an error is pending — the consumer
+  // would treat the stream as complete and silently truncate
+  if (h->eof && h->queued == 0 && !h->err) *eof_out = 1;
   if (appended > 0) {
     const uint8_t* beg = dst + cur_len;
     for (int64_t i = appended - 1; i >= 0; i--) {  // memrchr is GNU-only

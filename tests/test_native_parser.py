@@ -401,6 +401,9 @@ def test_final_record_qual_semantics(tmp_path):
         (b"@x\n\n+\n\n", ["x"], [0]),                           # empty + final NL
         (b"@a\nACGT\n+\n", None, None),                         # qual missing
         (b"@a\nACGT\n+\nII", None, None),                       # short qual eof
+        (b"@x\n\n+", None, None),               # '+' missing its newline
+        (b"@a\r\nACGT\r\n+\r\nIII\r", ["a"], [4]),  # CRLF qual at EOF:
+        # RAW-byte coverage (the '\r' counts), matching the native scan
     ]
     for raw, ids, lens in cases:
         p = tmp_path / "c.fq"
@@ -429,3 +432,33 @@ def test_final_record_qual_semantics(tmp_path):
                     assert got == lens, (raw, reader)
                 else:
                     assert got == list(zip(ids, lens)), (raw, reader)
+
+
+def test_gz_truncated_midstream_delivers_prefix(tmp_path):
+    """A gz file truncated mid-stream: records inflated before the
+    corruption point are delivered (a valid PREFIX of the stream), then
+    ValueError — on both the native and the Python-fallback sources."""
+    import gzip
+    import unittest.mock as mock
+
+    import pseudoaligner_tpu.io.fastq as fq_mod
+
+    recs = b"".join(b"@r%d\nACGTACGTACGT\n+\nIIIIIIIIIIII\n" % i
+                    for i in range(20000))
+    gz = tmp_path / "t.fq.gz"
+    gz.write_bytes(gzip.compress(recs)[: int(len(gzip.compress(recs)) * 0.6)])
+
+    want_ids = [f"r{i}" for i in range(20000)]
+    for force_fallback in (False, True):
+        ctx = (mock.patch("pseudoaligner_tpu.io.native._load_gz",
+                          side_effect=RuntimeError("forced"))
+               if force_fallback else mock.patch("os.sep", os.sep))
+        with ctx:
+            r = FastqReader(str(gz), batch_size=512, max_len=16)
+            assert (r._gzsrc._gz is None) == force_fallback
+            got = []
+            with pytest.raises(ValueError):
+                for b in r:
+                    got.extend(b.ids)
+        assert 0 < len(got) < 20000, force_fallback
+        assert got == want_ids[: len(got)], force_fallback

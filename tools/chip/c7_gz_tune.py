@@ -40,9 +40,9 @@ al.emit_fastq(p + ".gz", devnull)
 for rnd in range(3):  # (b) serving A/B over knobs
     for tag, env in (
         ("plain", None),
-        ("gz c1m/d8", {"PA_GZ_CHUNK": "1048576", "PA_GZ_DEPTH": "8"}),
-        ("gz c4m/d16", {"PA_GZ_CHUNK": "4194304", "PA_GZ_DEPTH": "16"}),
-        ("gz c256k/d64", {"PA_GZ_CHUNK": "262144", "PA_GZ_DEPTH": "64"}),
+        ("gz c1m/a32m", {"PA_GZ_CHUNK": "1048576", "PA_GZ_AHEAD": "33554432"}),
+        ("gz c4m/a64m", {"PA_GZ_CHUNK": "4194304", "PA_GZ_AHEAD": "67108864"}),
+        ("gz c256k/a8m", {"PA_GZ_CHUNK": "262144", "PA_GZ_AHEAD": "8388608"}),
     ):
         path = p if env is None else p + ".gz"
         if env:
