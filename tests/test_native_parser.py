@@ -462,3 +462,70 @@ def test_gz_truncated_midstream_delivers_prefix(tmp_path):
                     got.extend(b.ids)
         assert 0 < len(got) < 20000, force_fallback
         assert got == want_ids[: len(got)], force_fallback
+
+
+def test_gz_truncation_fuzz(tmp_path):
+    """Randomized multi-member gz files truncated at random byte
+    offsets, tiny read-ahead: every outcome must be either the full
+    record stream (truncation hit only trailing garbage) or a clean
+    PREFIX followed by ValueError — never corruption, on both sources."""
+    import gzip
+    import unittest.mock as mock
+
+    import pseudoaligner_tpu.io.fastq as fq_mod
+
+    rng = np.random.default_rng(424242)
+    for trial in range(5):
+        n = int(rng.integers(200, 2000))
+        recs = []
+        for i in range(n):
+            s = b"ACGT" * int(rng.integers(1, 9))
+            recs.append(b"@t%d_%d\n%s\n+\n%s\n" % (trial, i, s, b"I" * len(s)))
+        raw = b"".join(recs)
+        # multi-member: split into 1-6 members at random record offsets
+        n_members = int(rng.integers(1, 7))
+        cuts = sorted(rng.choice(len(recs), size=n_members - 1,
+                                 replace=False)) if n_members > 1 else []
+        comp = b""
+        prev = 0
+        for c in list(cuts) + [len(recs)]:
+            comp += gzip.compress(b"".join(recs[prev:int(c)]),
+                                  compresslevel=1)
+            prev = int(c)
+        cut = int(rng.integers(len(comp) // 4, len(comp) + 1))
+        gz = tmp_path / f"tr{trial}.fq.gz"
+        gz.write_bytes(comp[:cut])
+        want = [f"t{trial}_{i}" for i in range(n)]
+
+        os.environ["PA_GZ_CHUNK"] = str(int(rng.integers(64, 4096)))
+        os.environ["PA_GZ_AHEAD"] = str(int(rng.integers(1 << 12, 1 << 16)))
+        try:
+            for force_fallback in (False, True):
+                ctx = (mock.patch("pseudoaligner_tpu.io.native._load_gz",
+                                  side_effect=RuntimeError("forced"))
+                       if force_fallback else mock.patch("os.sep", os.sep))
+                got = []
+                err = None
+                with ctx:
+                    try:
+                        for b in FastqReader(str(gz), batch_size=64,
+                                             max_len=40):
+                            got.extend(b.ids)
+                    except ValueError as e:
+                        err = e
+                if cut == len(comp):
+                    assert err is None and got == want, (trial,
+                                                        force_fallback)
+                else:
+                    # a cut at an exact member boundary is a VALID
+                    # (shorter) multi-member file: no error, clean
+                    # record-boundary prefix.  Anywhere else: prefix
+                    # then ValueError.  Never corruption.
+                    assert got == want[: len(got)], (trial, force_fallback)
+                    if err is None:
+                        assert len(got) < n and got and \
+                            got[-1].startswith(f"t{trial}_"), (
+                                trial, force_fallback)
+        finally:
+            os.environ.pop("PA_GZ_CHUNK", None)
+            os.environ.pop("PA_GZ_AHEAD", None)
