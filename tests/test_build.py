@@ -184,3 +184,39 @@ def test_sharded_census_matches_global(small_transcripts):
     for f in ("kmer_words", "kmer_exts", "ec_of_kmer", "ec_offsets",
               "ec_txs", "nxt"):
         assert np.array_equal(getattr(a, f), getattr(b, f)), f
+
+
+def test_validate_dbg_random_adversarial():
+    """The reference runs validate_dbg only on the bundled fixture
+    (src/build_index.rs:394-410); this randomized analog stresses the
+    builder on adversarial transcriptome shapes — duplicate transcripts,
+    exact-k and sub-k transcripts, isoforms sharing long substrings,
+    reversed copies — at both k=20 and k=64."""
+    from pseudoaligner_tpu.index.builder import build_index
+
+    rng = np.random.default_rng(2024)
+    for trial in range(4):
+        k = 20 if trial % 2 == 0 else 64
+        base = rng.integers(
+            0, 4, size=int(rng.integers(max(200, 3 * k), 800))
+        ).astype(np.uint8)
+        seqs = []
+        for _ in range(int(rng.integers(2, 5))):  # overlapping isoforms
+            a = int(rng.integers(0, len(base) - k))
+            b = int(rng.integers(a + k, len(base) + 1))
+            seqs.append(base[a:b].copy())
+        seqs.append(seqs[0].copy())  # exact duplicate
+        seqs.append(rng.integers(0, 4, size=k).astype(np.uint8))  # len==k
+        seqs.append(  # len k-1: contributes no k-mers, never maps
+            rng.integers(0, 4, size=k - 1).astype(np.uint8))
+        seqs.append(seqs[1][::-1].copy())  # reversed (not complemented)
+        for _ in range(int(rng.integers(3, 8))):
+            seqs.append(rng.integers(
+                0, 4, size=int(rng.integers(k, 3 * k))).astype(np.uint8))
+        names = [f"t{i}" for i in range(len(seqs))]
+        gene_map = {n: f"g{i // 2}" for i, n in enumerate(names)}
+        img = build_index(seqs, names, gene_map, k=k)
+        eq = brute_force_eqclasses(seqs, k)
+        assert img.n_kmers == len(eq), trial
+        _check_kmers_against_brute(img, eq)
+        _check_self_mapping(img, seqs)
