@@ -682,3 +682,43 @@ def test_fuzz_longread_window_batch_boundary_depth(tmp_path):
         n_out, _ = srv.emit_fastq(str(fq), buf)
         assert n_out == len(reads)
         assert buf.getvalue() == want, f"depth={depth}"
+
+
+@pytest.mark.parametrize("caps", [(1, 1), (2, 1), (2, 2)])
+def test_fuzz_serving_cap_sweep_parity(tmp_path, caps):
+    """Tight walk/left caps — including the (2,1) bench candidate — must
+    stay byte-identical to the full-output record path: lanes the caps
+    cut take the exact -3 host remap, so output never depends on the
+    cap choice."""
+    import io as iomod
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    wcap, lcap = caps
+    rng = np.random.default_rng(500 + wcap * 10 + lcap)
+    seqs, names, gmap = _random_transcripts(rng, n=14, lo=150, hi=700)
+    image = build_index(seqs, names, gmap, k=20)
+    reads = _fuzz_reads(rng, seqs, k=20, n=400, L=72)
+    fq = tmp_path / "cz.fq"
+    dec = "ACGT"
+    with open(fq, "w") as f:
+        for rid, w in reads:
+            s = "".join(dec[b] for b in w)
+            f.write(f"@{rid}\n{s}\n+\n{'I' * len(s)}\n")
+
+    ref = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=128, max_read_len=96, max_nodes=64,
+        distinct_cap=0))
+    want = "".join(
+        r.format_reference_style() + "\n" for r in ref.map_fastq(str(fq))
+    ).encode()
+
+    srv = Pseudoaligner(image, AlignerConfig(
+        k=20, batch_size=128, max_read_len=96,
+        max_nodes=wcap + lcap + 2, distinct_cap=3,
+        max_walk_iters=wcap, max_left_iters=lcap))
+    buf = iomod.BytesIO()
+    n, _fl = srv.emit_fastq(str(fq), buf)
+    assert n == len(reads)
+    assert buf.getvalue() == want
