@@ -1096,13 +1096,16 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
             getattr(aligner.config, "pipeline_depth", 1),
             prepare=lambda t, _n: (
                 aligner.emit_prepare(t[0], t[1], defer_group=True), t[2]),
-            finish=lambda _done: None,
-            # grouping + the whole accumulation run on the ordered
-            # single-worker render pool (one thread -> first-appearance
-            # interning order is unchanged); exceptions re-raise at the
-            # ordered finish
-            render=lambda st: consume(
-                aligner.emit_prepare_group(st[0]), st[1]),
+            # grouping on the ordered single-worker render pool;
+            # accumulation at the ordered FIFO finish (main thread, which
+            # otherwise just waits between dispatches) — the two stages
+            # pipeline across batches, and both are order-preserving so
+            # first-appearance interning is unchanged.  One render stage
+            # carrying both measured ~120ms/batch on the chip vs the
+            # ~52ms device step: the render thread WAS the critical path
+            # (PERF.md round 4, c13).
+            finish=lambda t: consume(*t),
+            render=lambda st: (aligner.emit_prepare_group(st[0]), st[1]),
         )
 
         def _src():  # parse R2 + scan R1 a couple of batches ahead
