@@ -383,8 +383,17 @@ class R1PrefixReader:
         if self._native is None:
             self._seqs = read_fastq_seqs(path)
 
+    def pending_error(self):
+        """A stashed mid-stream gz error (deliver-then-error contract):
+        callers that would otherwise report a short stream as a
+        count-mismatch should raise THIS instead."""
+        src = self._gzsrc
+        return getattr(src, "err", None) if src is not None else None
+
     def take(self, n: int) -> np.ndarray:
-        """Next n records' prefixes; fewer rows only at end of stream."""
+        """Next n records' prefixes; fewer rows only at end of stream
+        (a short return may also mean a stashed error — the NEXT take
+        raises it; see pending_error)."""
         P = self.P
         out = np.empty((n, P), dtype=np.uint8)
         if self._gzsrc is not None:
@@ -638,6 +647,13 @@ class FastqReader:
                 if next(self._records, None) is None:
                     break
                 self._read_index += 1
+
+    def pending_error(self):
+        """A stashed mid-stream gz error (deliver-then-error contract):
+        callers that would otherwise report a short stream as a
+        count/pairing mismatch should raise THIS instead."""
+        src = getattr(self, "_gzsrc", None)
+        return getattr(src, "err", None) if src is not None else None
 
     def __iter__(self) -> Iterator[ReadBatch]:
         while True:

@@ -1177,14 +1177,14 @@ class Pseudoaligner:
 
         pairs = prefetch_iter(_pair_gen())
         try:
-            return self._emit_paired_loop(pairs, pipe, h)
+            return self._emit_paired_loop(pairs, pipe, h, r1, r2)
         except BaseException:
             pipe.abort()  # drop queued work; no orphan render tasks
             raise
         finally:
             pairs.close()
 
-    def _emit_paired_loop(self, pairs, pipe, h):
+    def _emit_paired_loop(self, pairs, pipe, h, rdr1=None, rdr2=None):
         from ..io.fastq import ReadBatch
 
         def _raw_ids(b):
@@ -1212,6 +1212,14 @@ class Pseudoaligner:
             if (b1 is None) != (b2 is None) or (
                 b1 is not None and b1.n_reads != b2.n_reads
             ):
+                # a short mate may be a stashed gz corruption error
+                # (deliver-then-error) — attribute it, don't report a
+                # misleading pairing mismatch
+                for rdr in (rdr1, rdr2):
+                    err = (rdr.pending_error()
+                           if rdr is not None else None)
+                    if err is not None:
+                        raise err
                 raise ValueError("paired FASTQs have different read counts")
             if b1 is not None:
                 _t = time.time()
@@ -1428,6 +1436,10 @@ class Pseudoaligner:
             if (b1 is None) != (b2 is None) or (
                 b1 is not None and b1.n_reads != b2.n_reads
             ):
+                for rdr in (r1, r2):  # attribute stashed gz corruption
+                    err = rdr.pending_error()
+                    if err is not None:
+                        raise err
                 raise ValueError("paired FASTQs have different read counts")
             if b1 is None:
                 break

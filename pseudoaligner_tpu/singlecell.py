@@ -1117,6 +1117,12 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
             for batch, arr in pf:
                 fut = aligner.map_batch_device(batch.codes, batch.lens)
                 if arr.shape[0] < batch.n_reads:
+                    # a short R1 may be a stashed gz corruption error
+                    # (deliver-then-error) — attribute it, don't report
+                    # a misleading read-count mismatch
+                    err = r1.pending_error()
+                    if err is not None:
+                        raise err
                     raise ValueError("R1 has fewer reads than R2")
                 pipe.push((fut, batch, arr))
             pipe.close()

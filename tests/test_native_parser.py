@@ -441,12 +441,11 @@ def test_gz_truncated_midstream_delivers_prefix(tmp_path):
     import gzip
     import unittest.mock as mock
 
-    import pseudoaligner_tpu.io.fastq as fq_mod
-
     recs = b"".join(b"@r%d\nACGTACGTACGT\n+\nIIIIIIIIIIII\n" % i
                     for i in range(20000))
+    comp = gzip.compress(recs)
     gz = tmp_path / "t.fq.gz"
-    gz.write_bytes(gzip.compress(recs)[: int(len(gzip.compress(recs)) * 0.6)])
+    gz.write_bytes(comp[: int(len(comp) * 0.6)])
 
     want_ids = [f"r{i}" for i in range(20000)]
     for force_fallback in (False, True):
@@ -471,8 +470,6 @@ def test_gz_truncation_fuzz(tmp_path):
     PREFIX followed by ValueError — never corruption, on both sources."""
     import gzip
     import unittest.mock as mock
-
-    import pseudoaligner_tpu.io.fastq as fq_mod
 
     rng = np.random.default_rng(424242)
     for trial in range(5):
@@ -529,3 +526,39 @@ def test_gz_truncation_fuzz(tmp_path):
         finally:
             os.environ.pop("PA_GZ_CHUNK", None)
             os.environ.pop("PA_GZ_AHEAD", None)
+
+
+def test_gz_corruption_error_attribution(small_index, tmp_path):
+    """A truncated R1 .gz in the count path must surface the gzip/stream
+    error, not a misleading 'R1 has fewer reads than R2'; a truncated
+    mate in paired emit must not masquerade as a pairing mismatch."""
+    import gzip
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.dna import decode_bases
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+    from pseudoaligner_tpu.singlecell import count_single_cell
+
+    n = 600
+    r2recs = []
+    rng = np.random.default_rng(9)
+    for i in range(n):
+        s = "".join("ACGT"[b] for b in rng.integers(0, 4, 60))
+        r2recs.append(f"@p{i}\n{s}\n+\n{'I' * 60}\n")
+    r1recs = [f"@p{i}\n{'ACGT' * 7}\n+\n{'I' * 28}\n" for i in range(n)]
+    p2 = tmp_path / "r2.fq"
+    p2.write_text("".join(r2recs))
+    comp = gzip.compress("".join(r1recs).encode(), compresslevel=1)
+    p1gz = tmp_path / "r1.fq.gz"
+    p1gz.write_bytes(comp[: int(len(comp) * 0.55)])
+
+    al = Pseudoaligner(small_index, AlignerConfig(
+        k=20, batch_size=64, max_read_len=64, max_nodes=6,
+        distinct_cap=3, max_walk_iters=2, max_left_iters=2))
+    with pytest.raises(ValueError, match="gzip|truncated gzip"):
+        count_single_cell(al, str(p1gz), str(p2))
+
+    import io as iomod
+
+    with pytest.raises(ValueError, match="gzip|truncated gzip"):
+        al.emit_fastq_paired(str(p1gz), str(p2), iomod.BytesIO())

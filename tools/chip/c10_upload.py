@@ -8,7 +8,17 @@ sys.path.insert(0, "/root/repo")
 import jax
 import numpy as np
 
-path = sorted(glob.glob("/root/repo/.bench_scale_index.bin.dev-*.npz"))[0]
+import os
+
+sfx = {"default": ""}.get(os.environ.get("BENCH_SCALE_MODE", "default"),
+                          "_" + os.environ.get("BENCH_SCALE_MODE", ""))
+hits = sorted(glob.glob(
+    f"/root/repo/.bench_scale_index{sfx}.bin.dev-*.npz"))
+if not hits:
+    print(f"no devcache for mode {sfx or 'default'} — run "
+          "tools/prebuild_bench_caches.py first", flush=True)
+    raise SystemExit(0)
+path = hits[0]
 t0 = time.time()
 with np.load(path) as z:
     arrs = {k: z[k] for k in z.files}
