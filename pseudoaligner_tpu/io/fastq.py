@@ -211,6 +211,12 @@ class _GzScanBuffer:
             f.close()
             self._f = None
 
+    def __del__(self):  # best-effort: an abandoned fallback reader must
+        try:            # not leave its producer spinning in _put's retry
+            self.close()  # loop for the life of the process (native
+        except Exception:  # GzSource already has this)
+            pass
+
 
 class ReadBatch:
     """A fixed-shape batch of reads.
@@ -270,19 +276,27 @@ def read_fastq_records(path: str) -> Iterator[tuple[str, bytes]]:
             seq = f.readline().rstrip(b"\r\n")
             plus = f.readline()
             qual = f.readline()
-            if not header.startswith(b"@") or not plus.startswith(b"+"):
+            if not header.startswith(b"@"):
+                raise ValueError("malformed FASTQ record")
+            if plus == b"":
+                # EOF right after the header or seq line: truncation, not
+                # malformation (keeps the error class stable for callers)
+                raise ValueError("truncated FASTQ record")
+            if not plus.startswith(b"+"):
                 raise ValueError("malformed FASTQ record")
             if not plus.endswith(b"\n"):
                 # '+' line at EOF without its newline: incomplete record
                 # (the native scanner requires the separator newline)
                 raise ValueError("truncated FASTQ record")
-            if not qual.endswith(b"\n") and len(qual) < len(seq):
+            if (not qual.endswith(b"\n")
+                    and len(qual.rstrip(b"\r")) < len(seq)):
                 # a final newline-less qual line is complete only if it
-                # covers the sequence — RAW bytes, matching the native
-                # scanner's final_chunk acceptance (rust-bio reads qual
-                # lines until qual.len() >= seq.len(); EOF before that =
-                # incomplete, so a zero-length-seq record may end right
-                # after its '+' line).
+                # covers the sequence at TRIMMED length, matching the
+                # native scanner's final_chunk acceptance (rust-bio reads
+                # qual lines until qual.trim_end().len() >= seq.len(); EOF
+                # before that = incomplete, so a zero-length-seq record may
+                # end right after its '+' line, and a CRLF file truncated
+                # at 'III\r' for a 4-base seq is incomplete).
                 raise ValueError("truncated FASTQ record")
             rid = header[1:].split(None, 1)[0].decode()  # first ws-token
             # (matches the native scanner, which stops at space/tab)
@@ -325,8 +339,9 @@ def read_fastq_seqs(path: str, chunk_bytes: int = 1 << 26) -> Iterator[bytes]:
                     yield seq
         if carry:
             # a final newline-less qual line is complete only if it
-            # covers the sequence — RAW bytes (native-scanner semantics)
-            if lineno == 3 and len(carry) < last_seq_len:
+            # covers the sequence at TRIMMED length (native-scanner /
+            # rust-bio semantics: a trailing '\r' is not qual coverage)
+            if lineno == 3 and len(carry.rstrip(b"\r")) < last_seq_len:
                 raise ValueError("truncated FASTQ record")
             if lineno == 2:
                 # a '+' line at EOF without its newline: incomplete

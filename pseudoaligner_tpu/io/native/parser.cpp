@@ -79,13 +79,17 @@ int64_t pa_fastq_scan(const char* buf, int64_t n, int64_t start,
     const char* q_end = find_nl(q, end);
     if (!q_end) {
       // final record may lack a trailing newline: accept if the qual line
-      // is complete (same length as seq) at buffer end — but ONLY when the
-      // caller says this buffer really is the end of the stream
-      // (final_chunk): a streaming (gz) chunk boundary could otherwise
-      // split a zero-length-sequence record after its '+' line and the
-      // acceptance would consume it without its qual line, desyncing the
-      // next scan
-      if (final_chunk && end - q >= s_stop - s) q_end = end - 1;
+      // is complete (covers the seq at TRIMMED length — rust-bio reads
+      // qual lines until qual.trim_end().len() >= seq.len(), so a CRLF
+      // file truncated at 'III\r' for a 4-base seq is incomplete) at
+      // buffer end — but ONLY when the caller says this buffer really is
+      // the end of the stream (final_chunk): a streaming (gz) chunk
+      // boundary could otherwise split a zero-length-sequence record
+      // after its '+' line and the acceptance would consume it without
+      // its qual line, desyncing the next scan
+      int64_t qlen = end - q;
+      if (qlen > 0 && end[-1] == '\r') qlen--;
+      if (final_chunk && qlen >= s_stop - s) q_end = end - 1;
       else { p = rec_start; break; }
     }
 
@@ -140,8 +144,10 @@ int64_t pa_fastq_scan_prefix(const char* buf, int64_t n, int64_t start,
     const char* q_end = find_nl(q, end);
     if (!q_end) {
       // same final-chunk gate as pa_fastq_scan (zero-length-seq records
-      // at a streaming chunk boundary)
-      if (final_chunk && end - q >= s_stop - s) q_end = end - 1;
+      // at a streaming chunk boundary; trimmed-length qual coverage)
+      int64_t qlen = end - q;
+      if (qlen > 0 && end[-1] == '\r') qlen--;
+      if (final_chunk && qlen >= s_stop - s) q_end = end - 1;
       else { p = rec_start; break; }
     }
 

@@ -402,8 +402,10 @@ def test_final_record_qual_semantics(tmp_path):
         (b"@a\nACGT\n+\n", None, None),                         # qual missing
         (b"@a\nACGT\n+\nII", None, None),                       # short qual eof
         (b"@x\n\n+", None, None),               # '+' missing its newline
-        (b"@a\r\nACGT\r\n+\r\nIII\r", ["a"], [4]),  # CRLF qual at EOF:
-        # RAW-byte coverage (the '\r' counts), matching the native scan
+        (b"@a\r\nACGT\r\n+\r\nIII\r", None, None),  # CRLF qual at EOF:
+        # TRIMMED coverage (the '\r' is not qual) -> incomplete, per the
+        # rust-bio rule (qual lines read until trim_end len >= seq len)
+        (b"@a\r\nACGT\r\n+\r\nIIII\r", ["a"], [4]),  # trimmed qual covers
     ]
     for raw, ids, lens in cases:
         p = tmp_path / "c.fq"
