@@ -12,12 +12,21 @@ of the multithreaded reference on a server CPU (kallisto-class throughput,
 README.md:3 aspiration) — so the ratio is comparable across rounds.
 
 Prints one JSON line per measured workload — paired_throughput (pairs/s,
-emit_fastq_paired end to end), count_throughput (pairs/s, 10x counting
-incl. knee call + directional dedup), scale_throughput (reads/s on a
-~27M-kmer synthetic transcriptome, with serve-init seconds) — and LAST the
-parsed headline: {"metric": "map_throughput", "value", "unit",
-"vs_baseline"}.  Secondary rows degrade to an error row on failure without
-sinking the headline.  BENCH_PAIRED/BENCH_COUNT/BENCH_SCALE=0 skip rows.
+emit_fastq_paired end to end), gz_map_throughput, count_throughput
+(pairs/s, 10x counting incl. knee call + directional dedup),
+scale_throughput (reads/s on a ~27M-kmer synthetic transcriptome, with
+serve-init seconds), index_build_s — and LAST the parsed headline:
+{"metric": "map_throughput", "value", "unit", "vs_baseline"}.  Secondary
+rows degrade to an error row on failure without sinking the headline.
+BENCH_PAIRED/BENCH_GZ/BENCH_COUNT/BENCH_SCALE/BENCH_BUILD=0 skip rows.
+
+Weather protocol (the tunnel's run-to-run band is ~2x): the map headline
+is adaptive best-of-N (sample until the best pass stops improving, max
+BENCH_PASSES_MAX, plus two late passes after the rows); workload rows are
+prepared first, then scored round-robin over BENCH_ROW_ROUNDS interleaved
+rounds so every row shares the same weather window; all per-pass values
+are emitted in the JSON ("passes"/"passes_s") so a bad-weather run is
+self-describing.
 
 Self-tune results (walk/left caps, pool_overlap, pipeline depth) persist
 in .bench_tune.json keyed by (index digest, shape, candidate set, jaxlib,
@@ -261,10 +270,10 @@ def synth_count_inputs(n_pairs, n_cells=400, read_len=60, seed=2,
     return r1, r2
 
 
-def _bench_paired(aligner, n_pairs, workdir):
+def _prep_paired(aligner, n_pairs, workdir):
     """emit_fastq_paired end to end (FASTQ parse -> device map, one
-    combined batch per pair -> C++ paired intersection/emit), warm pass
-    excluded.  Returns pairs/s."""
+    combined batch per pair -> C++ paired intersection/emit).  Prepares
+    inputs + warms, returns a one-timed-pass closure -> pairs/s."""
     r1, r2 = synth_pairs(n_pairs)
     p1 = os.path.join(workdir, "bench_r1.fq")
     p2 = os.path.join(workdir, "bench_r2.fq")
@@ -272,18 +281,19 @@ def _bench_paired(aligner, n_pairs, workdir):
     _write_synth_fastq(p2, r2)
     devnull = open(os.devnull, "wb")
     aligner.emit_fastq_paired(p1, p2, devnull)  # warm/compile
-    best = 0.0
-    for _ in range(2):  # best-of-2: single-shot rows eat tunnel jitter
+
+    def one_pass():
         t0 = time.time()
         n = aligner.emit_fastq_paired(p1, p2, devnull)  # returns PAIRS
-        best = max(best, n / (time.time() - t0))
-    return best
+        return n / (time.time() - t0)
+
+    return one_pass
 
 
-def _bench_gz(aligner, n_reads, workdir):
+def _prep_gz(aligner, n_reads, workdir):
     """gz serving row (VERDICT r3 #4): emit_fastq over a gzipped FASTQ
     (stream-decompress -> native scanner) vs the same plain file.
-    Returns (gz_rps, plain_rps)."""
+    Returns a closure -> (gz_rps, plain_rps) per timed pass."""
     import gzip
 
     codes, _lens = synth_reads(aligner.image, n_reads)
@@ -295,23 +305,22 @@ def _bench_gz(aligner, n_reads, workdir):
     devnull = open(os.devnull, "wb")
     aligner.emit_fastq(p, devnull)  # warm/compile
     aligner.emit_fastq(pgz, devnull)  # warm the gz reader path
-    # best-of-2, interleaved: the gz side shares 4 host cores with the
-    # render/remap/scan threads and is the noisiest row (PERF.md r4)
-    plain = gz_rps = 0.0
-    for _ in range(2):
+
+    def one_pass():
         t0 = time.time()
         n, _ = aligner.emit_fastq(p, devnull)
-        plain = max(plain, n / (time.time() - t0))
+        plain = n / (time.time() - t0)
         t0 = time.time()
         n, _ = aligner.emit_fastq(pgz, devnull)
-        gz_rps = max(gz_rps, n / (time.time() - t0))
-    return gz_rps, plain
+        return n / (time.time() - t0), plain
+
+    return one_pass
 
 
-def _bench_count(aligner, n_pairs, workdir):
+def _prep_count(aligner, n_pairs, workdir):
     """count_single_cell end to end (R1 parse + barcode/UMI accounting,
     R2 device map, knee call + 1-Hamming fold, directional molecule
-    counts) — the realistic all-in figure.  Returns pairs/s."""
+    counts) — the realistic all-in figure.  Closure -> pairs/s."""
     from pseudoaligner_tpu.singlecell import count_single_cell
 
     r1, r2 = synth_count_inputs(n_pairs)
@@ -326,13 +335,14 @@ def _bench_count(aligner, n_pairs, workdir):
     _write_synth_fastq(pw1, r1[:w])
     _write_synth_fastq(pw2, r2[:w])
     count_single_cell(aligner, pw1, pw2, umi_dedup="directional")
-    best = 0.0
-    for _ in range(2):  # best-of-2: single-shot rows eat tunnel jitter
+
+    def one_pass():
         t0 = time.time()
         counts = count_single_cell(aligner, p1, p2, umi_dedup="directional")
         counts.cell_totals("directional")
-        best = max(best, n_pairs / (time.time() - t0))
-    return best
+        return n_pairs / (time.time() - t0)
+
+    return one_pass
 
 
 def _make_rb(codes, ls):
@@ -466,6 +476,8 @@ def build_or_load_scale(n_reads, read_len=60):
             reads = np.load(SCALE_READS_CACHE)
             if (meta.get("mode") == SCALE_MODE
                     and meta.get("mb") == scale_mb
+                    and "build_s" in meta  # pre-r5 caches lack the build
+                    # time the index_build_s row reports: rebuild once
                     and reads.shape[0] == n_reads  # exact: recipe mix is
                     and reads.shape[1] == read_len):  # positioned by n
                 return load_index(SCALE_INDEX_CACHE), reads
@@ -482,7 +494,9 @@ def build_or_load_scale(n_reads, read_len=60):
     else:
         total = int(float(os.environ.get("BENCH_SCALE_MB", 27)) * 1e6)
         seqs, names, gene_map = _scale_seqs(total)
+    t_build = time.time()
     image = build_index(seqs, names, gene_map, k=SCALE_K)
+    build_s = time.time() - t_build
     save_index(image, SCALE_INDEX_CACHE)
     flat = np.concatenate(seqs)
     startable = []
@@ -494,14 +508,16 @@ def build_or_load_scale(n_reads, read_len=60):
     reads, _ = _recipe_from_pool(flat, startable, n_reads, read_len, seed=3)
     np.save(SCALE_READS_CACHE, reads.astype(np.uint8))
     with open(meta_path, "w") as f:
-        json.dump({"mode": SCALE_MODE, "mb": scale_mb}, f)
+        json.dump({"mode": SCALE_MODE, "mb": scale_mb,
+                   "build_s": round(build_s, 1),
+                   "n_kmers": int(image.mphf.n_keys)}, f)
     return image, np.load(SCALE_READS_CACHE)
 
 
-def _bench_scale(B, L, cap, depth, n_batches):
-    """Serve the scale index: returns (reads/s, serve_init_s, n_kmers).
-    serve_init covers aligner construction (C++ cuckoo build), the HBM
-    table upload and the first (compile) batch."""
+def _prep_scale(B, L, cap, depth, n_batches):
+    """Serve the scale index: returns (one_pass closure -> reads/s,
+    serve_init_s, n_kmers).  serve_init covers aligner construction (C++
+    cuckoo build), the HBM table upload and the first (compile) batch."""
     from pseudoaligner_tpu.config import AlignerConfig
     from pseudoaligner_tpu.models.aligner import Pseudoaligner
 
@@ -522,9 +538,12 @@ def _bench_scale(B, L, cap, depth, n_batches):
     serve_pass(al, batches[:1], depth=1)  # cuckoo + upload + compile
     init_s = time.time() - t0
     serve_pass(al, batches[1:], depth=depth)  # warm (signature caches)
-    n, _, dt = serve_pass(al, batches[1:], depth=depth)
-    _, _, dt2 = serve_pass(al, batches[1:], depth=depth)  # best-of-2
-    return n / min(dt, dt2), init_s, int(image.mphf.n_keys)
+
+    def one_pass():
+        n, _, dt = serve_pass(al, batches[1:], depth=depth)
+        return n / dt
+
+    return one_pass, init_s, int(image.mphf.n_keys)
 
 
 def _fail(msg: str) -> int:
@@ -800,14 +819,87 @@ def main():
         f"server-side program load), fetch {first_fetch_s:.1f}s\n"
     )
     setup_s = time.time() - t_setup
-    n_passes = int(os.environ.get("BENCH_PASSES", 3))
+
+    # --- map headline: ADAPTIVE best-of-N (VERDICT r4 #1).  Passes are
+    # sub-second and the tunnel's run-to-run band is ~2x, so keep
+    # sampling until the best pass has gone `stall` consecutive passes
+    # without improving (min BENCH_PASSES, max BENCH_PASSES_MAX): a
+    # lucky early pass ends the loop fast, a degraded window keeps
+    # sampling instead of becoming the round's permanent record.  Two
+    # more passes run AFTER the workload rows (a later weather window)
+    # and merge into the same best. ---
+    n_min = max(2, int(os.environ.get("BENCH_PASSES", 3)))
+    n_max = int(os.environ.get("BENCH_PASSES_MAX", 10))
+    stall = 2
     dts = []
-    for _ in range(n_passes):
+    n_done = n_unmapped = 0
+    while len(dts) < n_max:
         n_done, n_unmapped, dt_i = timed_pass(depth=best_depth)
         dts.append(dt_i)
-    dt = min(dts)
+        if len(dts) >= n_min and len(dts) - 1 - dts.index(min(dts)) >= stall:
+            break
     n_mapped = n_done - n_unmapped
 
+    # --- secondary workload rows (paired / gz / count / scale):
+    # prepare every row first (inputs + warm), then score them
+    # ROUND-ROBIN so all rows share the same weather window — a bad
+    # minute dents every row a little instead of sinking one row
+    # completely.  Row value = best of BENCH_ROW_ROUNDS interleaved
+    # passes; the per-pass values go into the JSON so a bad-weather run
+    # is self-describing.  A failure degrades to an error row without
+    # sinking the run.  map_throughput prints LAST (the parsed headline).
+    rows = []
+    # emit loops read pipeline_depth off the config; apply today's tuned
+    # depth (host-side only — no recompile, see config.pipeline_depth)
+    object.__setattr__(aligner.config, "pipeline_depth", best_depth)
+    workdir = os.environ.get("BENCH_WORKDIR", "/tmp")
+
+    row_extra: dict = {}
+    specs = []
+    if os.environ.get("BENCH_PAIRED", "1") == "1":
+        specs.append(("paired_throughput", "pairs/s", lambda: _prep_paired(
+            aligner, int(os.environ.get("BENCH_PAIRS", (B // 2) * 8)),
+            workdir)))
+    if os.environ.get("BENCH_GZ", "1") == "1":
+        specs.append(("gz_map_throughput", "reads/s", lambda: _prep_gz(
+            aligner, int(os.environ.get("BENCH_GZ_READS", B * 8)), workdir)))
+    if os.environ.get("BENCH_COUNT", "1") == "1":
+        specs.append(("count_throughput", "pairs/s", lambda: _prep_count(
+            aligner, int(os.environ.get("BENCH_COUNT_PAIRS", B * 8)),
+            workdir)))
+    if os.environ.get("BENCH_SCALE", "1") == "1":
+        def _scale_prep():
+            fn, sinit_s, n_kmers = _prep_scale(
+                B, L, best_cap, best_depth,
+                int(os.environ.get("BENCH_SCALE_BATCHES", 8)))
+            row_extra["scale_throughput"] = {
+                "n_kmers": n_kmers, "serve_init_s": round(sinit_s, 1),
+                "mode": SCALE_MODE}
+            return fn
+        specs.append(("scale_throughput", "reads/s", _scale_prep))
+
+    pass_fns: dict = {}
+    errors: dict = {}
+    for name, _unit, prep in specs:
+        try:
+            pass_fns[name] = prep()
+        except Exception as e:
+            errors[name] = e
+    rounds = int(os.environ.get("BENCH_ROW_ROUNDS", 3))
+    vals: dict = {name: [] for name in pass_fns}
+    for _r in range(rounds):
+        for name in list(pass_fns):
+            try:
+                vals[name].append(pass_fns[name]())
+            except Exception as e:
+                errors[name] = e
+                del pass_fns[name]
+
+    # late map passes: same engine, a different weather window
+    for _ in range(2):
+        _nd, _nu, dt_i = timed_pass(depth=best_depth)
+        dts.append(dt_i)
+    dt = min(dts)
     rps = n_done / dt
     sys.stderr.write(
         f"bench: {n_done} reads end-to-end in {dt:.3f}s (passes "
@@ -815,67 +907,63 @@ def main():
         f"({n_mapped / n_done:.1%} mapped, setup {setup_s:.1f}s)\n"
     )
 
-    # --- secondary workload rows (paired / count / scale): each is
-    # driver-verified alongside the headline; a failure degrades to an
-    # error row without sinking the run.  map_throughput prints LAST
-    # (it is the parsed headline). ---
-    rows = []
-    # emit loops read pipeline_depth off the config; apply today's tuned
-    # depth (host-side only — no recompile, see config.pipeline_depth)
-    object.__setattr__(aligner.config, "pipeline_depth", best_depth)
-    workdir = os.environ.get("BENCH_WORKDIR", "/tmp")
-
-    if os.environ.get("BENCH_PAIRED", "1") == "1":
-        try:
-            n_pairs = int(os.environ.get("BENCH_PAIRS", (B // 2) * 8))
-            pps = _bench_paired(aligner, n_pairs, workdir)
-            rows.append({"metric": "paired_throughput",
-                         "value": round(pps, 1), "unit": "pairs/s",
-                         "vs_baseline": round(pps / BASELINE_READS_PER_SEC, 3)})
-        except Exception as e:
-            rows.append({"metric": "paired_throughput", "value": 0,
-                         "unit": "pairs/s", "vs_baseline": 0.0,
+    for name, unit, _prep in specs:
+        vlist = vals.get(name) or []
+        if not vlist:
+            e = errors[name]
+            rows.append({"metric": name, "value": 0, "unit": unit,
+                         "vs_baseline": 0.0,
                          "error": f"{type(e).__name__}: {e}"})
+            continue
+        if name == "gz_map_throughput":
+            gz_list = [v[0] for v in vlist]
+            plain_list = [v[1] for v in vlist]
+            v = max(gz_list)
+            row = {"metric": name, "value": round(v, 1), "unit": unit,
+                   "vs_baseline": round(v / BASELINE_READS_PER_SEC, 3),
+                   "plain_ratio": round(v / max(plain_list), 3),
+                   "passes": [round(x, 1) for x in gz_list],
+                   "plain_passes": [round(x, 1) for x in plain_list]}
+        else:
+            v = max(vlist)
+            row = {"metric": name, "value": round(v, 1), "unit": unit,
+                   "vs_baseline": round(v / BASELINE_READS_PER_SEC, 3),
+                   "passes": [round(x, 1) for x in vlist]}
+        row.update(row_extra.get(name, {}))
+        if name in errors:
+            e = errors[name]
+            row["note"] = f"a later pass failed: {type(e).__name__}: {e}"
+        rows.append(row)
 
-    if os.environ.get("BENCH_GZ", "1") == "1":
+    # index-build row (VERDICT r4 #7): build time is a first-class
+    # reference command (src/bin/pseudoaligner.rs:98-130 `index`) — a
+    # fresh bundled build every run, plus the scale index's build time
+    # recorded by build_or_load_scale at its actual build (rebuilding
+    # ~27M kmers every bench run would cost ~60-90s of weather exposure
+    # for a host-side number that doesn't ride the tunnel).
+    if os.environ.get("BENCH_BUILD", "1") == "1":
         try:
-            n_gz = int(os.environ.get("BENCH_GZ_READS", B * 8))
-            gz_rps, plain_rps = _bench_gz(aligner, n_gz, workdir)
-            rows.append({"metric": "gz_map_throughput",
-                         "value": round(gz_rps, 1), "unit": "reads/s",
-                         "vs_baseline": round(gz_rps / BASELINE_READS_PER_SEC, 3),
-                         "plain_ratio": round(gz_rps / plain_rps, 3)})
-        except Exception as e:
-            rows.append({"metric": "gz_map_throughput", "value": 0,
-                         "unit": "reads/s", "vs_baseline": 0.0,
-                         "error": f"{type(e).__name__}: {e}"})
+            from pseudoaligner_tpu.index.builder import build_index
+            from pseudoaligner_tpu.io.fasta import read_transcripts
 
-    if os.environ.get("BENCH_COUNT", "1") == "1":
-        try:
-            n_pairs = int(os.environ.get("BENCH_COUNT_PAIRS", B * 8))
-            cps = _bench_count(aligner, n_pairs, workdir)
-            rows.append({"metric": "count_throughput",
-                         "value": round(cps, 1), "unit": "pairs/s",
-                         "vs_baseline": round(cps / BASELINE_READS_PER_SEC, 3)})
+            seqs_b, names_b, gm_b = read_transcripts(REF_FASTA)
+            t0 = time.time()
+            img_b = build_index(seqs_b, names_b, gm_b, k=20)
+            bundled_s = time.time() - t0
+            scale_meta = {}
+            try:
+                with open(SCALE_INDEX_CACHE + ".meta.json") as f:
+                    scale_meta = json.load(f)
+            except Exception:
+                pass
+            rows.append({
+                "metric": "index_build_s", "value": round(bundled_s, 2),
+                "unit": "s", "n_kmers": int(img_b.mphf.n_keys),
+                "scale_build_s": scale_meta.get("build_s"),
+                "scale_n_kmers": scale_meta.get("n_kmers"),
+                "scale_mode": scale_meta.get("mode")})
         except Exception as e:
-            rows.append({"metric": "count_throughput", "value": 0,
-                         "unit": "pairs/s", "vs_baseline": 0.0,
-                         "error": f"{type(e).__name__}: {e}"})
-
-    if os.environ.get("BENCH_SCALE", "1") == "1":
-        try:
-            srps, scale_init_s, n_kmers = _bench_scale(
-                B, L, best_cap, best_depth,
-                int(os.environ.get("BENCH_SCALE_BATCHES", 8)))
-            rows.append({"metric": "scale_throughput",
-                         "value": round(srps, 1), "unit": "reads/s",
-                         "vs_baseline": round(srps / BASELINE_READS_PER_SEC, 3),
-                         "n_kmers": n_kmers,
-                         "serve_init_s": round(scale_init_s, 1),
-                         "mode": SCALE_MODE})
-        except Exception as e:
-            rows.append({"metric": "scale_throughput", "value": 0,
-                         "unit": "reads/s", "vs_baseline": 0.0,
+            rows.append({"metric": "index_build_s", "value": 0, "unit": "s",
                          "error": f"{type(e).__name__}: {e}"})
 
     rows.append({
@@ -885,6 +973,7 @@ def main():
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
         "setup_s": round(setup_s - init_s, 1),
         "backend_init_s": round(init_s, 1),
+        "passes_s": [round(x, 3) for x in dts],
         "setup_breakdown": setup_breakdown,
         "tuned": {"cap": list(best_cap), "depth": best_depth,
                   "cached": tuned is not None},

@@ -18,6 +18,9 @@ al = Pseudoaligner(image, AlignerConfig(
     max_walk_iters=2, max_left_iters=2, pool_overlap=False,
 ))
 object.__setattr__(al.config, "pipeline_depth", 3)
-gz_rps, plain_rps = bench._bench_gz(al, B * 8, "/tmp")
+_pass = bench._prep_gz(al, B * 8, "/tmp")
+_runs = [_pass() for _ in range(2)]
+gz_rps = max(g for g, _ in _runs)
+plain_rps = max(p for _, p in _runs)
 print(f"gz {gz_rps:.0f} reads/s vs plain {plain_rps:.0f} reads/s "
       f"(ratio {gz_rps / plain_rps:.3f})", flush=True)
