@@ -28,6 +28,7 @@ from ..ops.map_kernel import (
     map_batch_packed,
     lens_link_dtype,
     pack_reads_host,
+    upload_device_index,
 )
 
 log = logging.getLogger(__name__)
@@ -291,7 +292,9 @@ class Pseudoaligner:
         if map_step is None:
             dev, meta = device_index_from_image(image, config)
             self.meta = meta
-            self.dev = jax.device_put(dev, device)
+            # packed H2D upload + cuckoo-mode dummying of the mphf/key
+            # arrays (the scale serve init is link-bound — PERF.md)
+            self.dev = upload_device_index(dev, meta, device)
             self._step = partial(_MAP_STEP_JIT, meta)
         else:
             if meta is None:

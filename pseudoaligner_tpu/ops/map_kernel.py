@@ -1471,3 +1471,154 @@ def device_index_from_image(image, config: AlignerConfig):
         cov_out_8=config.distinct_cap > 0 and config.max_read_len <= 255,
     )
     return dev, meta
+
+
+def upload_device_index(dev: DeviceIndex, meta: MapMeta,
+                        device=None) -> DeviceIndex:
+    """device_put with H2D byte-packing for the big serving tables.
+
+    The scale-row serve init is LINK-bound: ~537MB of cuckoo keys+values
+    at ~28MB/s dominates it (PERF.md round 4).  Keys occupy only 2k bits
+    of their 32*W-bit slots (40 of 64 at k=20) and (node, offset) values
+    fit well under 64 bits, so transfer bit-packed arrays and unpack ON
+    DEVICE once into the serving layout — the probe layout (split pow2
+    keys-only rows + flat values, PERF.md gather pricing) is untouched,
+    only the bytes on the link shrink (~31% at k=20).  The overlapping
+    pool rows (pool_stride mode, 128/stride x redundancy) likewise ride
+    as the non-overlapping flat words and re-window on device.
+    Reference analog: the lean `NoKeyBoomHashMap` keeping no keys at all
+    (src/build_index.rs:220) — here the keys stay (verification needs
+    them) but ride the link compressed.
+
+    Also: in cuckoo/bucket1 mode the mphf + raw key/value arrays are
+    DEAD WEIGHT on the device (only the mphf-mode verified_lookup and
+    the host-side diagnostics read them — ~432MB at 27M kmers, ~44% of
+    the old upload) and ride as 1-element dummies.  batch_stats
+    (ops/stats.py) needs a full DeviceIndex from
+    device_index_from_image, not a serving upload.
+
+    Bit-packing engages only for cuckoo-mode tables >= PA_PACK_UPLOAD_MIN
+    bytes (default 128MB — the bundled index's ~2s setup should not pay a
+    pack+unpack compile); PA_PACK_UPLOAD=0 disables, =1 forces (tests).
+    """
+    env = os.environ.get("PA_PACK_UPLOAD", "")
+    if meta.seed_index in ("cuckoo", "bucket1") and env != "0":
+        W_k = dev.kmer_keys.shape[1]
+        dev = dev._replace(
+            mphf_bits=np.zeros(1, np.uint32),
+            mphf_ranks=np.zeros(1, np.uint32),
+            kmer_keys=np.zeros((1, W_k), np.uint32),
+            kmer_node=np.zeros(1, np.int32),
+            kmer_offset=np.zeros(1, np.int32),
+        )
+    nb = dev.cuckoo.shape[0]
+    if env == "0" or meta.seed_index != "cuckoo" or nb <= 1:
+        return jax.device_put(dev, device)
+    total_bytes = dev.cuckoo.nbytes + dev.cuckoo_vals.nbytes
+    min_bytes = (0 if env == "1"
+                 else int(os.environ.get("PA_PACK_UPLOAD_MIN", 128 << 20)))
+    if total_bytes < min_bytes:
+        return jax.device_put(dev, device)
+
+    W = dev.cuckoo.shape[1] // CK_SLOTS
+    S = nb * CK_SLOTS
+    if dev.cuckoo_vals.shape[0] != S:  # unexpected layout: plain put
+        return jax.device_put(dev, device)
+    PB = (2 * meta.k + 7) // 8  # packed key bytes (40 bits -> 5 at k=20)
+    pack_keys = PB < 4 * W
+    vals = dev.cuckoo_vals
+    node_u = vals[:, 0]
+    is_empty = node_u == np.uint32(CK_EMPTY)
+    # field widths from the ACTUAL maxima; empties ride as the all-ones
+    # node field (field max > any real id by construction of bit_length)
+    node_bits = max(1, int(dev.node_row.shape[0]).bit_length())
+    offs = vals[:, 1].astype(np.uint64)
+    max_off = int(offs[~is_empty].max(initial=0))
+    off_bits = max(1, int(max_off).bit_length())
+    pack_vals = node_bits <= 30 and off_bits <= 32 and node_bits + off_bits <= 46
+    sw = meta.pool_stride // 16
+    pack_pool = sw > 0 and dev.pool_rows.shape[0] > 1
+    if not (pack_keys or pack_vals or pack_pool):
+        return jax.device_put(dev, device)
+
+    args = {}
+    if pack_keys:
+        # first PB bytes of each slot's little-endian words ARE the key
+        # (bits above 2k are zero); empties are restored from the value
+        # side's emptiness on device (a packed all-ones key can be a real
+        # poly-T k-mer, unlike the full 32W-bit all-ones pattern)
+        kb = np.ascontiguousarray(dev.cuckoo.reshape(S, W)).view(
+            np.uint8).reshape(S, 4 * W)[:, :PB]
+        args["keys_b"] = np.ascontiguousarray(kb)
+    else:
+        args["cuckoo"] = dev.cuckoo
+    if pack_vals:
+        fmax = np.uint64((1 << node_bits) - 1)
+        v = np.where(is_empty, fmax, node_u.astype(np.uint64)) | (
+            np.where(is_empty, np.uint64(0), offs) << np.uint64(node_bits))
+        args["vals_lo"] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        args["vals_hi"] = (v >> np.uint64(32)).astype(np.uint16)
+    else:
+        args["cuckoo_vals"] = dev.cuckoo_vals
+    R = dev.pool_rows.shape[0]
+    if pack_pool:
+        pr = dev.pool_rows
+        args["pool_flat"] = np.concatenate(
+            [pr[:-1, :sw].reshape(-1), pr[-1]])
+    else:
+        args["pool_rows"] = dev.pool_rows
+
+    def _unpack(a):
+        if pack_vals:
+            vlo, vhi = a["vals_lo"], a["vals_hi"]
+            nmask = jnp.uint32((1 << node_bits) - 1)
+            node_f = vlo & nmask
+            emp = node_f == nmask
+            off = (vlo >> node_bits) | (
+                vhi.astype(jnp.uint32) << (32 - node_bits))
+            if off_bits < 32:
+                off = off & jnp.uint32((1 << off_bits) - 1)
+            node = jnp.where(emp, jnp.uint32(CK_EMPTY), node_f)
+            off = jnp.where(emp, jnp.uint32(0), off)
+            cuckoo_vals = jnp.stack([node, off], axis=1)
+        else:
+            cuckoo_vals = a["cuckoo_vals"]
+            emp = cuckoo_vals[:, 0] == jnp.uint32(CK_EMPTY)
+        if pack_keys:
+            kb_d = a["keys_b"]
+            words = []
+            for w in range(W):
+                acc = jnp.zeros((S,), jnp.uint32)
+                for b in range(4):
+                    j = 4 * w + b
+                    if j < PB:
+                        acc = acc | (
+                            kb_d[:, j].astype(jnp.uint32) << (8 * b))
+                words.append(acc)
+            keys = jnp.stack(words, axis=1)
+            keys = jnp.where(emp[:, None], jnp.uint32(0xFFFFFFFF), keys)
+            cuckoo = keys.reshape(nb, CK_SLOTS * W)
+        else:
+            cuckoo = a["cuckoo"]
+        if pack_pool:
+            win = jnp.arange(R)[:, None] * sw + jnp.arange(8)[None, :]
+            pool_rows = a["pool_flat"][win]
+        else:
+            pool_rows = a["pool_rows"]
+        return {"cuckoo": cuckoo, "cuckoo_vals": cuckoo_vals,
+                "pool_rows": pool_rows}
+
+    args_dev = jax.device_put(args, device)
+    out = jax.jit(_unpack, donate_argnums=0)(args_dev)
+    rest = {
+        f: getattr(dev, f) for f in dev._fields
+        if f not in ("cuckoo", "cuckoo_vals", "pool_rows")
+    }
+    rest_dev = jax.device_put(rest, device)
+    return DeviceIndex(
+        pool_rows=out["pool_rows"], node_row=rest_dev["node_row"],
+        cuckoo=out["cuckoo"], cuckoo_vals=out["cuckoo_vals"],
+        mphf_bits=rest_dev["mphf_bits"], mphf_ranks=rest_dev["mphf_ranks"],
+        kmer_keys=rest_dev["kmer_keys"], kmer_node=rest_dev["kmer_node"],
+        kmer_offset=rest_dev["kmer_offset"], ec_bits=rest_dev["ec_bits"],
+    )

@@ -58,6 +58,13 @@ _jitted_stats: dict = {}
 
 
 def batch_stats(meta: MapMeta, idx: DeviceIndex, packed, lens) -> BatchStats:
+    if idx.kmer_keys.shape[0] <= 1:
+        raise ValueError(
+            "batch_stats needs the mphf/key arrays: pass a full "
+            "DeviceIndex from device_index_from_image — a cuckoo-mode "
+            "serving upload (Pseudoaligner.dev) carries them as dummies "
+            "(upload_device_index strips ~432MB of dead upload)"
+        )
     # jit once per meta: a fresh jax.jit wrapper per call would re-trace
     # and recompile the kernel on every batch
     fn = _jitted_stats.get(meta)

@@ -1,0 +1,92 @@
+"""upload_device_index (packed H2D transfer — VERDICT r4 #2).
+
+The serving upload bit-packs the cuckoo keys (2k of 32W bits), the
+(node, offset) values (<= 46 bits), and de-overlaps the pool rows, then
+unpacks ON DEVICE.  These tests force the packing on (PA_PACK_UPLOAD=1,
+any table size) and assert the unpacked device arrays are byte-identical
+to a plain jax.device_put, plus end-to-end map parity through the
+aligner.  Reference analog: the lean NoKeyBoomHashMap
+(/root/reference/src/build_index.rs:220) — fewer bytes moved, same
+lookup semantics.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pseudoaligner_tpu.config import AlignerConfig
+from pseudoaligner_tpu.index.builder import build_index
+from pseudoaligner_tpu.models.aligner import Pseudoaligner
+from pseudoaligner_tpu.ops.map_kernel import (
+    device_index_from_image,
+    upload_device_index,
+)
+
+
+def _assert_pack_matches_plain(dev, meta):
+    plain = jax.device_put(dev)
+    os.environ["PA_PACK_UPLOAD"] = "1"
+    try:
+        packed = upload_device_index(dev, meta)
+    finally:
+        os.environ.pop("PA_PACK_UPLOAD", None)
+    for f in ("cuckoo", "cuckoo_vals", "pool_rows", "node_row", "ec_bits"):
+        a = np.asarray(getattr(packed, f))
+        b = np.asarray(getattr(plain, f))
+        assert a.dtype == b.dtype and a.shape == b.shape, f
+        assert np.array_equal(a, b), f
+    # the mphf/key arrays ride as dummies in cuckoo mode
+    assert packed.kmer_keys.shape[0] == 1
+    assert packed.mphf_bits.shape[0] == 1
+
+
+@pytest.mark.parametrize("pool_overlap", [False, True])
+def test_pack_upload_bit_identical(small_index, pool_overlap):
+    cfg = AlignerConfig(
+        k=20, batch_size=64, max_read_len=60, max_nodes=8, distinct_cap=3,
+        max_walk_iters=2, max_left_iters=2, pool_overlap=pool_overlap,
+    )
+    dev, meta = device_index_from_image(small_index, cfg)
+    if pool_overlap:
+        assert meta.pool_stride > 0
+    _assert_pack_matches_plain(dev, meta)
+
+
+def test_pack_upload_k64(small_transcripts):
+    """k=64: 128-bit keys fill all 4 words (no key packing) but values
+    and pool still pack; the function must mix packed/unpacked parts."""
+    seqs, names, gene_map = small_transcripts
+    image = build_index(seqs, names, gene_map, k=64)
+    cfg = AlignerConfig(
+        k=64, batch_size=32, max_read_len=96, max_nodes=8, distinct_cap=3,
+        max_walk_iters=2, max_left_iters=2,
+    )
+    dev, meta = device_index_from_image(image, cfg)
+    _assert_pack_matches_plain(dev, meta)
+
+
+def test_pack_upload_end_to_end(small_index, small_reads):
+    """Forced-packed aligner produces the same MapResult as unpacked."""
+    cfg = AlignerConfig(
+        k=20, batch_size=32, max_read_len=64, max_nodes=8, distinct_cap=3,
+        max_walk_iters=2, max_left_iters=2,
+    )
+    B, L = 32, 64
+    codes = np.zeros((B, L), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for j, (_, c) in enumerate(small_reads[:B]):
+        codes[j, : min(len(c), L)] = c[:L]
+        lens[j] = min(len(c), L)
+
+    results = {}
+    for mode in ("0", "1"):
+        os.environ["PA_PACK_UPLOAD"] = mode
+        try:
+            al = Pseudoaligner(small_index, cfg)
+        finally:
+            os.environ.pop("PA_PACK_UPLOAD", None)
+        results[mode] = jax.device_get(al.map_batch_device(codes, lens))
+    for a, b in zip(results["0"], results["1"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

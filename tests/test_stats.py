@@ -2,11 +2,16 @@ import numpy as np
 
 from pseudoaligner_tpu.config import AlignerConfig
 from pseudoaligner_tpu.models.aligner import Pseudoaligner
-from pseudoaligner_tpu.ops.map_kernel import pack_reads_host
+from pseudoaligner_tpu.ops.map_kernel import (
+    device_index_from_image,
+    pack_reads_host,
+)
 from pseudoaligner_tpu.ops.stats import batch_stats
 
 
 def test_batch_stats(small_index, small_reads):
+    import pytest
+
     cfg = AlignerConfig(k=20, batch_size=32, max_read_len=64, max_nodes=64)
     al = Pseudoaligner(small_index, cfg)
     B, L = 32, 64
@@ -16,7 +21,12 @@ def test_batch_stats(small_index, small_reads):
         codes[j, : len(c)] = c
         lens[j] = len(c)
     packed = pack_reads_host(codes)
-    st = batch_stats(al.meta, al.dev, packed, lens)
+    # the serving upload strips the mphf/key arrays in cuckoo mode
+    # (upload_device_index): stats must refuse it with a clear error
+    with pytest.raises(ValueError, match="full DeviceIndex"):
+        batch_stats(al.meta, al.dev, packed, lens)
+    full_dev, _ = device_index_from_image(small_index, cfg)
+    st = batch_stats(al.meta, full_dev, packed, lens)
     assert st.n_reads == B
     assert st.n_positions == int(np.maximum(lens - 20 + 1, 0).sum())
     assert 0 <= st.n_seed_hits <= st.n_positions
