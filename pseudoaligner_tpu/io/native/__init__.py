@@ -112,6 +112,51 @@ def fastq_scan_prefix(buf, start: int, max_reads: int, P: int,
     return int(n), out, int(resume.value)
 
 
+def count_r1keys(arr: np.ndarray, bl: int, wl_sorted: np.ndarray | None):
+    """Fused R1 barcode/UMI key derivation for the count path (C++): one
+    pass packs both 2-bit keys and binary-searches the whitelist.
+    Returns (bckey i64, ukey i64, status u8, pkbc u64, pkumi u64,
+    n_short) — see parser.cpp::pa_count_r1keys for the status codes."""
+    lib = _load()
+    if not hasattr(lib, "_countkeys_ready"):
+        lib.pa_count_r1keys.restype = ctypes.c_int64
+        lib.pa_count_r1keys.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib._countkeys_ready = True
+    n, ml = arr.shape
+    arr = np.ascontiguousarray(arr)
+    bckey = np.empty(n, np.int64)
+    ukey = np.empty(n, np.int64)
+    status = np.empty(n, np.uint8)
+    pkbc = np.empty(n, np.uint64)
+    pkumi = np.empty(n, np.uint64)
+    if wl_sorted is not None:
+        wlc = np.ascontiguousarray(wl_sorted, dtype=np.uint64)
+        wl_ptr = wlc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        m, has_wl = len(wlc), 1
+    else:
+        wl_ptr, m, has_wl = None, 0, 0
+    n_short = lib.pa_count_r1keys(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, ml, bl,
+        wl_ptr, m, has_wl,
+        bckey.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ukey.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        pkbc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        pkumi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return bckey, ukey, status, pkbc, pkumi, int(n_short)
+
+
 def _load_emit():
     lib = _load()
     if not hasattr(lib, "_emit_ready"):

@@ -164,6 +164,78 @@ int64_t pa_fastq_scan_prefix(const char* buf, int64_t n, int64_t start,
   return count;
 }
 
+// Fused R1 key derivation for the single-cell count path
+// (singlecell.py::consume): ONE pass replaces the numpy LUT gather +
+// per-column shift packs + whitelist searchsorted (~37ms per 65k-read
+// batch — the count row is host-core bound, PERF.md c13).
+// Per row i of arr [n, ml] (raw R1 prefix bytes, 0xFF rows = too-short):
+//   status[i]: 0 = exact (bckey/ukey set), 1 = short, 2 = clean
+//              non-member (pkbc/pkumi set; batched whitelist correction),
+//              3 = non-ACGT (python per-row path)
+//   pkbc/pkumi: 2-bit packed barcode (bl bases) / UMI (ml - bl bases),
+//               valid for status 0 and 2
+// wl: ascending packed whitelist, m entries.  has_wl == 0: clean rows
+// are exact at face value (no whitelist), matching the numpy path.
+// Returns the number of short rows.
+int64_t pa_count_r1keys(const uint8_t* arr, int64_t n, int32_t ml,
+                        int32_t bl, const uint64_t* wl, int64_t m,
+                        int32_t has_wl, int64_t* bckey, int64_t* ukey,
+                        uint8_t* status, uint64_t* pkbc, uint64_t* pkumi) {
+  static uint8_t lut[256];
+  static bool init = false;
+  if (!init) {
+    memset(lut, 0xFF, sizeof(lut));
+    lut['A'] = 0; lut['C'] = 1; lut['G'] = 2; lut['T'] = 3;
+    init = true;
+  }
+  int64_t n_short = 0;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* row = arr + i * ml;
+    bckey[i] = -1;
+    ukey[i] = -1;
+    pkbc[i] = 0;
+    pkumi[i] = 0;
+    if (row[0] == 0xFF) { status[i] = 1; n_short++; continue; }
+    // the two regions pack independently: a dirty barcode with a clean
+    // UMI still needs its packed UMI downstream (the per-row python
+    // path reuses pkumi when the UMI bases are all ACGT)
+    uint64_t bc = 0, um = 0;
+    bool bad_bc = false, bad_um = false;
+    for (int32_t j = 0; j < bl; j++) {
+      uint8_t c = lut[row[j]];
+      if (c == 0xFF) { bad_bc = true; c = 0; }
+      bc = (bc << 2) | c;
+    }
+    for (int32_t j = bl; j < ml; j++) {
+      uint8_t c = lut[row[j]];
+      if (c == 0xFF) { bad_um = true; c = 0; }
+      um = (um << 2) | c;
+    }
+    pkbc[i] = bad_bc ? 0 : bc;
+    pkumi[i] = bad_um ? 0 : um;
+    if (bad_bc || bad_um) { status[i] = 3; continue; }
+    bool exact;
+    if (has_wl) {
+      int64_t lo = 0, hi = m;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (wl[mid] < bc) lo = mid + 1; else hi = mid;
+      }
+      exact = lo < m && wl[lo] == bc;
+    } else {
+      exact = true;
+    }
+    if (exact) {
+      status[i] = 0;
+      bckey[i] = (int64_t)bc;
+      ukey[i] = (int64_t)um;
+    } else {
+      status[i] = 2;
+    }
+  }
+  return n_short;
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -73,7 +73,11 @@ class DeviceIndex(NamedTuple):
     #   priced per ELEMENT consumed and row widths quantize to powers of
     #   two (PERF.md): the probe compares keys from two 8-word rows and
     #   fetches only the ONE winning slot's value from cuckoo_vals.
-    cuckoo_vals: jnp.ndarray  # [NB*CK_SLOTS, 2] uint32 (node, offset)
+    cuckoo_vals: jnp.ndarray  # [NB*CK_SLOTS*2] uint32 FLAT (node, offset)
+    #   pairs — slot s's value at (2s, 2s+1).  1D because a [S, 2] array
+    #   tile-pads 64x as a TPU HLO temp (chip-measured OOM building it
+    #   on device, round 5); the probe's value fetch is a single gather
+    #   of indices 2*vidx + {0,1}, same element count as the 2-wide row
     mphf_bits: jnp.ndarray  # [bw] uint32 (legacy/memory-lean mode)
     mphf_ranks: jnp.ndarray  # [bw] uint32
     kmer_keys: jnp.ndarray  # [nk, W] uint32
@@ -451,8 +455,11 @@ def cuckoo_lookup(meta: MapMeta, idx: DeviceIndex, words: jnp.ndarray):
             hit = keym & ~found
             vidx = jnp.where(hit, hb * jnp.uint32(CK_SLOTS) + s, vidx)
             found = found | keym
-    vals = jnp.take(
-        idx.cuckoo_vals, vidx.astype(jnp.int32), axis=0
+    vals = jnp.take(  # flat pairs: ONE gather of 2*vidx + {0, 1}
+        idx.cuckoo_vals,
+        vidx.astype(jnp.int32)[..., None] * 2
+        + jnp.arange(2, dtype=jnp.int32),
+        axis=0,
     )  # [..., 2]
     node = jnp.where(found, vals[..., 0].astype(jnp.int32), -1)
     off = jnp.where(found, vals[..., 1].astype(jnp.int32), -1)
@@ -1333,7 +1340,8 @@ def device_index_from_image(image, config: AlignerConfig):
         pool_rows = cached["pool_rows"]
         node_row = cached["node_row"]
         cuckoo_rows = cached["cuckoo_rows"]
-        cuckoo_vals = cached["cuckoo_vals"]
+        # pre-r5 caches stored [S, 2]; the serving layout is flat pairs
+        cuckoo_vals = cached["cuckoo_vals"].reshape(-1)
         cuckoo_mask = int(cached["scalars"][0])
         bucket_seed = int(cached["scalars"][1])
         ones_node = int(cached["scalars"][2])
@@ -1363,7 +1371,7 @@ def device_index_from_image(image, config: AlignerConfig):
         node_row[:, 8:12] = image.l_edge
 
         bucket_seed = 0
-        cuckoo_vals = np.zeros((1, 2), np.uint32)
+        cuckoo_vals = np.zeros(2, np.uint32)
         ones_node = ones_off = -1
         if config.seed_index == "cuckoo":
             ck = build_cuckoo_fast(
@@ -1381,7 +1389,7 @@ def device_index_from_image(image, config: AlignerConfig):
             keys[empty] = 0xFFFFFFFF
             cuckoo_rows = np.ascontiguousarray(keys.reshape(nb, CK_SLOTS * W))
             cuckoo_vals = np.ascontiguousarray(
-                full[:, :, W : W + 2].reshape(nb * CK_SLOTS, 2)
+                full[:, :, W : W + 2].reshape(-1)  # flat (node, off) pairs
             )
             if image.k * 2 == 32 * W:
                 # the all-ones k-mer is real at word-filling k and
@@ -1522,44 +1530,70 @@ def upload_device_index(dev: DeviceIndex, meta: MapMeta,
 
     W = dev.cuckoo.shape[1] // CK_SLOTS
     S = nb * CK_SLOTS
-    if dev.cuckoo_vals.shape[0] != S:  # unexpected layout: plain put
+    if dev.cuckoo_vals.shape != (2 * S,):  # unexpected layout: plain put
         return jax.device_put(dev, device)
     PB = (2 * meta.k + 7) // 8  # packed key bytes (40 bits -> 5 at k=20)
-    pack_keys = PB < 4 * W
-    vals = dev.cuckoo_vals
-    node_u = vals[:, 0]
+    vals = dev.cuckoo_vals  # flat (node, offset) pairs
+    node_u = vals[0::2]
     is_empty = node_u == np.uint32(CK_EMPTY)
     # field widths from the ACTUAL maxima; empties ride as the all-ones
-    # node field (field max > any real id by construction of bit_length)
+    # node field (the field max exceeds any real id by construction of
+    # bit_length) and are restored to (EMPTY, 0) on device
     node_bits = max(1, int(dev.node_row.shape[0]).bit_length())
-    offs = vals[:, 1].astype(np.uint64)
+    offs = vals[1::2].astype(np.uint64)
     max_off = int(offs[~is_empty].max(initial=0))
     off_bits = max(1, int(max_off).bit_length())
-    pack_vals = node_bits <= 30 and off_bits <= 32 and node_bits + off_bits <= 46
+    pack_vals = (node_bits <= 30 and off_bits <= 32
+                 and node_bits + off_bits <= 46)
+    # key packing rides the same wide-interleave unpack and is gated on
+    # pack_vals (empties are detected from the packed node field); the
+    # interleave trick wants exactly W == 2 low/high parts per slot
+    pack_keys = pack_vals and W == 2 and PB < 4 * W
     sw = meta.pool_stride // 16
     pack_pool = sw > 0 and dev.pool_rows.shape[0] > 1
     if not (pack_keys or pack_vals or pack_pool):
         return jax.device_put(dev, device)
 
+    # TPU layout note (chip-measured OOM, round 5): inside a jit,
+    # narrow-minor-dim temps ([S, 2], [nb, 8]) get (8, 128) tile padding
+    # — a naive per-word stack blew 512MB of keys into a 20GB HLO temp.
+    # The unpack therefore runs entirely on [*, 512/1024]-wide tiles:
+    # slots pad up to a multiple of 512 (padded rows are UNREACHABLE —
+    # the probe masks buckets with meta.cuckoo_mask, the value fetch
+    # gathers by slot id < S, the pool fetch by in-pool offset), the
+    # low/high halves interleave via a static 1024-column permutation,
+    # and only the final reshape back to the serving shapes touches a
+    # narrow layout (a single copy into the compact output buffer).
+    G = 512
+    S_pad = -(-S // G) * G
     args = {}
-    if pack_keys:
-        # first PB bytes of each slot's little-endian words ARE the key
-        # (bits above 2k are zero); empties are restored from the value
-        # side's emptiness on device (a packed all-ones key can be a real
-        # poly-T k-mer, unlike the full 32W-bit all-ones pattern)
-        kb = np.ascontiguousarray(dev.cuckoo.reshape(S, W)).view(
-            np.uint8).reshape(S, 4 * W)[:, :PB]
-        args["keys_b"] = np.ascontiguousarray(kb)
-    else:
-        args["cuckoo"] = dev.cuckoo
     if pack_vals:
         fmax = np.uint64((1 << node_bits) - 1)
         v = np.where(is_empty, fmax, node_u.astype(np.uint64)) | (
             np.where(is_empty, np.uint64(0), offs) << np.uint64(node_bits))
-        args["vals_lo"] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        args["vals_hi"] = (v >> np.uint64(32)).astype(np.uint16)
+        vlo = np.full(S_pad, fmax & np.uint64(0xFFFFFFFF), np.uint32)
+        vhi = np.full(S_pad, fmax >> np.uint64(32), np.uint16)
+        vlo[:S] = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        vhi[:S] = (v >> np.uint64(32)).astype(np.uint16)
+        args["vals_lo"], args["vals_hi"] = vlo, vhi
     else:
         args["cuckoo_vals"] = dev.cuckoo_vals
+    if pack_keys:
+        # first PB bytes of each slot's little-endian words ARE the key
+        # (bits above 2k are zero); empty slots come through as all-ones
+        # bytes and are widened back to the full all-ones words on
+        # device (a packed all-ones key can be a REAL poly-T k-mer,
+        # unlike the full 32W-bit all-ones pattern — the node-field
+        # emptiness disambiguates)
+        kb = np.ascontiguousarray(dev.cuckoo.reshape(S, W)).view(
+            np.uint8).reshape(S, 4 * W)
+        klo = np.full(S_pad, 0xFFFFFFFF, np.uint32)
+        klo[:S] = kb[:, :4].copy().view(np.uint32).reshape(S)
+        khi = np.full((S_pad, PB - 4), 0xFF, np.uint8)
+        khi[:S] = kb[:, 4:PB]
+        args["keys_lo"], args["keys_hi"] = klo, khi
+    else:
+        args["cuckoo"] = dev.cuckoo
     R = dev.pool_rows.shape[0]
     if pack_pool:
         pr = dev.pool_rows
@@ -1568,41 +1602,54 @@ def upload_device_index(dev: DeviceIndex, meta: MapMeta,
     else:
         args["pool_rows"] = dev.pool_rows
 
+    # static column permutation: wide[r, 2m] = lo2d[r, m],
+    # wide[r, 2m + 1] = hi2d[r, m] — flat order is then exactly the
+    # (lo, hi) pair stream, i.e. the serving arrays' row-major layout
+    perm = np.empty(2 * G, np.int32)
+    perm[0::2] = np.arange(G)
+    perm[1::2] = G + np.arange(G)
+
+    def _interleave(lo2d, hi2d):
+        return jnp.take(
+            jnp.concatenate([lo2d, hi2d], axis=1), jnp.asarray(perm),
+            axis=1)
+
     def _unpack(a):
         if pack_vals:
-            vlo, vhi = a["vals_lo"], a["vals_hi"]
+            vlo_d, vhi_d = a["vals_lo"], a["vals_hi"]
             nmask = jnp.uint32((1 << node_bits) - 1)
-            node_f = vlo & nmask
+            node_f = vlo_d & nmask
             emp = node_f == nmask
-            off = (vlo >> node_bits) | (
-                vhi.astype(jnp.uint32) << (32 - node_bits))
+            off = (vlo_d >> node_bits) | (
+                vhi_d.astype(jnp.uint32) << (32 - node_bits))
             if off_bits < 32:
                 off = off & jnp.uint32((1 << off_bits) - 1)
             node = jnp.where(emp, jnp.uint32(CK_EMPTY), node_f)
             off = jnp.where(emp, jnp.uint32(0), off)
-            cuckoo_vals = jnp.stack([node, off], axis=1)
+            cuckoo_vals = _interleave(
+                node.reshape(-1, G), off.reshape(-1, G)).reshape(-1)
         else:
             cuckoo_vals = a["cuckoo_vals"]
-            emp = cuckoo_vals[:, 0] == jnp.uint32(CK_EMPTY)
+            emp = None
         if pack_keys:
-            kb_d = a["keys_b"]
-            words = []
-            for w in range(W):
-                acc = jnp.zeros((S,), jnp.uint32)
-                for b in range(4):
-                    j = 4 * w + b
-                    if j < PB:
-                        acc = acc | (
-                            kb_d[:, j].astype(jnp.uint32) << (8 * b))
-                words.append(acc)
-            keys = jnp.stack(words, axis=1)
-            keys = jnp.where(emp[:, None], jnp.uint32(0xFFFFFFFF), keys)
-            cuckoo = keys.reshape(nb, CK_SLOTS * W)
+            klo_d = a["keys_lo"]
+            khi_d = jnp.zeros((S_pad,), jnp.uint32)
+            for j in range(PB - 4):
+                khi_d = khi_d | (
+                    a["keys_hi"][:, j].astype(jnp.uint32) << (8 * j))
+            khi_d = jnp.where(emp, jnp.uint32(0xFFFFFFFF), khi_d)
+            cuckoo = _interleave(
+                klo_d.reshape(-1, G), khi_d.reshape(-1, G)
+            ).reshape(S_pad // CK_SLOTS, CK_SLOTS * W)
         else:
             cuckoo = a["cuckoo"]
         if pack_pool:
-            win = jnp.arange(R)[:, None] * sw + jnp.arange(8)[None, :]
-            pool_rows = a["pool_flat"][win]
+            R_pad = -(-R // 128) * 128
+            r16 = jnp.arange(R_pad // 128)[:, None]
+            c = jnp.arange(1024)[None, :]
+            idx = (r16 * 128 + c // 8) * sw + (c % 8)
+            pool_rows = jnp.take(  # clips OOB tail-row indices
+                a["pool_flat"], idx, mode="clip").reshape(R_pad, 8)
         else:
             pool_rows = a["pool_rows"]
         return {"cuckoo": cuckoo, "cuckoo_vals": cuckoo_vals,

@@ -506,7 +506,7 @@ class KmerPartitionedAligner:
             # the replicated seed structures are unused in this mode — the
             # sharded lookup replaces them
             cuckoo=np.zeros((1, dev.cuckoo.shape[1]), np.uint32),
-            cuckoo_vals=np.zeros((1, 2), np.uint32),
+            cuckoo_vals=np.zeros(2, np.uint32),
             mphf_bits=np.zeros(1, np.uint32),
             mphf_ranks=np.zeros(1, np.uint32),
             kmer_keys=np.zeros((1, image.kmer_keys.shape[1]), np.uint32),

@@ -912,6 +912,22 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
     # of a tuple materialization (tolist + tuple) per unique token
     cls_by_bytes: dict[bytes, int] = {}
 
+    # fused C++ key derivation (VERDICT r4 #3: the count row is
+    # host-core bound): one native pass replaces the LUT gather +
+    # per-column shift packs + whitelist searchsorted (~37ms/65k batch
+    # of numpy work).  The numpy block below stays as the no-toolchain
+    # fallback and the differential-fuzz oracle
+    # (tests/test_workloads.py::test_count_native_keys_parity).
+    _nat = None
+    if packable and os.environ.get("PA_NATIVE_COUNTKEYS", "1") != "0":
+        try:
+            from .io import native as _nat_mod
+
+            _nat_mod._load()
+            _nat = _nat_mod
+        except Exception:
+            _nat = None
+
     def consume(state, arr):
         overflow = aligner._remap_collect(state["remap_fut"])
         inv = np.asarray(state["inv"], dtype=np.int64)
@@ -920,34 +936,44 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         sig_flat = state["sig_flat"]
         n = state["n"]
         arr = arr[:n]
-        short = arr[:, 0] == 0xFF
-        counts.n_reads += n
-        counts.n_bad_r1 += int(short.sum())
-
-        codes = bc_lut[arr]
-        clean = ~short & (codes != 255).all(axis=1)
-        pk_bc = np.zeros(n, np.uint64)
-        for j in range(bl):
-            pk_bc = (pk_bc << np.uint64(2)) | codes[:, j].astype(np.uint64)
-        pk_umi = np.zeros(n, np.uint64)
-        for j in range(bl, ml):
-            pk_umi = (pk_umi << np.uint64(2)) | codes[:, j].astype(np.uint64)
-
-        if wl_sorted is not None:
-            if len(wl_sorted):
-                pos = np.minimum(
-                    np.searchsorted(wl_sorted, pk_bc), len(wl_sorted) - 1
-                )
-                exact = clean & (wl_sorted[pos] == pk_bc)
-            else:
-                exact = np.zeros(n, bool)
+        if _nat is not None:
+            bckey, ukey, status, pk_bc, pk_umi, n_short = _nat.count_r1keys(
+                arr, bl, wl_sorted)
+            short = status == 1
+            clean = status <= 2  # 0 exact | 2 clean non-member
+            clean &= ~short
+            exact = status == 0
+            counts.n_reads += n
+            counts.n_bad_r1 += n_short
         else:
-            exact = clean
-        if not packable:
-            exact = np.zeros(n, bool)  # everything through the row loop
+            short = arr[:, 0] == 0xFF
+            counts.n_reads += n
+            counts.n_bad_r1 += int(short.sum())
 
-        bckey = np.where(exact, pk_bc.astype(np.int64), np.int64(-1))
-        ukey = np.where(exact, pk_umi.astype(np.int64), np.int64(-1))
+            codes = bc_lut[arr]
+            clean = ~short & (codes != 255).all(axis=1)
+            pk_bc = np.zeros(n, np.uint64)
+            for j in range(bl):
+                pk_bc = (pk_bc << np.uint64(2)) | codes[:, j].astype(np.uint64)
+            pk_umi = np.zeros(n, np.uint64)
+            for j in range(bl, ml):
+                pk_umi = (pk_umi << np.uint64(2)) | codes[:, j].astype(np.uint64)
+
+            if wl_sorted is not None:
+                if len(wl_sorted):
+                    pos = np.minimum(
+                        np.searchsorted(wl_sorted, pk_bc), len(wl_sorted) - 1
+                    )
+                    exact = clean & (wl_sorted[pos] == pk_bc)
+                else:
+                    exact = np.zeros(n, bool)
+            else:
+                exact = clean
+            if not packable:
+                exact = np.zeros(n, bool)  # everything through the row loop
+
+            bckey = np.where(exact, pk_bc.astype(np.int64), np.int64(-1))
+            ukey = np.where(exact, pk_umi.astype(np.int64), np.int64(-1))
 
         # clean-but-not-exact rows correct through the whitelist's
         # batched neighbor-table join (the per-row wl.match loop cost
@@ -991,7 +1017,7 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
                 bckey[i] = k
             else:
                 bckey[i] = _side_key(bcb)
-            ucodes = codes[i, bl:ml]
+            ucodes = bc_lut[arr[i, bl:ml]]
             if packable and (ucodes != 255).all():
                 ukey[i] = int(pk_umi[i])
             else:
@@ -1013,7 +1039,10 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
             tok[orows] = n_sig + orows
         vrows = np.nonzero(valid)[0]
         vtok = tok[vrows]
-        uniq_t, first_t = np.unique(vtok, return_index=True)
+        # return_inverse: one sort instead of sort + a second
+        # searchsorted pass (~5ms/65k batch each — host-bound row)
+        uniq_t, first_t, inv_t = np.unique(
+            vtok, return_index=True, return_inverse=True)
         sig64 = np.ascontiguousarray(sig_flat, dtype=np.int64)
         cid_of_uniq = np.empty(len(uniq_t), np.int64)
         for u in np.argsort(first_t, kind="stable"):
@@ -1033,7 +1062,7 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
                 cid = counts._class_id(tup) if tup else -1
                 cls_by_bytes[keyb] = cid
             cid_of_uniq[u] = cid
-        vcid = cid_of_uniq[np.searchsorted(uniq_t, vtok)]
+        vcid = cid_of_uniq[inv_t]
 
         mapped = vcid >= 0
         counts.n_mapped += int(mapped.sum())
@@ -1045,7 +1074,8 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
         mumi = ukey[mrows]
 
         # cell interning in first-appearance read order among mapped rows
-        uniq_b, first_b = np.unique(mbc, return_index=True)
+        uniq_b, first_b, inv_b = np.unique(
+            mbc, return_index=True, return_inverse=True)
         # bulk-decode the batch's NEW packed barcodes (the per-key python
         # _decode_2bit loop was ~25us/barcode — prohibitive at the ~1M
         # raw-barcode scale of real 10x runs)
@@ -1069,7 +1099,7 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
                 cell = counts._cell_id(s)
                 cell_of_key[key] = cell
             cell_of_uniq[u] = cell
-        mcell = cell_of_uniq[np.searchsorted(uniq_b, mbc)]
+        mcell = cell_of_uniq[inv_b]
 
         # bulk columnar append: packed keys ARE the canonical umi token;
         # batch-side keys (< -1) translate into counts-side tokens the

@@ -35,8 +35,17 @@ def _assert_pack_matches_plain(dev, meta):
     for f in ("cuckoo", "cuckoo_vals", "pool_rows", "node_row", "ec_bits"):
         a = np.asarray(getattr(packed, f))
         b = np.asarray(getattr(plain, f))
-        assert a.dtype == b.dtype and a.shape == b.shape, f
-        assert np.array_equal(a, b), f
+        # the packed path pads slots/rows up to the TPU-friendly wide
+        # tile (padded rows are unreachable: bucket mask / slot id /
+        # pool offset all bound the gathers) — compare the real prefix
+        assert a.dtype == b.dtype and a.shape[1:] == b.shape[1:], f
+        assert a.shape[0] >= b.shape[0], f
+        assert np.array_equal(a[: b.shape[0]], b), f
+        if f == "cuckoo_vals" and a.shape[0] > b.shape[0]:
+            # padded value pairs (flat layout) must read as EMPTY slots
+            assert (a[b.shape[0]:: 2] == 0xFFFFFFFF).all()
+        if f == "cuckoo" and a.shape[0] > b.shape[0]:
+            assert (a[b.shape[0]:] == 0xFFFFFFFF).all()
     # the mphf/key arrays ride as dummies in cuckoo mode
     assert packed.kmer_keys.shape[0] == 1
     assert packed.mphf_bits.shape[0] == 1

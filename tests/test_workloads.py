@@ -259,28 +259,36 @@ def test_count_batched_parity_fuzz(small_index, small_transcripts, tmp_path):
 
     for wl in (None, Whitelist(bcs, 16)):
         outs = []
-        for dc in (3, 0):  # tight distinct_cap -> real overflow rows
+        # (distinct_cap, native-keys env): the dc=3/numpy arm forces the
+        # numpy fallback of the C++ count_r1keys derivation — all three
+        # arms (native batched, numpy batched, record path) must agree
+        for dc, nat in ((3, "1"), (3, "0"), (0, "1")):
             cfg = AlignerConfig(k=20, batch_size=64, max_read_len=96,
                                 max_nodes=64 if not dc else 9,
                                 distinct_cap=dc,
                                 max_walk_iters=6 if dc else 0,
                                 max_left_iters=2 if dc else 0)
             al = Pseudoaligner(small_index, cfg)
-            c = count_single_cell(al, str(tmp_path / "r1.fq"),
-                                  str(tmp_path / "r2.fq"), Chemistry(),
-                                  whitelist=wl, bc_correct=False)
-            d = str(tmp_path / f"out_{dc}_{wl is None}")
+            os.environ["PA_NATIVE_COUNTKEYS"] = nat
+            try:
+                c = count_single_cell(al, str(tmp_path / "r1.fq"),
+                                      str(tmp_path / "r2.fq"), Chemistry(),
+                                      whitelist=wl, bc_correct=False)
+            finally:
+                os.environ.pop("PA_NATIVE_COUNTKEYS", None)
+            d = str(tmp_path / f"out_{dc}_{nat}_{wl is None}")
             c.write(d, umi_dedup="directional")
             outs.append((c, {
                 f: open(os.path.join(d, f)).read()
                 for f in ("barcodes.tsv", "ec.tsv", "matrix.mtx")
             }))
-        (ca, fa), (cb, fb) = outs
-        assert (ca.n_reads, ca.n_mapped, ca.n_bad_r1, ca.n_bad_barcode,
-                ca.n_corrected) == (
-            cb.n_reads, cb.n_mapped, cb.n_bad_r1, cb.n_bad_barcode,
-            cb.n_corrected), ("stats", wl is None)
-        assert fa == fb, ("files", wl is None)
+        (ca, fa) = outs[0]
+        for cb, fb in outs[1:]:
+            assert (ca.n_reads, ca.n_mapped, ca.n_bad_r1, ca.n_bad_barcode,
+                    ca.n_corrected) == (
+                cb.n_reads, cb.n_mapped, cb.n_bad_r1, cb.n_bad_barcode,
+                cb.n_corrected), ("stats", wl is None)
+            assert fa == fb, ("files", wl is None)
 
 
 def test_count_gz_inputs_match_plain(small_index, small_transcripts, tmp_path):
