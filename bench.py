@@ -293,15 +293,19 @@ def _prep_paired(aligner, n_pairs, workdir):
 def _prep_gz(aligner, n_reads, workdir):
     """gz serving row (VERDICT r3 #4): emit_fastq over a gzipped FASTQ
     (stream-decompress -> native scanner) vs the same plain file.
-    Returns a closure -> (gz_rps, plain_rps) per timed pass."""
-    import gzip
+    The file is BGZF (member-per-64KB with the 'BC' size subfield) —
+    the common container for real sequencing data (htslib bgzip), and
+    what the native source inflates in parallel (VERDICT r4 #5; a
+    single-member gz is inherently serial: 170 vs ~950 MB/s reader-only
+    on this host).  Returns a closure -> (gz_rps, plain_rps) per pass."""
+    from pseudoaligner_tpu.io.fastq import write_bgzf
 
     codes, _lens = synth_reads(aligner.image, n_reads)
     p = os.path.join(workdir, "bench_gz.fq")
     pgz = p + ".gz"
     _write_synth_fastq(p, codes)
-    with open(p, "rb") as f, gzip.open(pgz, "wb", compresslevel=1) as g:
-        g.write(f.read())
+    with open(p, "rb") as f:
+        write_bgzf(pgz, f.read())
     devnull = open(os.devnull, "wb")
     aligner.emit_fastq(p, devnull)  # warm/compile
     aligner.emit_fastq(pgz, devnull)  # warm the gz reader path

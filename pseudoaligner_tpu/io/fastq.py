@@ -22,6 +22,34 @@ def _open(path: str) -> IO[bytes]:
     return open(path, "rb")
 
 
+def write_bgzf(path: str, data: bytes, member_size: int = 1 << 15,
+               level: int = 1) -> None:
+    """Write `data` as BGZF-style gzip: independent members whose FEXTRA
+    carries the 'BC' subfield with the member's compressed size — the
+    common real sequencing-data container (htslib bgzip), and what lets
+    the native source inflate members in parallel (gzstream.cpp).  Any
+    gzip reader (incl. the Python fallback's multi-member loop)
+    decompresses it as plain concatenated gzip."""
+    import struct
+    import zlib
+
+    with open(path, "wb") as f:
+        for i in range(0, max(len(data), 1), member_size):
+            chunk = data[i: i + member_size]
+            co = zlib.compressobj(level, zlib.DEFLATED, -15)
+            comp = co.compress(chunk) + co.flush()
+            bsize = 18 + len(comp) + 8 - 1  # total member bytes - 1
+            if bsize > 0xFFFF:  # BSIZE is u16 (bgzf spec): incompressible
+                raise ValueError(  # input needs a smaller member_size
+                    "member compressed size exceeds the BGZF u16 field; "
+                    "use member_size <= 32KB")
+            f.write(struct.pack("<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0,
+                                0xFF, 6)
+                    + b"BC" + struct.pack("<HH", 2, bsize) + comp
+                    + struct.pack("<II", zlib.crc32(chunk),
+                                  len(chunk) & 0xFFFFFFFF))
+
+
 class _GzScanBuffer:
     """Streaming gzip -> native-scanner buffer (VERDICT r3 #4).
 
