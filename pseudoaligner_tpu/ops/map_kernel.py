@@ -44,6 +44,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple
 
+import functools
 import os
 
 import jax
@@ -1481,6 +1482,71 @@ def device_index_from_image(image, config: AlignerConfig):
     return dev, meta
 
 
+@functools.lru_cache(maxsize=64)
+def _pack_unpack_jit(pack_keys, pack_vals, pack_pool, node_bits, off_bits,
+                     W, PB, S_pad, R, sw, G):
+    """Memoized jitted on-device unpack for upload_device_index.
+
+    ONE jit callable per static config: a fresh jax.jit wrapper per
+    upload re-traced AND re-paid the backend's server-side program load
+    every aligner construction (chip-measured ~25s of the packed arm —
+    the unpack ops themselves run in ~1.3s at 33.5M slots, c22)."""
+    # static column permutation: wide[r, 2m] = lo2d[r, m],
+    # wide[r, 2m + 1] = hi2d[r, m] — flat order is then exactly the
+    # (lo, hi) pair stream, i.e. the serving arrays' row-major layout
+    perm = np.empty(2 * G, np.int32)
+    perm[0::2] = np.arange(G)
+    perm[1::2] = G + np.arange(G)
+
+    def _interleave(lo2d, hi2d):
+        return jnp.take(
+            jnp.concatenate([lo2d, hi2d], axis=1), jnp.asarray(perm),
+            axis=1)
+
+    def _unpack(a):
+        if pack_vals:
+            vlo_d, vhi_d = a["vals_lo"], a["vals_hi"]
+            nmask = jnp.uint32((1 << node_bits) - 1)
+            node_f = vlo_d & nmask
+            emp = node_f == nmask
+            off = (vlo_d >> node_bits) | (
+                vhi_d.astype(jnp.uint32) << (32 - node_bits))
+            if off_bits < 32:
+                off = off & jnp.uint32((1 << off_bits) - 1)
+            node = jnp.where(emp, jnp.uint32(CK_EMPTY), node_f)
+            off = jnp.where(emp, jnp.uint32(0), off)
+            cuckoo_vals = _interleave(
+                node.reshape(-1, G), off.reshape(-1, G)).reshape(-1)
+        else:
+            cuckoo_vals = a["cuckoo_vals"]
+            emp = None
+        if pack_keys:
+            klo_d = a["keys_lo"]
+            khi_d = jnp.zeros((S_pad,), jnp.uint32)
+            for j in range(PB - 4):
+                khi_d = khi_d | (
+                    a["keys_hi"][:, j].astype(jnp.uint32) << (8 * j))
+            khi_d = jnp.where(emp, jnp.uint32(0xFFFFFFFF), khi_d)
+            cuckoo = _interleave(
+                klo_d.reshape(-1, G), khi_d.reshape(-1, G)
+            ).reshape(S_pad // CK_SLOTS, CK_SLOTS * W)
+        else:
+            cuckoo = a["cuckoo"]
+        if pack_pool:
+            R_pad = -(-R // 128) * 128
+            r16 = jnp.arange(R_pad // 128)[:, None]
+            c = jnp.arange(1024)[None, :]
+            idx = (r16 * 128 + c // 8) * sw + (c % 8)
+            pool_rows = jnp.take(  # clips OOB tail-row indices
+                a["pool_flat"], idx, mode="clip").reshape(R_pad, 8)
+        else:
+            pool_rows = a["pool_rows"]
+        return {"cuckoo": cuckoo, "cuckoo_vals": cuckoo_vals,
+                "pool_rows": pool_rows}
+
+    return jax.jit(_unpack, donate_argnums=0)
+
+
 def upload_device_index(dev: DeviceIndex, meta: MapMeta,
                         device=None) -> DeviceIndex:
     """device_put with H2D byte-packing for the big serving tables.
@@ -1602,61 +1668,10 @@ def upload_device_index(dev: DeviceIndex, meta: MapMeta,
     else:
         args["pool_rows"] = dev.pool_rows
 
-    # static column permutation: wide[r, 2m] = lo2d[r, m],
-    # wide[r, 2m + 1] = hi2d[r, m] — flat order is then exactly the
-    # (lo, hi) pair stream, i.e. the serving arrays' row-major layout
-    perm = np.empty(2 * G, np.int32)
-    perm[0::2] = np.arange(G)
-    perm[1::2] = G + np.arange(G)
-
-    def _interleave(lo2d, hi2d):
-        return jnp.take(
-            jnp.concatenate([lo2d, hi2d], axis=1), jnp.asarray(perm),
-            axis=1)
-
-    def _unpack(a):
-        if pack_vals:
-            vlo_d, vhi_d = a["vals_lo"], a["vals_hi"]
-            nmask = jnp.uint32((1 << node_bits) - 1)
-            node_f = vlo_d & nmask
-            emp = node_f == nmask
-            off = (vlo_d >> node_bits) | (
-                vhi_d.astype(jnp.uint32) << (32 - node_bits))
-            if off_bits < 32:
-                off = off & jnp.uint32((1 << off_bits) - 1)
-            node = jnp.where(emp, jnp.uint32(CK_EMPTY), node_f)
-            off = jnp.where(emp, jnp.uint32(0), off)
-            cuckoo_vals = _interleave(
-                node.reshape(-1, G), off.reshape(-1, G)).reshape(-1)
-        else:
-            cuckoo_vals = a["cuckoo_vals"]
-            emp = None
-        if pack_keys:
-            klo_d = a["keys_lo"]
-            khi_d = jnp.zeros((S_pad,), jnp.uint32)
-            for j in range(PB - 4):
-                khi_d = khi_d | (
-                    a["keys_hi"][:, j].astype(jnp.uint32) << (8 * j))
-            khi_d = jnp.where(emp, jnp.uint32(0xFFFFFFFF), khi_d)
-            cuckoo = _interleave(
-                klo_d.reshape(-1, G), khi_d.reshape(-1, G)
-            ).reshape(S_pad // CK_SLOTS, CK_SLOTS * W)
-        else:
-            cuckoo = a["cuckoo"]
-        if pack_pool:
-            R_pad = -(-R // 128) * 128
-            r16 = jnp.arange(R_pad // 128)[:, None]
-            c = jnp.arange(1024)[None, :]
-            idx = (r16 * 128 + c // 8) * sw + (c % 8)
-            pool_rows = jnp.take(  # clips OOB tail-row indices
-                a["pool_flat"], idx, mode="clip").reshape(R_pad, 8)
-        else:
-            pool_rows = a["pool_rows"]
-        return {"cuckoo": cuckoo, "cuckoo_vals": cuckoo_vals,
-                "pool_rows": pool_rows}
-
     args_dev = jax.device_put(args, device)
-    out = jax.jit(_unpack, donate_argnums=0)(args_dev)
+    out = _pack_unpack_jit(
+        pack_keys, pack_vals, pack_pool, node_bits, off_bits, W, PB,
+        S_pad, R, sw, G)(args_dev)
     rest = {
         f: getattr(dev, f) for f in dev._fields
         if f not in ("cuckoo", "cuckoo_vals", "pool_rows")
