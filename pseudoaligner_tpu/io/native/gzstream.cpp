@@ -336,9 +336,14 @@ struct PaGz {
       return;
     }
 
-    // BGZF: spin the worker pool lazily (only for files that are BGZF)
+    // BGZF: spin the worker pool lazily (only for files that are BGZF).
+    // Default 1 worker on narrow (<= 4 core) hosts: the serving loop's
+    // render/remap/scan threads saturate those cores and extra inflate
+    // workers measurably SINK the gz serving ratio (chip A/B c24:
+    // 2 workers 0.59-0.78 vs 1 worker 0.75-0.91 of plain) — reader-only
+    // parallel speedup (170 -> ~950MB/s) is for wide hosts.
     unsigned hw = std::thread::hardware_concurrency();
-    n_workers = (int)(hw > 4 ? 3 : (hw >= 2 ? 2 : 1));
+    n_workers = (int)(hw > 4 ? (hw - 4 < 3 ? hw - 4 : 3) : 1);
     const char* envw = getenv("PA_GZ_WORKERS");
     if (envw && envw[0]) {
       int v = atoi(envw);
