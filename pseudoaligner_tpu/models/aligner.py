@@ -28,7 +28,7 @@ from ..ops.map_kernel import (
     map_batch_packed,
     lens_link_dtype,
     pack_reads_host,
-    upload_device_index,
+    serving_device_index,
 )
 
 log = logging.getLogger(__name__)
@@ -290,11 +290,12 @@ class Pseudoaligner:
         self.config = config
         self._map_step = map_step
         if map_step is None:
-            dev, meta = device_index_from_image(image, config)
-            self.meta = meta
             # packed H2D upload + cuckoo-mode dummying of the mphf/key
-            # arrays (the scale serve init is link-bound — PERF.md)
-            self.dev = upload_device_index(dev, meta, device)
+            # arrays (the scale serve init is link-bound — PERF.md);
+            # a packed-sidecar hit skips the devcache load + host pack
+            self.dev, self.meta = serving_device_index(
+                image, config, device)
+            meta = self.meta
             self._step = partial(_MAP_STEP_JIT, meta)
         else:
             if meta is None:

@@ -1438,7 +1438,17 @@ def device_index_from_image(image, config: AlignerConfig):
         kmer_offset=image.kmer_offset.astype(np.int32),
         ec_bits=ec_bits,
     )
-    meta = MapMeta(
+    meta = _make_meta(image, config, tx_words, cuckoo_mask, bucket_seed,
+                      ones_node, ones_off, pool_pad, pool_stride)
+    return dev, meta
+
+
+def _make_meta(image, config, tx_words, cuckoo_mask, bucket_seed,
+               ones_node, ones_off, pool_pad, pool_stride) -> MapMeta:
+    """MapMeta from (image, config) + the build-derived scalars — shared
+    by device_index_from_image and the packed-sidecar serving loader so
+    the two paths cannot drift."""
+    return MapMeta(
         k=image.k,
         read_len=config.max_read_len,
         allowed_mismatches=config.allowed_mismatches,
@@ -1479,7 +1489,6 @@ def device_index_from_image(image, config: AlignerConfig):
         ec_out_16=config.distinct_cap > 0 and image.n_ecs < 2**15 - 4,
         cov_out_8=config.distinct_cap > 0 and config.max_read_len <= 255,
     )
-    return dev, meta
 
 
 @functools.lru_cache(maxsize=64)
@@ -1547,8 +1556,8 @@ def _pack_unpack_jit(pack_keys, pack_vals, pack_pool, node_bits, off_bits,
     return jax.jit(_unpack, donate_argnums=0)
 
 
-def upload_device_index(dev: DeviceIndex, meta: MapMeta,
-                        device=None) -> DeviceIndex:
+def upload_device_index(dev: DeviceIndex, meta: MapMeta, device=None,
+                        sidecar_path=None) -> DeviceIndex:
     """device_put with H2D byte-packing for the big serving tables.
 
     The scale-row serve init is LINK-bound: ~537MB of cuckoo keys+values
@@ -1577,14 +1586,7 @@ def upload_device_index(dev: DeviceIndex, meta: MapMeta,
     """
     env = os.environ.get("PA_PACK_UPLOAD", "")
     if meta.seed_index in ("cuckoo", "bucket1") and env != "0":
-        W_k = dev.kmer_keys.shape[1]
-        dev = dev._replace(
-            mphf_bits=np.zeros(1, np.uint32),
-            mphf_ranks=np.zeros(1, np.uint32),
-            kmer_keys=np.zeros((1, W_k), np.uint32),
-            kmer_node=np.zeros(1, np.int32),
-            kmer_offset=np.zeros(1, np.int32),
-        )
+        dev = dev._replace(**_probe_dummies(dev.kmer_keys.shape[1]))
     nb = dev.cuckoo.shape[0]
     if env == "0" or meta.seed_index != "cuckoo" or nb <= 1:
         return jax.device_put(dev, device)
@@ -1593,11 +1595,43 @@ def upload_device_index(dev: DeviceIndex, meta: MapMeta,
                  else int(os.environ.get("PA_PACK_UPLOAD_MIN", 128 << 20)))
     if total_bytes < min_bytes:
         return jax.device_put(dev, device)
+    packed = _pack_serving_args(dev, meta)
+    if packed is None:
+        return jax.device_put(dev, device)
+    args, cfg = packed
+    if sidecar_path is not None:
+        _write_packcache(sidecar_path, args, cfg, dev, meta)
+    rest = {
+        f: getattr(dev, f) for f in dev._fields
+        if f not in ("cuckoo", "cuckoo_vals", "pool_rows")
+    }
+    return _put_and_unpack(args, cfg, rest, device)
 
+
+def _probe_dummies(W_k: int) -> dict:
+    """1-element stand-ins for the mphf/raw-key arrays (dead weight on
+    device in cuckoo/bucket1 mode — ~432MB at 27M kmers)."""
+    return dict(
+        mphf_bits=np.zeros(1, np.uint32),
+        mphf_ranks=np.zeros(1, np.uint32),
+        kmer_keys=np.zeros((1, W_k), np.uint32),
+        kmer_node=np.zeros(1, np.int32),
+        kmer_offset=np.zeros(1, np.int32),
+    )
+
+
+def _pack_serving_args(dev: DeviceIndex, meta: MapMeta):
+    """Host-side bit-pack of the big serving tables.
+
+    Returns (args dict, cfg tuple) or None when no packing applies.
+    cfg = (pack_keys, pack_vals, pack_pool, node_bits, off_bits, W, PB,
+    S_pad, R, sw) — exactly _pack_unpack_jit's static signature minus G.
+    """
+    nb = dev.cuckoo.shape[0]
     W = dev.cuckoo.shape[1] // CK_SLOTS
     S = nb * CK_SLOTS
-    if dev.cuckoo_vals.shape != (2 * S,):  # unexpected layout: plain put
-        return jax.device_put(dev, device)
+    if dev.cuckoo_vals.shape != (2 * S,):  # unexpected layout
+        return None
     PB = (2 * meta.k + 7) // 8  # packed key bytes (40 bits -> 5 at k=20)
     vals = dev.cuckoo_vals  # flat (node, offset) pairs
     node_u = vals[0::2]
@@ -1618,7 +1652,7 @@ def upload_device_index(dev: DeviceIndex, meta: MapMeta,
     sw = meta.pool_stride // 16
     pack_pool = sw > 0 and dev.pool_rows.shape[0] > 1
     if not (pack_keys or pack_vals or pack_pool):
-        return jax.device_put(dev, device)
+        return None
 
     # TPU layout note (chip-measured OOM, round 5): inside a jit,
     # narrow-minor-dim temps ([S, 2], [nb, 8]) get (8, 128) tile padding
@@ -1667,15 +1701,15 @@ def upload_device_index(dev: DeviceIndex, meta: MapMeta,
             [pr[:-1, :sw].reshape(-1), pr[-1]])
     else:
         args["pool_rows"] = dev.pool_rows
+    return args, (pack_keys, pack_vals, pack_pool, node_bits, off_bits,
+                  W, PB, S_pad, R, sw)
 
+
+def _put_and_unpack(args: dict, cfg: tuple, rest: dict,
+                    device=None) -> DeviceIndex:
+    """device_put the packed args + run the memoized on-device unpack."""
     args_dev = jax.device_put(args, device)
-    out = _pack_unpack_jit(
-        pack_keys, pack_vals, pack_pool, node_bits, off_bits, W, PB,
-        S_pad, R, sw, G)(args_dev)
-    rest = {
-        f: getattr(dev, f) for f in dev._fields
-        if f not in ("cuckoo", "cuckoo_vals", "pool_rows")
-    }
+    out = _pack_unpack_jit(*cfg, 512)(args_dev)
     rest_dev = jax.device_put(rest, device)
     return DeviceIndex(
         pool_rows=out["pool_rows"], node_row=rest_dev["node_row"],
@@ -1684,3 +1718,91 @@ def upload_device_index(dev: DeviceIndex, meta: MapMeta,
         kmer_keys=rest_dev["kmer_keys"], kmer_node=rest_dev["kmer_node"],
         kmer_offset=rest_dev["kmer_offset"], ec_bits=rest_dev["ec_bits"],
     )
+
+
+_PACKCACHE_VERSION = 1
+
+
+def _packcache_path(image, config: AlignerConfig):
+    """Disk location for the PACKED serving sidecar, or None.
+
+    A sidecar hit skips the big devcache npz load AND the host re-pack
+    at serve init (chip: ~6s of the 27M-kmer serve_init).  Keyed like
+    _devcache_path on the index file identity + the shape knobs the
+    packed arrays depend on."""
+    import hashlib
+    import json as _json
+
+    ident = getattr(image, "source_ident", None)
+    if ident is None or os.environ.get("PSEUDOALIGNER_DEVCACHE") == "0":
+        return None
+    L = config.max_read_len
+    pool_pad = ((L + 127) // 128 + 1) * 128
+    cmp_words = (L + 15) // 16 + 1
+    want_overlap = (config.pool_overlap if config.pool_overlap is not None
+                    else L <= 80)
+    pool_stride = 128 - 16 * (cmp_words + 1) if want_overlap else 0
+    if pool_stride < 16:
+        pool_stride = 0
+    use_bitset = len(image.tx_names) <= config.bitset_tx_threshold
+    tx_words = (len(image.tx_names) + 31) // 32 if use_bitset else 0
+    key = _json.dumps(["pack", _PACKCACHE_VERSION, list(ident), pool_pad,
+                       pool_stride, config.seed_index, tx_words])
+    h = hashlib.sha1(key.encode()).hexdigest()[:16]
+    return f"{ident[0]}.pack-{h}.npz"
+
+
+def _write_packcache(path, args, cfg, dev: DeviceIndex,
+                     meta: MapMeta) -> None:
+    """Best-effort atomic write of the packed serving sidecar."""
+    try:
+        tmp = f"{path}.tmp{os.getpid()}.npz"
+        np.savez(
+            tmp,
+            pack_cfg=np.array([int(x) for x in cfg], np.int64),
+            meta_scalars=np.array(
+                [meta.cuckoo_mask, meta.bucket_seed, meta.ones_node,
+                 meta.ones_off, meta.pool_pad, meta.pool_stride,
+                 meta.tx_words], np.int64),
+            node_row=dev.node_row, ec_bits=dev.ec_bits,
+            **{f"arg_{k}": v for k, v in args.items()},
+        )
+        os.replace(tmp, path)
+    except Exception:
+        pass  # cache write is best-effort (read-only fs, ...)
+
+
+def serving_device_index(image, config: AlignerConfig, device=None):
+    """(device-resident DeviceIndex, MapMeta) for SERVING.
+
+    Equivalent to device_index_from_image + upload_device_index (the
+    tests pin equality), but a packed-sidecar hit feeds the upload
+    directly from disk: no 546MB devcache npz load, no cuckoo
+    reconstruction, no host re-pack — the serve-init path is then
+    sidecar load + H2D of the packed bytes + the on-device unpack.
+    """
+    path = _packcache_path(image, config)
+    env = os.environ.get("PA_PACK_UPLOAD", "")
+    if path is not None and env != "0" and os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                data = {k: z[k] for k in z.files}
+            cfg_raw = [int(x) for x in data["pack_cfg"]]
+            cfg = (bool(cfg_raw[0]), bool(cfg_raw[1]), bool(cfg_raw[2]),
+                   *cfg_raw[3:])
+            ms = [int(x) for x in data["meta_scalars"]]
+            meta = _make_meta(image, config, tx_words=ms[6],
+                              cuckoo_mask=ms[0], bucket_seed=ms[1],
+                              ones_node=ms[2], ones_off=ms[3],
+                              pool_pad=ms[4], pool_stride=ms[5])
+            args = {k[4:]: v for k, v in data.items()
+                    if k.startswith("arg_")}
+            rest = dict(node_row=data["node_row"],
+                        ec_bits=data["ec_bits"],
+                        **_probe_dummies(image.kmer_keys.shape[1]))
+            return _put_and_unpack(args, cfg, rest, device), meta
+        except Exception:
+            pass  # corrupt/stale sidecar: rebuild below
+    dev, meta = device_index_from_image(image, config)
+    out = upload_device_index(dev, meta, device, sidecar_path=path)
+    return out, meta

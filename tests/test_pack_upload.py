@@ -76,6 +76,38 @@ def test_pack_upload_k64(small_transcripts):
     _assert_pack_matches_plain(dev, meta)
 
 
+def test_serving_sidecar_cache(small_index, tmp_path):
+    """serving_device_index: miss -> writes the packed sidecar; hit ->
+    loads it, with dev arrays AND meta identical to the uncached path."""
+    from pseudoaligner_tpu.ops.map_kernel import (
+        _packcache_path,
+        serving_device_index,
+    )
+    from pseudoaligner_tpu.serde import load_index, save_index
+
+    idx_path = str(tmp_path / "s.bin")
+    save_index(small_index, idx_path)
+    image = load_index(idx_path)  # sets source_ident -> sidecar engages
+    cfg = AlignerConfig(
+        k=20, batch_size=64, max_read_len=60, max_nodes=8, distinct_cap=3,
+        max_walk_iters=2, max_left_iters=2,
+    )
+    os.environ["PA_PACK_UPLOAD"] = "1"
+    try:
+        path = _packcache_path(image, cfg)
+        assert path is not None and not os.path.exists(path)
+        dev_miss, meta_miss = serving_device_index(image, cfg)
+        assert os.path.exists(path), "sidecar not written on miss"
+        dev_hit, meta_hit = serving_device_index(image, cfg)
+    finally:
+        os.environ.pop("PA_PACK_UPLOAD", None)
+    assert meta_hit == meta_miss
+    for f in dev_miss._fields:
+        a, b = np.asarray(getattr(dev_miss, f)), np.asarray(
+            getattr(dev_hit, f))
+        assert a.shape == b.shape and np.array_equal(a, b), f
+
+
 def test_pack_upload_end_to_end(small_index, small_reads):
     """Forced-packed aligner produces the same MapResult as unpacked."""
     cfg = AlignerConfig(
