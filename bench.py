@@ -833,7 +833,7 @@ def main():
     # more passes run AFTER the workload rows (a later weather window)
     # and merge into the same best. ---
     n_min = max(2, int(os.environ.get("BENCH_PASSES", 3)))
-    n_max = int(os.environ.get("BENCH_PASSES_MAX", 10))
+    n_max = max(n_min, int(os.environ.get("BENCH_PASSES_MAX", 10)))
     stall = 2
     dts = []
     n_done = n_unmapped = 0
@@ -899,9 +899,17 @@ def main():
                 errors[name] = e
                 del pass_fns[name]
 
-    # late map passes: same engine, a different weather window
+    # late map passes: same engine, a different weather window.  Guarded:
+    # the early passes already carry the measurement, so a tunnel failure
+    # HERE must not sink the headline (the rows degrade to error rows —
+    # the headline keeps the same contract).
     for _ in range(2):
-        _nd, _nu, dt_i = timed_pass(depth=best_depth)
+        try:
+            _nd, _nu, dt_i = timed_pass(depth=best_depth)
+        except Exception as e:
+            sys.stderr.write(f"bench: late pass failed, keeping early "
+                             f"passes: {type(e).__name__}: {e}\n")
+            break
         dts.append(dt_i)
     dt = min(dts)
     rps = n_done / dt

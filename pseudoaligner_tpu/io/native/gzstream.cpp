@@ -280,7 +280,7 @@ struct PaGz {
   // the consumed header bytes; returns:
   //   1 = BGZF member, 0 = valid-looking gzip but not BGZF (serial
   //   fallback takes over with hdr as carry), -1 = EOF cleanly before
-  //   any byte, -2 = truncated/garbage
+  //   any byte, -2 = truncated, -3 = corrupt (bad magic / lying BSIZE)
   int parse_member_header(std::vector<uint8_t>& hdr, size_t* bsize_out) {
     hdr.clear();
     size_t got0 = 0;
@@ -289,7 +289,7 @@ struct PaGz {
     hdr.resize(got0);
     if (got0 == 0) return ferror(f) ? -2 : -1;
     if (got0 < 12) return -2;
-    if (hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8) return -2;
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8) return -3;
     uint8_t flg = hdr[3];
     if ((flg & 0x04) == 0) return 0;  // no FEXTRA: not BGZF
     size_t xlen = (size_t)hdr[10] | ((size_t)hdr[11] << 8);
@@ -303,7 +303,7 @@ struct PaGz {
       if (si1 == 'B' && si2 == 'C' && slen == 2 && p + 6 <= end) {
         size_t bsize =
             ((size_t)hdr[p + 4] | ((size_t)hdr[p + 5] << 8)) + 1;
-        if (bsize < end + 8) return -2;  // smaller than its own header
+        if (bsize < end + 8) return -3;  // smaller than its own header
         *bsize_out = bsize;
         return 1;
       }
@@ -329,9 +329,7 @@ struct PaGz {
       return;
     }
     if (kind != 1) {
-      if (kind == -2 && hdr.size() < 12) {
-        // too short to even be a header: let serial report it precisely
-      }
+      // kind 0/-2/-3: the serial inflate reports the precise zlib error
       run_serial(std::move(hdr));
       return;
     }
@@ -421,11 +419,11 @@ struct PaGz {
         }
         break;
       }
-      if (kind == -2) {
+      if (kind == -2 || kind == -3) {
         deliver_until(enq);
         fail(ferror(f) ? "gzip source read error"
-                       : (hdr.empty() ? "truncated gzip stream"
-                                      : "truncated gzip stream"));
+                       : (kind == -3 ? "corrupt gzip member header"
+                                     : "truncated gzip stream"));
         failed = true;
         break;
       }

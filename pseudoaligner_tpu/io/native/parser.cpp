@@ -88,7 +88,8 @@ int64_t pa_fastq_scan(const char* buf, int64_t n, int64_t start,
       // after its '+' line and the acceptance would consume it without
       // its qual line, desyncing the next scan
       int64_t qlen = end - q;
-      if (qlen > 0 && end[-1] == '\r') qlen--;
+      while (qlen > 0 && q[qlen - 1] == '\r') qlen--;  // trim ALL: the
+      // Python readers rstrip every trailing CR (rust-bio trim_end)
       if (final_chunk && qlen >= s_stop - s) q_end = end - 1;
       else { p = rec_start; break; }
     }
@@ -146,7 +147,8 @@ int64_t pa_fastq_scan_prefix(const char* buf, int64_t n, int64_t start,
       // same final-chunk gate as pa_fastq_scan (zero-length-seq records
       // at a streaming chunk boundary; trimmed-length qual coverage)
       int64_t qlen = end - q;
-      if (qlen > 0 && end[-1] == '\r') qlen--;
+      while (qlen > 0 && q[qlen - 1] == '\r') qlen--;  // trim ALL: the
+      // Python readers rstrip every trailing CR (rust-bio trim_end)
       if (final_chunk && qlen >= s_stop - s) q_end = end - 1;
       else { p = rec_start; break; }
     }

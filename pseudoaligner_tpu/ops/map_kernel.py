@@ -1298,11 +1298,13 @@ def _devcache_path(image, pool_pad, pool_stride, seed_index, tx_words):
     return f"{ident[0]}.dev-{h}.npz"
 
 
-def device_index_from_image(image, config: AlignerConfig):
-    """IndexImage -> (DeviceIndex of numpy arrays, MapMeta)."""
+def _derived_knobs(image, config: AlignerConfig, warn: bool = False):
+    """(pool_pad, pool_stride, tx_words) from (image, config) — the
+    shape knobs that key BOTH the devcache and the packed sidecar.  ONE
+    derivation shared by device_index_from_image and _packcache_path so
+    the cache keys cannot silently drift from the build (review r5)."""
     use_bitset = len(image.tx_names) <= config.bitset_tx_threshold
     tx_words = (len(image.tx_names) + 31) // 32 if use_bitset else 0
-
     L = config.max_read_len
     pool_pad = ((L + 127) // 128 + 1) * 128
     cmp_words = (L + 15) // 16 + 1
@@ -1314,7 +1316,7 @@ def device_index_from_image(image, config: AlignerConfig):
                     else L <= 80)
     pool_stride = 128 - 16 * (cmp_words + 1) if want_overlap else 0
     if pool_stride < 16:
-        if config.pool_overlap:
+        if warn and config.pool_overlap:
             import logging
 
             logging.getLogger(__name__).warning(
@@ -1324,6 +1326,13 @@ def device_index_from_image(image, config: AlignerConfig):
                 L,
             )
         pool_stride = 0  # window wider than a row: legacy 2-row fetch
+    return pool_pad, pool_stride, tx_words
+
+
+def device_index_from_image(image, config: AlignerConfig):
+    """IndexImage -> (DeviceIndex of numpy arrays, MapMeta)."""
+    pool_pad, pool_stride, tx_words = _derived_knobs(
+        image, config, warn=True)
 
     W = image.kmer_keys.shape[1]
     cache_path = _devcache_path(
@@ -1351,7 +1360,7 @@ def device_index_from_image(image, config: AlignerConfig):
         ec_bits = (
             build_ec_bitsets(image.ec_offsets, image.ec_txs,
                              len(image.tx_names))
-            if use_bitset
+            if tx_words > 0
             else np.zeros((1, 0), np.uint32)
         )
         pool_rows = _pack_pool_rows(
@@ -1736,16 +1745,7 @@ def _packcache_path(image, config: AlignerConfig):
     ident = getattr(image, "source_ident", None)
     if ident is None or os.environ.get("PSEUDOALIGNER_DEVCACHE") == "0":
         return None
-    L = config.max_read_len
-    pool_pad = ((L + 127) // 128 + 1) * 128
-    cmp_words = (L + 15) // 16 + 1
-    want_overlap = (config.pool_overlap if config.pool_overlap is not None
-                    else L <= 80)
-    pool_stride = 128 - 16 * (cmp_words + 1) if want_overlap else 0
-    if pool_stride < 16:
-        pool_stride = 0
-    use_bitset = len(image.tx_names) <= config.bitset_tx_threshold
-    tx_words = (len(image.tx_names) + 31) // 32 if use_bitset else 0
+    pool_pad, pool_stride, tx_words = _derived_knobs(image, config)
     key = _json.dumps(["pack", _PACKCACHE_VERSION, list(ident), pool_pad,
                        pool_stride, config.seed_index, tx_words])
     h = hashlib.sha1(key.encode()).hexdigest()[:16]

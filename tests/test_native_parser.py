@@ -406,6 +406,8 @@ def test_final_record_qual_semantics(tmp_path):
         # TRIMMED coverage (the '\r' is not qual) -> incomplete, per the
         # rust-bio rule (qual lines read until trim_end len >= seq len)
         (b"@a\r\nACGT\r\n+\r\nIIII\r", ["a"], [4]),  # trimmed qual covers
+        (b"@a\nACGT\n+\nIII\r\r", None, None),  # ALL trailing CRs trim
+        (b"@a\nACGT\n+\nIIII\r\r", ["a"], [4]),
     ]
     for raw, ids, lens in cases:
         p = tmp_path / "c.fq"

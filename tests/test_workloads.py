@@ -725,3 +725,87 @@ def test_whitelist_batched_correction_parity():
                 assert g == Whitelist._INVALID, (force_table, s)
             else:
                 assert _decode_2bit(int(g), L) == want, (force_table, s)
+
+
+def test_count_native_keys_parity():
+    """Direct unit-level differential for pa_count_r1keys (C++) vs a
+    numpy oracle of the documented semantics — per-row status, bckey,
+    ukey, pkbc, pkumi — across the edge cases the end-to-end fuzz can't
+    isolate: 0xFF short rows, dirty-barcode/clean-UMI (pkumi must still
+    pack), clean-barcode/dirty-UMI, lowercase (non-ACGT per the count
+    LUT), whitelist member/non-member, empty whitelist, no whitelist."""
+    from pseudoaligner_tpu.io import native as nat
+
+    rng = np.random.default_rng(99)
+    bl, ul = 16, 12
+    ml = bl + ul
+    n = 4096
+    rows = rng.integers(0, 4, size=(n, ml), dtype=np.int64)
+    arr = np.frombuffer(b"ACGT", np.uint8)[rows].reshape(n, ml).copy()
+    # inject edge cases
+    arr[0] = 0xFF                      # short row
+    arr[1, 3] = ord("N")               # dirty barcode, clean UMI
+    arr[2, bl + 2] = ord("N")          # clean barcode, dirty UMI
+    arr[3, 5] = ord("a")               # lowercase = non-ACGT here
+    arr[4] = 0xFF
+    arr[5, 0] = ord("N")
+    arr[6, bl] = ord("n")
+    for i in rng.choice(n, 50, replace=False):
+        arr[i, rng.integers(0, ml)] = b"Nacgt"[rng.integers(0, 5)]
+
+    lut = np.full(256, 255, np.uint8)
+    for j, b in enumerate(b"ACGT"):
+        lut[b] = j
+
+    def oracle(wl_sorted):
+        codes = lut[arr]
+        short = arr[:, 0] == 0xFF
+        bad_bc = (codes[:, :bl] == 255).any(axis=1)
+        bad_um = (codes[:, bl:] == 255).any(axis=1)
+        pk = np.zeros((n, 2), np.uint64)
+        for j in range(bl):
+            pk[:, 0] = (pk[:, 0] << np.uint64(2)) | np.where(
+                codes[:, j] == 255, 0, codes[:, j]).astype(np.uint64)
+        for j in range(bl, ml):
+            pk[:, 1] = (pk[:, 1] << np.uint64(2)) | np.where(
+                codes[:, j] == 255, 0, codes[:, j]).astype(np.uint64)
+        pkbc = np.where(bad_bc, 0, pk[:, 0])
+        pkumi = np.where(bad_um, 0, pk[:, 1])
+        status = np.zeros(n, np.uint8)
+        status[bad_bc | bad_um] = 3
+        if wl_sorted is not None:
+            if len(wl_sorted):
+                pos = np.minimum(np.searchsorted(wl_sorted, pkbc),
+                                 len(wl_sorted) - 1)
+                member = wl_sorted[pos] == pkbc
+            else:
+                member = np.zeros(n, bool)
+            status[(status == 0) & ~member] = 2
+        status[short] = 1
+        pkbc = np.where(short, 0, pkbc)
+        pkumi = np.where(short, 0, pkumi)
+        exact = status == 0
+        bckey = np.where(exact, pkbc.astype(np.int64), -1)
+        ukey = np.where(exact, pkumi.astype(np.int64), -1)
+        return bckey, ukey, status, pkbc, pkumi, int(short.sum())
+
+    # whitelist containing ~half the clean barcodes + noise
+    codes = lut[arr]
+    clean_bc = (codes[:, :bl] != 255).all(axis=1) & (arr[:, 0] != 0xFF)
+    some = np.zeros(n, np.uint64)
+    for j in range(bl):
+        some = (some << np.uint64(2)) | np.where(
+            codes[:, j] == 255, 0, codes[:, j]).astype(np.uint64)
+    members = np.unique(some[clean_bc])[::2]
+    noise = rng.integers(0, 1 << 32, 100).astype(np.uint64)
+    wl = np.unique(np.concatenate([members, noise]))
+
+    for wl_sorted in (None, wl, np.empty(0, np.uint64)):
+        got = nat.count_r1keys(arr, bl, wl_sorted)
+        want = oracle(wl_sorted)
+        for gi, wi, name in zip(got, want, ("bckey", "ukey", "status",
+                                            "pkbc", "pkumi", "n_short")):
+            if name == "n_short":
+                assert gi == wi
+            else:
+                assert np.array_equal(gi, wi), name
