@@ -22,7 +22,7 @@ BENCH_PAIRED/BENCH_GZ/BENCH_COUNT/BENCH_SCALE/BENCH_BUILD=0 skip rows.
 
 Weather protocol (the tunnel's run-to-run band is ~2x): the map headline
 is adaptive best-of-N (sample until the best pass stops improving, max
-BENCH_PASSES_MAX, plus two late passes after the rows); workload rows are
+BENCH_PASSES_MAX, plus late passes after the rows); workload rows are
 prepared first, then scored round-robin over BENCH_ROW_ROUNDS interleaved
 rounds so every row shares the same weather window; all per-pass values
 are emitted in the JSON ("passes"/"passes_s") so a bad-weather run is
@@ -889,7 +889,7 @@ def main():
             pass_fns[name] = prep()
         except Exception as e:
             errors[name] = e
-    rounds = int(os.environ.get("BENCH_ROW_ROUNDS", 3))
+    rounds = int(os.environ.get("BENCH_ROW_ROUNDS", 4))
     vals: dict = {name: [] for name in pass_fns}
     for _r in range(rounds):
         for name in list(pass_fns):
@@ -903,7 +903,7 @@ def main():
     # the early passes already carry the measurement, so a tunnel failure
     # HERE must not sink the headline (the rows degrade to error rows —
     # the headline keeps the same contract).
-    for _ in range(2):
+    for _ in range(3):
         try:
             _nd, _nu, dt_i = timed_pass(depth=best_depth)
         except Exception as e:

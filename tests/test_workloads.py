@@ -313,16 +313,21 @@ def test_count_gz_inputs_match_plain(small_index, small_transcripts, tmp_path):
                                        int(rng.integers(0, 50)), 5, 60)))
     _write_fastq(tmp_path / "r1.fq", r1)
     _write_fastq(tmp_path / "r2.fq", r2)
+    from pseudoaligner_tpu.io.fastq import write_bgzf
+
     for nm in ("r1.fq", "r2.fq"):
-        with open(tmp_path / nm, "rb") as f, \
-                gzip.open(tmp_path / (nm + ".gz"), "wb") as g:
-            g.write(f.read())
+        data = open(tmp_path / nm, "rb").read()
+        with gzip.open(tmp_path / (nm + ".gz"), "wb") as g:
+            g.write(data)
+        # bgzf variant: the native source's PARALLEL member path
+        write_bgzf(str(tmp_path / (nm + ".bgz.gz")), data,
+                   member_size=512)
 
     cfg = AlignerConfig(k=20, batch_size=64, max_read_len=96, max_nodes=9,
                         distinct_cap=3, max_walk_iters=3, max_left_iters=2)
     al = Pseudoaligner(small_index, cfg)
     outs = []
-    for suffix in ("", ".gz"):
+    for suffix in ("", ".gz", ".bgz.gz"):
         c = count_single_cell(
             al, str(tmp_path / f"r1.fq{suffix}"),
             str(tmp_path / f"r2.fq{suffix}"), Chemistry(), bc_correct=False)
@@ -331,6 +336,7 @@ def test_count_gz_inputs_match_plain(small_index, small_transcripts, tmp_path):
         outs.append({f: open(os.path.join(d, f)).read()
                      for f in ("barcodes.tsv", "ec.tsv", "matrix.mtx")})
     assert outs[0] == outs[1]
+    assert outs[0] == outs[2]
 
 
 def test_count_short_r1_errors_promptly(aligner, small_transcripts,
