@@ -722,3 +722,24 @@ def test_fuzz_serving_cap_sweep_parity(tmp_path, caps):
     n, _fl = srv.emit_fastq(str(fq), buf)
     assert n == len(reads)
     assert buf.getvalue() == want
+
+
+def test_fuzz_parity_packed_upload():
+    """The forced packed H2D upload (bit-packed keys/values, de-overlap
+    pool, on-device unpack, padded tables) stays golden-parity on random
+    graphs — covers node_bits/off_bits edge cases (tiny random node
+    counts/offsets) the bundled-index tests can't."""
+    import os
+
+    for seed, k, po in ((5150, 20, False), (5151, 20, True), (5152, 64, False)):
+        rng = np.random.default_rng(seed)
+        seqs, names, gmap = _random_transcripts(rng, n=10, lo=150, hi=500)
+        image = build_index(seqs, names, gmap, k=k)
+        reads = _fuzz_reads(rng, seqs, k=k, n=160, L=96 if k == 64 else 72)
+        os.environ["PA_PACK_UPLOAD"] = "1"
+        try:
+            n = _check_parity(image, reads, max_read_len=96,
+                              pool_overlap=po)
+        finally:
+            os.environ.pop("PA_PACK_UPLOAD", None)
+        assert n == len(reads)
