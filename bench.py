@@ -829,7 +829,7 @@ def main():
     # sampling until the best pass has gone `stall` consecutive passes
     # without improving (min BENCH_PASSES, max BENCH_PASSES_MAX): a
     # lucky early pass ends the loop fast, a degraded window keeps
-    # sampling instead of becoming the round's permanent record.  Two
+    # sampling instead of becoming the round's permanent record.  Three
     # more passes run AFTER the workload rows (a later weather window)
     # and merge into the same best. ---
     n_min = max(2, int(os.environ.get("BENCH_PASSES", 3)))
