@@ -515,7 +515,11 @@ def build_or_load_scale(n_reads, read_len=60):
         json.dump({"mode": SCALE_MODE, "mb": scale_mb,
                    "build_s": round(build_s, 1),
                    "n_kmers": int(image.mphf.n_keys)}, f)
-    return image, np.load(SCALE_READS_CACHE)
+    # return the RELOADED image, not the in-memory build: source_ident
+    # (set by load_index) keys the devcache + packed sidecar, so the
+    # fresh-build run also populates the serve-init caches instead of
+    # leaving them for the next run to build at full cost
+    return load_index(SCALE_INDEX_CACHE), np.load(SCALE_READS_CACHE)
 
 
 def _prep_scale(B, L, cap, depth, n_batches):
