@@ -926,10 +926,13 @@ def main():
     for name, unit, _prep in specs:
         vlist = vals.get(name) or []
         if not vlist:
-            e = errors[name]
+            # no recorded error + no passes (e.g. BENCH_ROW_ROUNDS=0)
+            # must still degrade to an error row, not a KeyError
+            e = errors.get(name)
+            msg = (f"{type(e).__name__}: {e}" if e is not None
+                   else "no passes ran")
             rows.append({"metric": name, "value": 0, "unit": unit,
-                         "vs_baseline": 0.0,
-                         "error": f"{type(e).__name__}: {e}"})
+                         "vs_baseline": 0.0, "error": msg})
             continue
         if name == "gz_map_throughput":
             gz_list = [v[0] for v in vlist]

@@ -48,6 +48,11 @@ def write_bgzf(path: str, data: bytes, member_size: int = 1 << 15,
                     + b"BC" + struct.pack("<HH", 2, bsize) + comp
                     + struct.pack("<II", zlib.crc32(chunk),
                                   len(chunk) & 0xFFFFFFFF))
+        # the standard 28-byte BGZF EOF marker (empty member): htslib
+        # tools treat its absence as possible truncation (review r5).
+        # Our readers see it as a zero-isize member and deliver nothing.
+        f.write(bytes.fromhex(
+            "1f8b08040000000000ff0600424302001b0003000000000000000000"))
 
 
 class _GzScanBuffer:

@@ -24,6 +24,11 @@ inline const char* find_nl(const char* p, const char* end) {
   return q ? (const char*)q : nullptr;
 }
 
+// Python bytes.split(None) whitespace (within a line: no '\n')
+inline bool is_ws(char c) {
+  return c == ' ' || c == '\t' || c == '\r' || c == '\v' || c == '\f';
+}
+
 }  // namespace
 
 extern "C" {
@@ -59,16 +64,23 @@ int64_t pa_fastq_scan(const char* buf, int64_t n, int64_t start,
     if (*p != '@') return -1;
     const char* h_end = find_nl(p, end);
     if (!h_end) break;
-    // id = first whitespace-delimited token after '@'
+    // id = first whitespace-delimited token after '@'.  Trim ALL
+    // trailing CRs and treat \r/\v/\f as delimiters too — the Python
+    // readers' header[1:].split(None, 1)[0] skips leading whitespace
+    // and splits on any whitespace byte (multi-CR line endings
+    // otherwise leave a '\r' inside the native id: review r5)
     const char* id_s = p + 1;
+    const char* h_stop = h_end;
+    while (h_stop > id_s && h_stop[-1] == '\r') h_stop--;
+    while (id_s < h_stop && is_ws(*id_s)) id_s++;
     const char* id_e = id_s;
-    const char* h_stop = (h_end > id_s && h_end[-1] == '\r') ? h_end - 1 : h_end;
-    while (id_e < h_stop && *id_e != ' ' && *id_e != '\t') id_e++;
+    while (id_e < h_stop && !is_ws(*id_e)) id_e++;
 
     const char* s = h_end + 1;
     const char* s_end = find_nl(s, end);
     if (!s_end) { p = rec_start; break; }
-    const char* s_stop = (s_end > s && s_end[-1] == '\r') ? s_end - 1 : s_end;
+    const char* s_stop = s_end;
+    while (s_stop > s && s_stop[-1] == '\r') s_stop--;
 
     const char* plus = s_end + 1;
     const char* plus_end = find_nl(plus, end);
@@ -134,7 +146,8 @@ int64_t pa_fastq_scan_prefix(const char* buf, int64_t n, int64_t start,
     const char* s = h_end + 1;
     const char* s_end = find_nl(s, end);
     if (!s_end) { p = rec_start; break; }
-    const char* s_stop = (s_end > s && s_end[-1] == '\r') ? s_end - 1 : s_end;
+    const char* s_stop = s_end;  // trim ALL trailing CRs (review r5)
+    while (s_stop > s && s_stop[-1] == '\r') s_stop--;
 
     const char* plus = s_end + 1;
     const char* plus_end = find_nl(plus, end);

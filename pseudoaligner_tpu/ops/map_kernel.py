@@ -1618,14 +1618,17 @@ def upload_device_index(dev: DeviceIndex, meta: MapMeta, device=None,
 
 
 def _probe_dummies(W_k: int) -> dict:
-    """1-element stand-ins for the mphf/raw-key arrays (dead weight on
-    device in cuckoo/bucket1 mode — ~432MB at 27M kmers)."""
+    """Zero-size stand-ins for the mphf/raw-key arrays (dead weight on
+    device in cuckoo/bucket1 mode — ~432MB at 27M kmers).  Shape 0, not
+    1: a genuine single-kmer index has kmer_keys shape (1, W), so a
+    1-row sentinel would be indistinguishable from real data
+    (ops/stats.py's guard — review r5)."""
     return dict(
-        mphf_bits=np.zeros(1, np.uint32),
-        mphf_ranks=np.zeros(1, np.uint32),
-        kmer_keys=np.zeros((1, W_k), np.uint32),
-        kmer_node=np.zeros(1, np.int32),
-        kmer_offset=np.zeros(1, np.int32),
+        mphf_bits=np.zeros(0, np.uint32),
+        mphf_ranks=np.zeros(0, np.uint32),
+        kmer_keys=np.zeros((0, W_k), np.uint32),
+        kmer_node=np.zeros(0, np.int32),
+        kmer_offset=np.zeros(0, np.int32),
     )
 
 
@@ -1732,6 +1735,10 @@ def _put_and_unpack(args: dict, cfg: tuple, rest: dict,
 _PACKCACHE_VERSION = 1
 
 
+class _PackGateMiss(Exception):
+    """Sidecar exists but the size gate asks for the plain upload."""
+
+
 def _packcache_path(image, config: AlignerConfig):
     """Disk location for the PACKED serving sidecar, or None.
 
@@ -1790,6 +1797,16 @@ def serving_device_index(image, config: AlignerConfig, device=None):
             cfg_raw = [int(x) for x in data["pack_cfg"]]
             cfg = (bool(cfg_raw[0]), bool(cfg_raw[1]), bool(cfg_raw[2]),
                    *cfg_raw[3:])
+            # honor the PA_PACK_UPLOAD_MIN size gate on hits too — a
+            # stale sidecar must not force the packed path when the
+            # knob asks for the plain upload (review r5).  Estimated
+            # from cfg: S_pad slots of W-word keys + 2-word values.
+            if env != "1":
+                min_bytes = int(os.environ.get(
+                    "PA_PACK_UPLOAD_MIN", 128 << 20))
+                W_, S_pad_ = cfg[5], cfg[7]
+                if S_pad_ * (W_ + 2) * 4 < min_bytes:
+                    raise _PackGateMiss()
             ms = [int(x) for x in data["meta_scalars"]]
             meta = _make_meta(image, config, tx_words=ms[6],
                               cuckoo_mask=ms[0], bucket_seed=ms[1],

@@ -58,7 +58,7 @@ _jitted_stats: dict = {}
 
 
 def batch_stats(meta: MapMeta, idx: DeviceIndex, packed, lens) -> BatchStats:
-    if idx.kmer_keys.shape[0] <= 1:
+    if idx.kmer_keys.shape[0] == 0 or idx.mphf_bits.shape[0] == 0:
         raise ValueError(
             "batch_stats needs the mphf/key arrays: pass a full "
             "DeviceIndex from device_index_from_image — a cuckoo-mode "

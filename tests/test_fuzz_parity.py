@@ -738,7 +738,11 @@ def test_fuzz_parity_packed_upload():
         reads = _fuzz_reads(rng, seqs, k=k, n=160, L=96 if k == 64 else 72)
         os.environ["PA_PACK_UPLOAD"] = "1"
         try:
-            n = _check_parity(image, reads, max_read_len=96,
+            # overlap only engages at max_read_len <= 80 (_derived_knobs)
+            # — a 96-wide window silently fell back to stride 0, so the
+            # po=True arm never hit the pool de-overlap/re-window path
+            # (review r5)
+            n = _check_parity(image, reads, max_read_len=80 if po else 96,
                               pool_overlap=po)
         finally:
             os.environ.pop("PA_PACK_UPLOAD", None)

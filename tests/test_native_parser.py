@@ -54,6 +54,32 @@ def test_native_crlf_and_final_record_no_newline(tmp_path):
     assert a[0][1] == [0, 1, 2, 3]
 
 
+def test_native_multi_cr_parity(tmp_path):
+    """Multi-CR line endings (\\r\\r\\n) trim FULLY in the native scanner,
+    matching the Python readers' rstrip-all semantics, and a lone '\\r'
+    inside a header delimits the id like any other whitespace
+    (header[1:].split(None, 1)[0]).  Review r5: the scanner used to trim
+    ONE trailing CR, leaving '\\r' inside ids and counting inner CRs as
+    sequence bases on \\r\\r\\n files."""
+    fq = tmp_path / "crcr.fq"
+    fq.write_bytes(
+        b"@r1\r\r\nACGT\r\r\n+\r\r\nIIII\r\r\n"
+        b"@r2\rx desc\nGGCC\n+\nIIII\n"  # \r as id delimiter
+        b"@r3\r\nTTTT\r\n+\r\nIIII\r\r"  # final record: multi-CR qual, no NL
+    )
+    a = _collect(FastqReader(str(fq), 8, 64, use_native=False))
+    b = _collect(FastqReader(str(fq), 8, 64, use_native=True))
+    assert a == b
+    assert [x[0] for x in a] == ["r1", "r2", "r3"]
+    assert a[0][1] == [0, 1, 2, 3]
+    # incomplete under trimmed-length coverage: only 3 of 4 quals at EOF
+    bad = tmp_path / "crcr_trunc.fq"
+    bad.write_bytes(b"@r1\r\r\nACGT\r\r\n+\r\r\nIII\r\r")
+    for un in (False, True):
+        with pytest.raises(ValueError):
+            _collect(FastqReader(str(bad), 8, 64, use_native=un))
+
+
 def test_native_malformed(tmp_path):
     fq = tmp_path / "bad.fq"
     fq.write_text("@r1\nACGT\nOOPS\nIIII\n")

@@ -46,9 +46,11 @@ def _assert_pack_matches_plain(dev, meta):
             assert (a[b.shape[0]:: 2] == 0xFFFFFFFF).all()
         if f == "cuckoo" and a.shape[0] > b.shape[0]:
             assert (a[b.shape[0]:] == 0xFFFFFFFF).all()
-    # the mphf/key arrays ride as dummies in cuckoo mode
-    assert packed.kmer_keys.shape[0] == 1
-    assert packed.mphf_bits.shape[0] == 1
+    # the mphf/key arrays ride as ZERO-SIZE dummies in cuckoo mode (a
+    # 1-row sentinel would be indistinguishable from a real single-kmer
+    # index in ops/stats.py's guard)
+    assert packed.kmer_keys.shape[0] == 0
+    assert packed.mphf_bits.shape[0] == 0
 
 
 @pytest.mark.parametrize("pool_overlap", [False, True])
