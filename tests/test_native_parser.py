@@ -352,14 +352,16 @@ def test_gz_scanner_structural_fuzz(tmp_path):
         recs = []
         n = int(rng.integers(50, 300))
         for i in range(n):
-            kind = int(rng.integers(0, 6))
+            kind = int(rng.integers(0, 7))
             ln = (0 if kind == 0 else int(rng.integers(1, 200)))
             seq = "".join("ACGTN"[int(b)]
                           for b in rng.integers(0, 5, ln)).encode()
             rid = f"q{trial}_{i}".encode()
             if kind == 1:
                 rid += b" extra desc\ttoken"  # id stops at whitespace
-            eol = b"\r\n" if kind == 2 else b"\n"
+            eol = (b"\r\n" if kind == 2
+                   else b"\r\r\n" if kind == 6  # multi-CR endings trim
+                   else b"\n")                  # fully (review r5)
             recs.append(b"@%s%s%s%s+%s%s%s" % (
                 rid, eol, seq, eol, eol, b"I" * ln, eol))
         raw = b"".join(recs)

@@ -74,3 +74,34 @@ def test_device_image_disk_cache(small_index, tmp_path):
     assert len([f for f in os.listdir(tmp_path) if ".dev-" in f]) == 1
     for a, b, name in zip(dev1, dev3, dev1._fields):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_corrupt_and_truncated_index_raise(small_index, tmp_path):
+    """Damaged index files must raise (ValueError family), never load as
+    garbage: wrong magic, unsupported version, truncation at several
+    depths (inside the header, inside the array payload)."""
+    import json
+    import pytest
+
+    p = str(tmp_path / "idx.bin")
+    save_index(small_index, p)
+    raw = open(p, "rb").read()
+
+    bad_magic = tmp_path / "m.bin"
+    bad_magic.write_bytes(b"XX" + raw[2:])
+    with pytest.raises(ValueError, match="not a pseudoaligner_tpu index"):
+        load_index(str(bad_magic))
+
+    # bump the version inside the JSON header (same length: 1 -> 9)
+    hdr_start = raw.index(b'{"version"')
+    bad_ver = tmp_path / "v.bin"
+    bad_ver.write_bytes(raw.replace(b'{"version": 1', b'{"version": 9', 1))
+    with pytest.raises(ValueError, match="unsupported index version"):
+        load_index(str(bad_ver))
+
+    for cut_at in (hdr_start + 4,               # inside the JSON header
+                   int(len(raw) * 0.9)):        # inside the array payload
+        cut = tmp_path / f"t{cut_at}.bin"
+        cut.write_bytes(raw[:cut_at])
+        with pytest.raises((ValueError, KeyError)):
+            load_index(str(cut), mmap=False)
