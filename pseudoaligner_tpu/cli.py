@@ -291,6 +291,7 @@ def cmd_map(args, outdir: str) -> int:
 
     read_counter = 0
     mapped_read_counter = 0
+    ticker = make_ticker()
     emitted = args.skip_reads
     progress_every = max(1, args.batch_size)
     out = sys.stdout
@@ -314,12 +315,9 @@ def cmd_map(args, outdir: str) -> int:
         if rec.flag:
             mapped_read_counter += 1
         read_counter += 1
-        if read_counter % 1_000_000 == 0:
-            frac = mapped_read_counter * 100.0 / read_counter
-            sys.stderr.write(
-                f"\rDone Mapping {read_counter} reads w/ Rate: {_rust_f32_str(frac)}"
-            )
-            sys.stderr.flush()
+        # shared ticker: the inline f64 divide diverged from the
+        # reference's all-f32 arithmetic in the last digit (review r5)
+        ticker(read_counter, mapped_read_counter)
     if args.progress_file:
         write_progress()  # final count (the loop writes only on multiples)
     sys.stderr.write("\n")
@@ -354,8 +352,6 @@ def cmd_count(args, outdir: str) -> int:
     )
     counts.write(outdir, umi_dedup=args.umi_dedup)
     if args.call_cells:
-        import os
-
         called = counts.call_cells(args.umi_dedup)
         with open(os.path.join(outdir, "cells.tsv"), "w") as f:
             for bc in called:
@@ -378,6 +374,11 @@ def cmd_mappability(args, outdir: str) -> int:
 
     log.info("Reading index from disk")
     image = load_index(args.index)
+    if image.k != args.kmer_size:
+        # same contract as map/count (review r5: mappability silently
+        # produced output on a k mismatch while its siblings exit 1)
+        print(f"Index was built with k={image.k}, not k={args.kmer_size}")
+        return 1
     log.info("Finished reading index!")
     log.info("Analyzing de Bruijn graph")
     log.info("%d transcripts total", image.n_tx)

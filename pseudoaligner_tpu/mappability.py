@@ -116,9 +116,10 @@ def write_mappability_tsv(image: IndexImage, outdir: str) -> str:
         f.write(MAPPABILITY_HEADER)
         for i, name in enumerate(image.tx_names):
             gene = image.tx_gene_mapping[name]
-            with np.errstate(invalid="ignore", divide="ignore"):
-                fu_tx = tx_mult[i, 0] / total[i] if total[i] else float("nan")
-                fu_gene = gene_mult[i, 0] / total[i] if total[i] else float("nan")
+            # zero-kmer rows take the nan branch, so no divide warning
+            # can fire (an errstate context here was dead — review r5)
+            fu_tx = tx_mult[i, 0] / total[i] if total[i] else float("nan")
+            fu_gene = gene_mult[i, 0] / total[i] if total[i] else float("nan")
             f.write(
                 f"{name}\t{gene}\t{total[i]}\t"
                 f"{rust_f64_str(fu_tx)}\t{rust_f64_str(fu_gene)}\n"

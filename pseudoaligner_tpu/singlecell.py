@@ -665,17 +665,12 @@ class CellCounts:
         # so the match count IS wl.match's distinct-candidate count)
         clean = np.nonzero(u_np < 0)[0]
         if len(clean) and W:
-            nbr = np.empty(3 * L * W, np.uint64)
-            k = 0
-            for p in range(L):
-                sh = np.uint64(2 * (L - 1 - p))
-                for d in (1, 2, 3):
-                    nbr[k: k + W] = w_code ^ (np.uint64(d) << sh)
-                    k += W
-            nbr_w = np.tile(np.arange(W, dtype=np.int64), 3 * L)
-            order = np.argsort(nbr, kind="stable")
-            nbr = nbr[order]
-            nbr_w = nbr_w[order]
+            # shared construction with the batched count path (review
+            # r5: this loop duplicated Whitelist._neighbor_tables token
+            # for token).  `wl` is the per-call called-set whitelist, so
+            # the cached table dies with it — no long-lived retention.
+            nbr, nbr_w, w_tab = wl._neighbor_tables()
+            assert len(w_tab) == W
             uk = u_code[clean]
             lo = np.searchsorted(nbr, uk, "left")
             hi = np.searchsorted(nbr, uk, "right")
@@ -843,20 +838,27 @@ def _count_records(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
     )
     import jax
 
-    for batch in r2:
-        res = aligner.records_from_result(
-            jax.device_get(aligner.map_batch_device(batch.codes, batch.lens)),
-            batch,
-        )
-        for rec in res:
-            try:
-                _, seq1 = next(r1)
-            except StopIteration:
-                raise ValueError("R1 has fewer reads than R2")
-            bc, umi = _process_r1(counts, seq1, chem, whitelist)
-            if bc is None:
-                continue
-            counts.add(bc, umi, rec.eq_class if rec.coverage else ())
+    try:
+        for batch in r2:
+            res = aligner.records_from_result(
+                jax.device_get(
+                    aligner.map_batch_device(batch.codes, batch.lens)),
+                batch,
+            )
+            for rec in res:
+                try:
+                    _, seq1 = next(r1)
+                except StopIteration:
+                    raise ValueError("R1 has fewer reads than R2")
+                bc, umi = _process_r1(counts, seq1, chem, whitelist)
+                if bc is None:
+                    continue
+                counts.add(bc, umi, rec.eq_class if rec.coverage else ())
+    finally:
+        # release handles deterministically on mid-stream errors too
+        # (the batched path already does — review r5)
+        r2.close()
+        r1.close()
     return counts
 
 
@@ -887,14 +889,17 @@ def _count_batched(aligner, r1_path, r2_path, chem, whitelist) -> CellCounts:
     bc_lut = np.full(256, 255, np.uint8)
     for _j, _b in enumerate(b"ACGT"):
         bc_lut[_b] = _j
-    wl_sorted = None
-    if whitelist is not None:
-        wl_sorted = np.sort(
-            np.fromiter(whitelist.exact, np.uint64, len(whitelist.exact))
-        )
     # int keys: packed 2-bit strings (>= 0) or side-interned odd strings
     # (< -1; -1 = invalid row).  Packing needs 2*len bits in an int64.
     packable = 2 * bl <= 62 and 2 * ul <= 62
+    wl_sorted = None
+    if whitelist is not None and packable:
+        # only the packable vector path consumes this; bc_len >= 33
+        # codes overflow uint64 and ride the per-row loop instead
+        # (np.fromiter would raise OverflowError — review r5)
+        wl_sorted = np.sort(
+            np.fromiter(whitelist.exact, np.uint64, len(whitelist.exact))
+        )
     side_keys: dict[bytes, int] = {}
     side_strs: list[str] = []
 

@@ -178,6 +178,44 @@ def test_single_cell_count_whitelist(aligner, small_transcripts, tmp_path):
     assert entries[(2, 1)] == 1
 
 
+def test_single_cell_count_long_barcode_whitelist(
+        aligner, small_transcripts, tmp_path):
+    """bc_len=33 exceeds the int64 2-bit packing budget, so the batched
+    path must route every row through the per-row whitelist loop.  A
+    whitelist with >64-bit packed codes crashed the batched path before
+    any read (np.fromiter into uint64 overflowed — review r5)."""
+    from pseudoaligner_tpu.singlecell import (
+        Chemistry,
+        Whitelist,
+        count_single_cell,
+    )
+
+    bc1, bc2 = "A" * 33, "C" * 33
+    wl = Whitelist([bc1, bc2], bc_len=33)
+    r1 = [
+        ("m0", bc1 + "G" * 12),            # exact
+        ("m1", "T" + bc1[1:] + "G" * 12),  # corrects to bc1, same UMI
+        ("m2", "GT" + bc2[2:] + "G" * 12), # 2 mismatches -> dropped
+    ]
+    cdna = _tx_window(small_transcripts, 7, 30, 60)
+    r2 = [("m%d" % i, cdna) for i in range(3)]
+    _write_fastq(tmp_path / "r1.fq", r1)
+    _write_fastq(tmp_path / "r2.fq", r2)
+    counts = count_single_cell(
+        aligner, str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq"),
+        Chemistry(bc_len=33, umi_len=12), whitelist=wl,
+    )
+    assert counts.n_reads == 3
+    assert counts.n_corrected == 1
+    assert counts.n_bad_barcode == 1
+    assert sorted(counts.cells) == [bc1]
+    counts.write(str(tmp_path / "out33"))
+    mtx = open(tmp_path / "out33" / "matrix.mtx").read().splitlines()
+    entries = {(int(a), int(b)): int(c)
+               for a, b, c in (ln.split() for ln in mtx[3:])}
+    assert entries == {(1, 1): 1}  # m0/m1 share one UMI in one cell
+
+
 def test_count_batched_matches_record_path(small_index, small_transcripts, tmp_path):
     """The batched (compact-signature) counting path writes identical
     outputs to the per-record path: same cells, classes, matrix, stats."""
