@@ -347,16 +347,24 @@ def read_fastq_seqs(path: str, chunk_bytes: int = 1 << 26) -> Iterator[bytes]:
         carry = b""
         lineno = 0  # cycles 0 header, 1 seq, 2 plus, 3 qual
         last_seq_len = 0
+        pending = [b""]  # seq awaiting its qual line
 
         def take(ln):
+            # the seq is RELEASED only when its qual line arrives: a
+            # record cut off after the seq/plus line must raise without
+            # delivering it, like read_fastq_records and the native
+            # scanner (review r5: the early yield leaked a phantom row)
             nonlocal lineno, last_seq_len
             if lineno == 0 and not ln.startswith(b"@"):
                 raise ValueError("malformed FASTQ record")
             if lineno == 2 and not ln.startswith(b"+"):
                 raise ValueError("malformed FASTQ record")
-            out = ln.rstrip(b"\r") if lineno == 1 else None
-            if out is not None:
-                last_seq_len = len(out)
+            out = None
+            if lineno == 1:
+                pending[0] = ln.rstrip(b"\r")
+                last_seq_len = len(pending[0])
+            elif lineno == 3:
+                out = pending[0]
             lineno = (lineno + 1) & 3
             return out
 
@@ -384,7 +392,9 @@ def read_fastq_seqs(path: str, chunk_bytes: int = 1 << 26) -> Iterator[bytes]:
                 yield seq
         elif lineno == 3 and last_seq_len == 0:
             # newline-terminated '+' then EOF: the empty qual of a
-            # zero-length-seq record is complete (rust-bio rule)
+            # zero-length-seq record is complete (rust-bio rule) — the
+            # held seq releases here since no qual line will arrive
+            yield pending[0]
             lineno = 0
         if lineno != 0:
             raise ValueError("truncated FASTQ record")
@@ -407,6 +417,8 @@ class R1PrefixReader:
             try:
                 from . import native as _native_mod
 
+                _native_mod._load()  # force the build: toolchain errors
+                # must fall back here, not crash the first take()
                 if path.endswith(".gz"):
                     self._gzsrc = _GzScanBuffer(path)
                     self._off = 0
@@ -558,6 +570,7 @@ class FastqReader:
             )
         self._read_index = 0
         self._pending: list[tuple[str, np.ndarray, int, int]] = []
+        self._scan_err: Exception | None = None
         self._skip = skip_reads
         self._native = None
         self._gzsrc = None
@@ -565,6 +578,11 @@ class FastqReader:
             try:
                 from . import native as _native_mod
 
+                # force the lazy C++ build NOW: importing the ctypes
+                # wrapper always succeeds, so without this probe a
+                # toolchain-less host crashes at the first _scan instead
+                # of taking the Python fallback below (review r5)
+                _native_mod._load()
                 if path.endswith(".gz"):
                     # gz fast path: stream-decompress into the scanner's
                     # buffer-fed mode (_GzScanBuffer) — same C scan, same
@@ -722,6 +740,10 @@ class FastqReader:
         base codes are written directly in batch layout; long reads fall
         back to the python windowing path."""
         b, L = self.batch_size, self.max_len
+        # a stream error stashed while carried rows were delivered
+        # surfaces once those rows are out (deliver-then-error)
+        if self._scan_err is not None and not self._pending:
+            raise self._scan_err
         codes = np.zeros((b, L), dtype=np.uint8)
         lens = np.zeros(b, dtype=np.int32)
         ids: list[str] = []
@@ -739,13 +761,32 @@ class FastqReader:
             offset.append(off)
 
         k = len(ids)
-        if k < b:
-            n, scodes, slens, id_spans, seq_off, resume = self._scan(
-                b - k, L
+
+        def _partial(err):
+            # deliver the k carried (pre-error, complete-record) rows
+            # now; re-raise on the next call — the raise used to drop
+            # them, violating deliver-then-error (review r5)
+            self._scan_err = err
+            return ReadBatch(
+                codes=codes, lens=lens, ids=ids,
+                group=np.asarray(group, dtype=np.int32),
+                offset=np.asarray(offset, dtype=np.int32),
             )
+
+        if k < b:
+            try:
+                n, scodes, slens, id_spans, seq_off, resume = self._scan(
+                    b - k, L
+                )
+            except Exception as e:
+                if k == 0:
+                    raise
+                return _partial(e)
             if (self._gzsrc is None and n == 0
                     and resume < len(self._buf)
                     and self._off < len(self._buf)):
+                if k:
+                    return _partial(ValueError("truncated FASTQ record"))
                 raise ValueError("truncated FASTQ record")
             self._off = resume
             buf = self._buf

@@ -174,67 +174,79 @@ def map_fastq_multihost(
     try:
         from ..io import native as _native  # noqa: F401
 
+        # force the lazy builds: the import alone always succeeds (pure
+        # ctypes wrapper), so without probing, a toolchain-less host
+        # would take the emitter path and crash mid-serve instead of
+        # using the fallback below (review r5)
+        _native._load()
+        _native._load_emit()
         have_native = True
     except Exception:
         have_native = False
 
-    with open(part_path, "ab" if done_batches else "wb") as out:
-        skip = done_batches  # snapshot: done_batches advances as we write
+    # release the reader's mmap / gz producer thread even when the
+    # serve loop raises (corrupt stream, device error) -- same
+    # finally-close contract as the single-host count path (review r5)
+    try:
+        with open(part_path, "ab" if done_batches else "wb") as out:
+            skip = done_batches  # snapshot: done_batches advances as we write
 
-        def strided():
-            for i, batch in enumerate(shard_batches(reader, p, H)):
-                if i < skip:
-                    continue  # already durably written before the crash
-                yield batch
+            def strided():
+                for i, batch in enumerate(shard_batches(reader, p, H)):
+                    if i < skip:
+                        continue  # already durably written before the crash
+                    yield batch
 
-        def checkpoint():
-            # durable-progress contract: flush records FIRST, then
-            # atomically replace the single (batches, offset, counts)
-            # checkpoint
-            out.flush()
-            tmp = prog_path + ".tmp.npz"
-            np.savez(tmp, batches=done_batches, offset=out.tell(),
-                     counts=local_counts)
-            os.replace(tmp, prog_path)
+            def checkpoint():
+                # durable-progress contract: flush records FIRST, then
+                # atomically replace the single (batches, offset, counts)
+                # checkpoint
+                out.flush()
+                tmp = prog_path + ".tmp.npz"
+                np.savez(tmp, batches=done_batches, offset=out.tell(),
+                         counts=local_counts)
+                os.replace(tmp, prog_path)
 
-        if have_native and aligner.meta.distinct_cap > 0:
-            # production path: the signature-indirect native emitter +
-            # DepthPipeline serving loop (same engine as single-host
-            # `emit_fastq`, VERDICT r3 item 3) — count_cb fires at each
-            # batch's ordered finish, after its records hit `out`, so the
-            # checkpoint's (offset, counts) stay crash-consistent
-            def count_cb(_n, deltas):
-                nonlocal done_batches
-                for ids, w in deltas:
-                    np.add.at(local_counts, np.asarray(ids, dtype=np.int64),
-                              np.asarray(w, dtype=np.int64))
-                done_batches += 1
-                checkpoint()
+            if have_native and aligner.meta.distinct_cap > 0:
+                # production path: the signature-indirect native emitter +
+                # DepthPipeline serving loop (same engine as single-host
+                # `emit_fastq`, VERDICT r3 item 3) — count_cb fires at each
+                # batch's ordered finish, after its records hit `out`, so the
+                # checkpoint's (offset, counts) stay crash-consistent
+                def count_cb(_n, deltas):
+                    nonlocal done_batches
+                    for ids, w in deltas:
+                        np.add.at(local_counts, np.asarray(ids, dtype=np.int64),
+                                  np.asarray(w, dtype=np.int64))
+                    done_batches += 1
+                    checkpoint()
 
-            aligner.emit_fastq(fastq_path, out, batch_iter=strided(),
-                               count_cb=count_cb)
-        else:
-            # no-toolchain fallback: per-record Python formatting with
-            # pipeline_depth map steps kept in flight (pipeline.py)
-            from ..pipeline import DepthPipeline
+                aligner.emit_fastq(fastq_path, out, batch_iter=strided(),
+                                   count_cb=count_cb)
+            else:
+                # no-toolchain fallback: per-record Python formatting with
+                # pipeline_depth map steps kept in flight (pipeline.py)
+                from ..pipeline import DepthPipeline
 
-            def write_records(item, _nxt):
-                res, b = item
-                for rec in aligner.records_from_result(
-                        jax.device_get(res), b):
-                    out.write(rec.format_reference_style().encode() + b"\n")
-                    for t in rec.eq_class:
-                        local_counts[t] += 1
-                nonlocal done_batches
-                done_batches += 1
-                checkpoint()
+                def write_records(item, _nxt):
+                    res, b = item
+                    for rec in aligner.records_from_result(
+                            jax.device_get(res), b):
+                        out.write(rec.format_reference_style().encode() + b"\n")
+                        for t in rec.eq_class:
+                            local_counts[t] += 1
+                    nonlocal done_batches
+                    done_batches += 1
+                    checkpoint()
 
-            pipe = DepthPipeline(getattr(config, "pipeline_depth", 1),
-                                 write_records)
-            for batch in strided():
-                res = aligner.map_batch_device(batch.codes, batch.lens)
-                pipe.push((res, batch))
-            pipe.close()
+                pipe = DepthPipeline(getattr(config, "pipeline_depth", 1),
+                                     write_records)
+                for batch in strided():
+                    res = aligner.map_batch_device(batch.codes, batch.lens)
+                    pipe.push((res, batch))
+                pipe.close()
+    finally:
+        reader.close()
 
     mesh = global_mesh()
     merged = make_count_merge(mesh, n_tx)(local_counts)

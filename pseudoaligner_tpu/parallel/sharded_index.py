@@ -105,9 +105,13 @@ def build_sharded_graph(image: IndexImage, meta: MapMeta, n_shards: int):
     # [starts[lo], starts[hi-1]+lens[hi-1]) covers EVERY member's span
     # (nondecreasing starts alone would allow an earlier node to extend
     # past the slice end and silently read a truncated window)
-    assert np.all(starts[1:] == starts[:-1] + lens_[:-1]), (
-        "seq_pool must be the contiguous concatenation of node sequences"
-    )
+    # explicit raise, not assert: python -O would strip the check and
+    # let a non-contiguous pool silently map against truncated windows
+    if not np.all(starts[1:] == starts[:-1] + lens_[:-1]):
+        raise ValueError(
+            "seq_pool must be the contiguous concatenation of node "
+            "sequences"
+        )
     pool_pad = meta.pool_pad
 
     node_blocks, pool_blocks = [], []

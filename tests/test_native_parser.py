@@ -594,3 +594,57 @@ def test_gz_corruption_error_attribution(small_index, tmp_path):
 
     with pytest.raises(ValueError, match="gzip|truncated gzip"):
         al.emit_fastq_paired(str(p1gz), str(p2), iomod.BytesIO())
+
+
+def test_gz_truncated_with_carried_long_read_windows(tmp_path):
+    """Carried long-read window rows (self._pending) spilled at a batch
+    boundary must still be DELIVERED when the stream turns out corrupt
+    right after — the error surfaces on the next pull (review r5: the
+    raise used to silently drop the carried, complete records)."""
+    import gzip
+
+    # one long read -> many windows at max_len=16 (stride 16-19+... use
+    # window_overlap via k? FastqReader default overlap = 19) plus
+    # trailing records, then truncation
+    long_seq = b"ACGT" * 40  # 160 bases -> multiple 16-wide windows
+    recs = b"@long\n" + long_seq + b"\n+\n" + b"I" * 160 + b"\n"
+    recs += b"".join(b"@r%d\nACGTACGTACGT\n+\nIIIIIIIIIIII\n" % i
+                     for i in range(2000))
+    comp = gzip.compress(recs)
+    gz = tmp_path / "t.fq.gz"
+    gz.write_bytes(comp[: int(len(comp) * 0.5)])
+
+    r = FastqReader(str(gz), batch_size=4, max_len=32,
+                    segment_long=True)
+    got = []
+    with pytest.raises(ValueError):
+        for b in r:
+            got.extend(b.ids)
+    # every window of the long read must have been delivered, in order,
+    # before the error (batch_size=4 forces pending spills)
+    n_long = sum(1 for i in got if i == "long")
+    assert n_long >= 2
+    assert got[:n_long] == ["long"] * n_long
+    # and some of the short prefix reads followed
+    assert any(i.startswith("r") for i in got)
+
+
+def test_read_fastq_seqs_no_phantom_row_on_truncation(tmp_path):
+    """A file cut off right after a seq or plus line must raise WITHOUT
+    yielding that record's seq (review r5: the bulk reader released the
+    seq at the seq line, before the record validated — a consumer could
+    process a phantom row before the error surfaced)."""
+    from pseudoaligner_tpu.io.fastq import read_fastq_seqs
+
+    good = b"@r0\nACGT\n+\nIIII\n"
+    for tail in (b"@r1\nGGGG\n",        # cut after seq line (with NL)
+                 b"@r1\nGGGG",          # cut inside seq line
+                 b"@r1\nGGGG\n+\n",     # cut after plus line (with NL)
+                 b"@r1\nGGGG\n+"):      # cut inside plus line
+        p = tmp_path / "t.fq"
+        p.write_bytes(good + tail)
+        got = []
+        with pytest.raises(ValueError):
+            for s in read_fastq_seqs(str(p), chunk_bytes=7):
+                got.append(s)
+        assert got == [b"ACGT"], tail  # r1's seq never delivered
