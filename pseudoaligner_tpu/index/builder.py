@@ -119,6 +119,11 @@ def vector_lookup(sorted_keys: np.ndarray, queries: np.ndarray) -> np.ndarray:
     nk, nq = len(sorted_keys), len(queries)
     if nq == 0:
         return np.zeros(0, dtype=np.int64)
+    if nk == 0:
+        # documented contract: -1 where absent (the fallback's row-0
+        # compare below would IndexError on a zero-row table; the
+        # native path already handles this — review r5)
+        return np.full(nq, -1, dtype=np.int64)
     try:
         from .native import lookup_native
 
@@ -239,9 +244,19 @@ def _intern_eq_classes(pair_gid: np.ndarray, pair_tx: np.ndarray, n_groups: int)
     ec_lens = group_len[reps_sorted]
     ec_offsets = np.zeros(len(order) + 1, dtype=np.uint32)
     ec_offsets[1:] = np.cumsum(ec_lens).astype(np.uint32)
-    ec_txs = np.concatenate(
-        [pair_tx[group_start[g] : group_start[g] + group_len[g]] for g in reps_sorted]
-    ) if len(order) else np.zeros(0, np.uint32)
+    # vectorized CSR-row gather (repeat-starts + arange-offsets, same
+    # pattern as census_sharded's merge): the per-class slice list
+    # built millions of Python slice objects at transcriptome scale
+    # (review r5)
+    total_ec = int(ec_lens.sum())
+    if total_ec:
+        src = np.repeat(
+            group_start[reps_sorted] - ec_offsets[:-1].astype(np.int64),
+            ec_lens,
+        ) + np.arange(total_ec, dtype=np.int64)
+        ec_txs = pair_tx[src]
+    else:
+        ec_txs = np.zeros(0, np.uint32)
     return ec_of_group, ec_offsets, ec_txs.astype(np.uint32)
 
 
@@ -307,6 +322,12 @@ def assemble_native(
     kmer_node[slot_of_key] = graph["kmer_node"]
     kmer_offset[slot_of_key] = graph["kmer_offset"]
     kmer_keys[slot_of_key] = census.kmer_words
+    if len(graph["seq_pool"]) >= U32_MAX:
+        # same uint32 node_start ceiling as the NumPy path (review r5)
+        raise ValueError(
+            f"sequence pool has {len(graph['seq_pool'])} bases; uint32 "
+            f"node_start supports < {U32_MAX}"
+        )
     return IndexImage(
         k=k,
         node_start=graph["node_start"],
@@ -458,6 +479,10 @@ def census_sharded(seqs: list[np.ndarray], k: int) -> CensusProduct:
         for b, _, (s0, e0), _ in partition_contigs(codes, tx, k):
             runs.append((b, tx, s0, e0))
     runs.sort(key=lambda r: r[0])
+    if not runs:
+        # same explicit error as census_numpy (the empty concatenate
+        # below would raise an opaque ValueError instead — review r5)
+        raise ValueError("no k-mers: all sequences shorter than k")
     shards = group_by_slices(runs, lambda r: r[0], MIN_SHARD_SEQUENCES)
     log.info("sharded census: %d super-kmer runs in %d shards",
              len(runs), len(shards))
@@ -470,7 +495,10 @@ def census_sharded(seqs: list[np.ndarray], k: int) -> CensusProduct:
             num = e0 - s0 - k + 1
             kw = dna.pack_kmers(codes[s0:e0], k)
             ext = np.zeros(num, dtype=np.uint8)
-            c = codes.astype(np.uint8)
+            # no copy on the standard uint8 path: the astype ran once
+            # per super-k-mer RUN (~len/30 full-sequence copies per
+            # transcript — review r5)
+            c = codes if codes.dtype == np.uint8 else codes.astype(np.uint8)
             # occurrence exts come from the FULL contig neighborhood
             pos = np.arange(s0, s0 + num)
             has_l = pos > 0
@@ -574,6 +602,14 @@ def assemble(
     if n_nodes > 1:
         node_start[1:] = np.cumsum(node_len[:-1].astype(np.int64))
     total_bases = int(node_len.astype(np.int64).sum())
+    if total_bases >= U32_MAX:
+        # node_start is stored uint32 (IndexImage contract): a >=4.29G-
+        # base pool would wrap the offsets and gather windows from wrong
+        # positions — silent corruption; fail loud instead (review r5)
+        raise ValueError(
+            f"sequence pool has {total_bases} bases; uint32 node_start "
+            f"supports < {U32_MAX}"
+        )
 
     log.info("%d unitig nodes, %d pool bases", n_nodes, total_bases)
 

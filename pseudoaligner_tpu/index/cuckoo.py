@@ -158,6 +158,15 @@ def build_cuckoo_fast(
             return CuckooIndex(buckets=rows, mask=nb - 1, W=W)
         except RuntimeError:
             nb *= 2  # placement failed (never seen at load<=0.75); grow
+        except Exception as e:
+            # build/load failures (no toolchain, stale .so, missing
+            # symbol) are NOT RuntimeError and used to crash the default
+            # serving path instead of degrading (review r5)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "native cuckoo build unavailable (%s); NumPy fallback", e)
+            return build_cuckoo(keys, nodes, offsets, load)
 
 
 def cuckoo_lookup_np(ci: CuckooIndex, queries: np.ndarray):

@@ -113,9 +113,16 @@ def build_mphf(
                 ),
                 r["slot_of_key"],
             )
-        except Exception:
+        except Exception as e:
             if native:
                 raise
+            # leave a trace: a silent fallback turns toolchain/ABI
+            # breakage into an unexplained ~25x build slowdown at scale
+            # (review r5; build_index logs the same way)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "native MPHF build unavailable (%s); NumPy fallback", e)
     keys = np.asarray(keys, dtype=np.uint32)
     n = keys.shape[0]
     slot_of_key = np.full(n, -1, dtype=np.int64)

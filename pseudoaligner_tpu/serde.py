@@ -89,7 +89,10 @@ def save_index(image: IndexImage, path: str) -> None:
         base = f.tell()
         for pad, arr in blobs:
             f.write(b"\x00" * pad)
-            f.write(arr.tobytes())
+            # zero-copy write: tobytes() materialized a transient full
+            # copy of every blob (hundreds of MB at scale — review r5);
+            # the arrays are already C-contiguous from the layout pass
+            f.write(memoryview(arr).cast("B"))
         assert f.tell() - base == offset
 
 
