@@ -348,6 +348,26 @@ def assemble_native(
     )
 
 
+def _summarize_occurrences(ow, ot, oe):
+    """Collapse (kmer, tx, ext) occurrence arrays to per-kmer summaries.
+
+    Returns (kmer_words, kmer_exts, pair_gid, pair_tx): distinct k-mers
+    in lexsorted order, OR-folded exts, and the deduplicated (kmer, tx)
+    pairs (gid = index into the distinct-kmer order).  The ONE summarize
+    core shared by census_numpy (globally) and census_sharded (per
+    shard) — the paths are required to stay bit-identical, so the
+    sort/boundary/reduceat/keep sequence must not fork (review r5)."""
+    order = _lexsort_words(ow, ot)
+    sw, st, se = ow[order], ot[order], oe[order]
+    new_kmer = np.ones(len(sw), dtype=bool)
+    new_kmer[1:] = np.any(sw[1:] != sw[:-1], axis=1)
+    starts = np.nonzero(new_kmer)[0]
+    gid = np.cumsum(new_kmer) - 1  # kmer-group id per occurrence
+    keep = new_kmer.copy()
+    keep[1:] |= st[1:] != st[:-1]
+    return sw[starts], np.bitwise_or.reduceat(se, starts), gid[keep], st[keep]
+
+
 def census_numpy(seqs: list[np.ndarray], k: int) -> CensusProduct:
     """Stage A, vectorized NumPy implementation."""
 
@@ -356,28 +376,13 @@ def census_numpy(seqs: list[np.ndarray], k: int) -> CensusProduct:
     n_occ = len(occ_tx)
     log.info("census: %d occurrences", n_occ)
 
-    order = _lexsort_words(occ_words, occ_tx)
-    sw = occ_words[order]
-    st = occ_tx[order]
-    se = occ_ext[order]
-
     if n_occ == 0:
         raise ValueError("no k-mers: all sequences shorter than k")
 
-    new_kmer = np.ones(n_occ, dtype=bool)
-    new_kmer[1:] = np.any(sw[1:] != sw[:-1], axis=1)
-    starts = np.nonzero(new_kmer)[0]
-    nk = len(starts)
-    gid = np.cumsum(new_kmer) - 1  # kmer-group id per occurrence
-
-    kmer_words_arr = sw[starts]
-    kmer_exts = np.bitwise_or.reduceat(se, starts)
-
-    # dedup (kmer, tx) pairs -> per-kmer sorted tx lists
-    keep = new_kmer.copy()
-    keep[1:] |= st[1:] != st[:-1]
-    pair_gid = gid[keep]
-    pair_tx = st[keep]
+    kmer_words_arr, kmer_exts, pair_gid, pair_tx = _summarize_occurrences(
+        occ_words, occ_tx, occ_ext
+    )
+    nk = len(kmer_words_arr)
 
     log.info("%d distinct k-mers; interning equivalence classes", nk)
     ec_of_kmer, ec_offsets, ec_txs = _intern_eq_classes(pair_gid, pair_tx, nk)
@@ -508,21 +513,15 @@ def census_sharded(seqs: list[np.ndarray], k: int) -> CensusProduct:
             w_parts.append(kw)
             t_parts.append(np.full(num, tx, dtype=np.uint32))
             e_parts.append(ext)
-        ow = np.concatenate(w_parts)
-        ot = np.concatenate(t_parts)
-        oe = np.concatenate(e_parts)
-        order = _lexsort_words(ow, ot)
-        sw, st, se = ow[order], ot[order], oe[order]
-        new_kmer = np.ones(len(sw), dtype=bool)
-        new_kmer[1:] = np.any(sw[1:] != sw[:-1], axis=1)
-        starts = np.nonzero(new_kmer)[0]
-        gid = np.cumsum(new_kmer) - 1
-        keep = new_kmer.copy()
-        keep[1:] |= st[1:] != st[:-1]
-        sh_words.append(sw[starts])
-        sh_exts.append(np.bitwise_or.reduceat(se, starts))
-        sh_ptx.append(st[keep])
-        counts = np.bincount(gid[keep], minlength=len(starts))
+        kwords, kexts, pair_gid, pair_tx = _summarize_occurrences(
+            np.concatenate(w_parts),
+            np.concatenate(t_parts),
+            np.concatenate(e_parts),
+        )
+        sh_words.append(kwords)
+        sh_exts.append(kexts)
+        sh_ptx.append(pair_tx)
+        counts = np.bincount(pair_gid, minlength=len(kwords))
         sh_plen.append(counts.astype(np.int64))
 
     # merge shard summaries: distinct k-mers are shard-exclusive
