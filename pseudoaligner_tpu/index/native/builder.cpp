@@ -182,17 +182,16 @@ int pa_census(const uint8_t* codes, const int64_t* offsets, int64_t n_seqs,
       return a.tx < b.tx;
     };
     std::vector<std::thread> ths;
-    std::atomic<int>* next_part = new std::atomic<int>(0);
-    auto work = [&, next_part]() {
+    std::atomic<int> next_part{0};  // stack-local: all threads join
+    auto work = [&]() {             // before this scope exits
       for (;;) {
-        int p = next_part->fetch_add(1);
+        int p = next_part.fetch_add(1);
         if (p >= 256) return;
         std::sort(occ.begin() + counts[p], occ.begin() + counts[p + 1], cmp);
       }
     };
     for (int t = 0; t < n_threads; t++) ths.emplace_back(work);
     for (auto& th : ths) th.join();
-    delete next_part;
   }
 
   // ---- group scan: exts union, tx dedup, EC interning ----
@@ -834,12 +833,13 @@ int pa_graph(const uint32_t* kmer_words, const uint8_t* exts,
       int32_t le = -1, re = -1;
       if ((exts[h] >> (4 + b)) & 1) {
         int64_t j = find(shr2_or_top(kmers[h], (uint64_t)b, k));
-        if (j < 0) return 4;
+        if (j < 0) { pa_graph_free(out); return 4; }  // no output leak
+
         le = (int32_t)node_of[j];
       }
       if ((exts[t] >> b) & 1) {
         int64_t j = find(shl2_or(kmers[t], (uint64_t)b, k));
-        if (j < 0) return 4;
+        if (j < 0) { pa_graph_free(out); return 4; }
         re = (int32_t)node_of[j];
       }
       out->l_edge[n * 4 + b] = le;

@@ -187,32 +187,45 @@ struct PaGz {
   }
 
   void worker_loop() {
+    // ONE z_stream per worker, inflateReset between members: a full
+    // inflateInit2/inflateEnd cycle per ~64KB member paid zlib's state
+    // allocation tens of thousands of times per second (review r5)
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    bool zs_ok = inflateInit2(&zs, 31) == Z_OK;
     for (;;) {
       MemberTask t;
       {
         std::unique_lock<std::mutex> g(tmu);
         cv_task.wait(g, [&] { return !tasks.empty() || tasks_closed || stop; });
-        if (stop) return;
+        if (stop) break;
         if (tasks.empty()) {
-          if (tasks_closed) return;
+          if (tasks_closed) break;
           continue;
         }
         t = std::move(tasks.front());
         tasks.pop_front();
       }
       MemberResult r;
-      // isize from the trailer sizes the output (mod 2^32 — BGZF
-      // members are <= 64KB by construction, far below the wrap); +1
-      // spare byte so an EMPTY member doesn't hand inflate avail_out=0
-      // (an instant Z_BUF_ERROR) and so a lying small trailer is
-      // detected as leftover input rather than mis-read as clean
-      r.out.resize((size_t)t.isize + 1);
-      z_stream zs;
-      memset(&zs, 0, sizeof(zs));
-      if (inflateInit2(&zs, 31) != Z_OK) {
+      if ((uint64_t)t.isize > (1u << 16)) {
+        // the trailer ISIZE is UNTRUSTED input: BGZF blocks decompress
+        // to <= 64KB (htslib bound), so a bigger claim is corruption —
+        // resizing to it would zero-fill GBs and a failed allocation
+        // in a thread body would std::terminate the whole process
+        // (review r5)
+        r.failed = true;
+        snprintf(r.msg, sizeof(r.msg),
+                 "corrupt BGZF member: claimed %llu uncompressed bytes "
+                 "(> 64KB block bound)", (unsigned long long)t.isize);
+      } else if (!zs_ok) {
         r.failed = true;
         snprintf(r.msg, sizeof(r.msg), "inflateInit2 failed");
       } else {
+        // isize sizes the output; +1 spare byte so an EMPTY member
+        // doesn't hand inflate avail_out=0 (an instant Z_BUF_ERROR)
+        // and so a lying small trailer is detected as leftover input
+        // rather than mis-read as clean
+        r.out.resize((size_t)t.isize + 1);
         zs.next_in = t.comp.data();
         zs.avail_in = (uInt)t.comp.size();
         zs.next_out = r.out.data();
@@ -224,10 +237,22 @@ struct PaGz {
           r.failed = true;
           snprintf(r.msg, sizeof(r.msg), "%s",
                    zs.msg ? zs.msg : "gzip inflate error");
+        } else if (zs.avail_in != 0) {
+          // an overstated BSIZE makes the claimed block span the NEXT
+          // member: accepting it would silently drop that member's
+          // records with no error ever raised (review r5)
+          r.failed = true;
+          snprintf(r.msg, sizeof(r.msg),
+                   "corrupt BGZF member: %u bytes left after stream end",
+                   (unsigned)zs.avail_in);
         } else if (zs.avail_out != 0) {
           r.out.resize(r.out.size() - zs.avail_out);
         }
-        inflateEnd(&zs);
+        if (inflateReset(&zs) != Z_OK) {
+          inflateEnd(&zs);
+          memset(&zs, 0, sizeof(zs));
+          zs_ok = inflateInit2(&zs, 31) == Z_OK;
+        }
       }
       {
         std::lock_guard<std::mutex> g(tmu);
@@ -235,6 +260,7 @@ struct PaGz {
         cv_done.notify_all();
       }
     }
+    if (zs_ok) inflateEnd(&zs);
   }
 
   // deliver completed members to the consumer queue in file order;

@@ -21,6 +21,12 @@
 
 namespace {
 
+// murmur3 fmix32 — MUST stay bit-identical to ops/hashing.py::mix32_np
+// and index/native/builder.cpp::mix32.  Deliberately duplicated rather
+// than a shared header: _nativebuild.py keys rebuilds on the .cpp mtime
+// only, so a header edit would silently serve stale binaries.  Drift is
+// test-pinned instead (test_mphf_native bit-identity, test_host_mapper
+// probe parity).
 inline uint32_t mix32(uint32_t h) {
   h ^= h >> 16;
   h *= 0x85EBCA6Bu;
@@ -279,7 +285,11 @@ void pa_intersect_ecs(
   for (int64_t i = 0; i < m; i++) {
     const int64_t* r = rows + i * width;
     int nids = 0;
-    while (nids < width && r[nids] < sent) nids++;
+    // ids must be in [0, sent): a negative marker (e.g. the -3
+    // overflow channel) would index ec_offsets out of bounds; the
+    // Python wrapper's capacity math already clips negatives, so the
+    // scan must stop on them too (review r5)
+    while (nids < width && r[nids] >= 0 && r[nids] < sent) nids++;
     if (nids == 0) {
       out_offsets[i + 1] = pos;
       continue;

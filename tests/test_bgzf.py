@@ -133,3 +133,58 @@ def test_bgzf_fastq_reader_native_vs_fallback(tmp_path):
             outs.append(got)
     assert outs[0] == outs[1]
     assert len(outs[0]) == 30_000
+
+
+def _member_bounds(raw):
+    """(start, end) byte ranges of each BGZF member via the BC BSIZE."""
+    import struct
+    out = []
+    off = 0
+    while off < len(raw):
+        bsize = struct.unpack_from("<H", raw, off + 16)[0]
+        out.append((off, off + bsize + 1))
+        off += bsize + 1
+    return out
+
+
+def test_bgzf_lying_isize_rejected_not_fatal(tmp_path):
+    """A corrupt trailer ISIZE (untrusted input) must surface as the
+    usual stashed gz error — not allocate GBs and std::terminate the
+    process from the worker thread (review r5)."""
+    import struct
+
+    data = _recs(50_000)
+    p = str(tmp_path / "i.fq.gz")
+    write_bgzf(p, data)
+    raw = bytearray(open(p, "rb").read())
+    bounds = _member_bounds(bytes(raw))
+    s, e = bounds[1]  # second member: member 0 delivers as the prefix
+    struct.pack_into("<I", raw, e - 4, 0xFFFFFFFF)  # ISIZE -> 4GB claim
+    open(p, "wb").write(bytes(raw))
+    out, err = _drain(p)
+    assert err is not None
+    assert "BGZF" in str(err) or "gzip" in str(err).lower()
+    assert data.startswith(out)
+
+
+def test_bgzf_overstated_bsize_raises_not_silent_drop(tmp_path):
+    """A BSIZE that spans the NEXT member used to inflate member A,
+    accept it as clean, and silently discard member B's records (the
+    stream then finished with no error).  It must now fail loudly
+    (review r5)."""
+    import struct
+
+    data = _recs(50_000)
+    p = str(tmp_path / "b.fq.gz")
+    write_bgzf(p, data)
+    raw = bytearray(open(p, "rb").read())
+    bounds = _member_bounds(bytes(raw))
+    assert len(bounds) >= 4  # need members B and C after the prefix A
+    (s1, e1), (s2, e2) = bounds[1], bounds[2]
+    new_bsize = (e2 - s1) - 1  # member 1's claim now covers member 2
+    assert new_bsize <= 0xFFFF
+    struct.pack_into("<H", raw, s1 + 16, new_bsize)
+    open(p, "wb").write(bytes(raw))
+    out, err = _drain(p)
+    assert err is not None  # NOT a silent success missing member 2
+    assert data.startswith(out)
