@@ -119,16 +119,22 @@ def probe_backend() -> dict:
     """Compile + run a TRIVIAL jitted program end-to-end, twice.
 
     first_s bounds the backend's claim + program-load + dispatch floor
-    (compile is ~0.4s, payload ~bytes); second_s is the steady dispatch
-    round-trip.  first_s >> seconds proves a backend/tunnel stall that
-    no repo-side work can remove."""
+    (compile is ~0.4s, payload ~bytes); second_s re-runs the SAME
+    compiled callable, so it measures the steady dispatch round-trip
+    only (a second distinct program re-paid a full trace+compile ~0.4s
+    and overstated the dispatch floor ~10x — review r5).  first_s >>
+    seconds proves a backend/tunnel stall that no repo-side work can
+    remove."""
     import jax
     import jax.numpy as jnp
 
+    fn = jax.jit(lambda x: x * 2 + 1)
     t0 = time.time()
-    jax.device_get(jax.jit(lambda x: x * 2 + 1)(jnp.int32(20)))
+    jax.device_get(fn(jnp.int32(20)))
     first = time.time() - t0
     t0 = time.time()
-    jax.device_get(jax.jit(lambda x: x * 3 + 1)(jnp.int32(14)))
+    jax.device_get(fn(jnp.int32(14)))
     second = time.time() - t0
-    return {"first_s": round(first, 3), "second_s": round(second, 3)}
+    # 6-digit rounding: a cached dispatch is sub-millisecond on CPU and
+    # ~1-40ms on the tunnel; 3 digits truncated it to 0.0
+    return {"first_s": round(first, 3), "second_s": round(second, 6)}

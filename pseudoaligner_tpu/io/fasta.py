@@ -7,9 +7,7 @@ Host input stage; equivalent of `utils::read_transcripts` +
 
 from __future__ import annotations
 
-import gzip
 import logging
-from typing import IO
 
 import numpy as np
 
@@ -28,34 +26,43 @@ class FastaRecord:
         self.seq = seq
 
 
-def _open(path: str) -> IO[bytes]:
-    # gz support: reference has a (dead) _open_with_gz at src/utils.rs:46-57;
-    # here it is live.
-    if path.endswith(".gz"):
-        return gzip.open(path, "rb")
-    return open(path, "rb")
+# gz support: reference has a (dead) _open_with_gz at src/utils.rs:46-57;
+# here it is live.  ONE open helper shared with the FASTQ reader
+# (review r5: two identical copies drifted independently).
+from .fastq import _open  # noqa: E402
 
 
 def iter_fasta(path: str):
     """Yield FastaRecord from a (possibly gzipped) FASTA file.
 
-    Header parsing matches rust-bio's `fasta::Record`: `id` is the first
-    whitespace-delimited token after '>', `desc` is the remainder (None if
-    absent).
-    """
+    Header parsing matches rust-bio's `fasta::Record` (v1.x reader):
+    every line is trim_end()ed (ALL trailing ASCII whitespace — a
+    trailing space on a sequence line must not become a phantom
+    substituted base), the header splits at the FIRST whitespace char
+    with the remainder kept verbatim (`splitn(2, char::is_whitespace)`
+    — a run of spaces is NOT collapsed), and content before the first
+    '>' is an error ('Expected > at record start'), not silently
+    dropped (review r5)."""
+    import re
+
     rec_id, rec_desc, chunks = None, None, []
     with _open(path) as f:
         for raw in f:
-            line = raw.rstrip(b"\r\n")
+            line = raw.rstrip()  # trim_end: all trailing whitespace
             if line.startswith(b">"):
                 if rec_id is not None:
                     yield FastaRecord(rec_id, rec_desc, b"".join(chunks))
                 header = line[1:].decode()
-                parts = header.split(None, 1)
-                rec_id = parts[0] if parts else ""
-                rec_desc = parts[1] if len(parts) > 1 else None
+                m = re.search(r"\s", header)
+                if m is None:
+                    rec_id, rec_desc = header, None
+                else:
+                    rec_id = header[: m.start()]
+                    rec_desc = header[m.start() + 1:]
                 chunks = []
             elif line:
+                if rec_id is None:
+                    raise ValueError("Expected > at record start.")
                 chunks.append(line)
         if rec_id is not None:
             yield FastaRecord(rec_id, rec_desc, b"".join(chunks))
@@ -82,7 +89,11 @@ def detect_fasta_format(record: FastaRecord) -> FastaFormat:
         # reference's own extract_tx_gene_id at src/utils.rs:131-138
         # expects) IS accepted, so real Ensembl FASTAs index instead of
         # erroring.  VERDICT r3 "missing #2" documents this as-intended.
-        if len(desc_tokens) == 5:
+        # guarded: token[2] must be the 'gene:<id>' field the Ensembl
+        # extractor reads — a coincidental 5-token description (NCBI
+        # style) otherwise crashed with a bare IndexError or silently
+        # mapped a bogus gene id (review r5)
+        if len(desc_tokens) == 5 and desc_tokens[2].startswith("gene:"):
             return FastaFormat.ENSEMBL
     raise ValueError("Failed to detect FASTA header format.")
 
