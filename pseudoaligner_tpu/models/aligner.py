@@ -72,6 +72,20 @@ def _fill_rows(dst_flat, dst_start, row_idxs, src_flat, src_offs):
     dst_flat[pos] = src_flat
 
 
+def _group_by_packed(mat: np.ndarray, packed: np.ndarray):
+    """(uniq_rows, inverse) via ONE argsort of a per-row int64 key —
+    the shared tail of _group_rows' two packed fast paths (review r5:
+    the 6-line block was triplicated)."""
+    m = len(packed)
+    order = np.argsort(packed)
+    sp = packed[order]
+    head = np.ones(m, bool)
+    head[1:] = sp[1:] != sp[:-1]
+    inv = np.empty(m, np.int64)
+    inv[order] = np.cumsum(head) - 1
+    return mat[order][head], inv
+
+
 def _group_rows(mat: np.ndarray):
     """Group identical rows -> (uniq_rows, inverse).  Group ids are
     deterministic but NOT promised to be in lexicographic order — every
@@ -93,14 +107,7 @@ def _group_rows(mat: np.ndarray):
         else:
             m4 = np.full((m, 4), np.int16(-0x8000))
             m4[:, : mat.shape[1]] = mat
-        packed = m4.reshape(-1).view(np.int64)
-        order = np.argsort(packed)
-        sp = packed[order]
-        head = np.ones(m, bool)
-        head[1:] = sp[1:] != sp[:-1]
-        inv = np.empty(m, np.int64)
-        inv[order] = np.cumsum(head) - 1
-        return mat[order][head], inv
+        return _group_by_packed(mat, m4.reshape(-1).view(np.int64))
     if (mat.ndim == 2 and 0 < mat.shape[1] <= 6
             and np.issubdtype(mat.dtype, np.integer)
             and mat.dtype.itemsize >= 4):
@@ -112,13 +119,7 @@ def _group_rows(mat: np.ndarray):
             for c in range(mat.shape[1]):
                 packed <<= bits[c]
                 packed |= mat[:, c].astype(np.int64) - lo[c]
-            order = np.argsort(packed)
-            sp = packed[order]
-            head = np.ones(m, bool)
-            head[1:] = sp[1:] != sp[:-1]
-            inv = np.empty(m, np.int64)
-            inv[order] = np.cumsum(head) - 1
-            return mat[order][head], inv
+            return _group_by_packed(mat, packed)
     order = np.lexsort(mat.T[::-1])
     srt = mat[order]
     head = np.ones(m, bool)
@@ -293,10 +294,13 @@ class Pseudoaligner:
             # packed H2D upload + cuckoo-mode dummying of the mphf/key
             # arrays (the scale serve init is link-bound — PERF.md);
             # a packed-sidecar hit skips the devcache load + host pack
+            if meta is not None:
+                # silently discarding a caller's meta here hid real
+                # mistakes — it is only meaningful with map_step
+                raise ValueError("meta is only used together with map_step")
             self.dev, self.meta = serving_device_index(
                 image, config, device)
-            meta = self.meta
-            self._step = partial(_MAP_STEP_JIT, meta)
+            self._step = partial(_MAP_STEP_JIT, self.meta)
         else:
             if meta is None:
                 raise ValueError("map_step requires the engine's meta")
@@ -308,6 +312,22 @@ class Pseudoaligner:
         self.phase_times: dict[str, float] | None = (
             {} if os.environ.get("PA_TIMERS") else None
         )
+
+    def close(self) -> None:
+        """Release the lazily-created worker pools and the uncapped-remap
+        device index.  Constructing many aligners in one process (bench
+        candidate sweeps, multihost workers, CLI re-runs) otherwise
+        accumulates idle threads and pinned HBM until GC (review r5).
+        The aligner remains usable — the lazy paths simply re-create
+        what they need."""
+        for attr in ("_fetch_pool", "_remap_pool"):
+            pool = getattr(self, attr, None)
+            if pool is not None:
+                pool.shutdown(wait=False)
+                delattr(self, attr)
+        for attr in ("_remap_step", "_remap_dev"):
+            if hasattr(self, attr):
+                delattr(self, attr)
 
     def _tick(self, name: str, t0: float) -> None:
         if self.phase_times is not None:
@@ -1128,6 +1148,22 @@ class Pseudoaligner:
         with fragment ECs intersected once per distinct (case, sig, sig)
         group in C++ (pa_intersect_pairs).  Record-identical to
         map_fastq_paired; returns the read count."""
+        if self.meta.distinct_cap == 0:
+            # full-debug-output mode has no compact signatures: fall back
+            # to the record path instead of an IndexError on the
+            # zero-width ec_distinct (review r5; emit_fastq and the CLI
+            # gate the same way)
+            n = nf = 0
+            for rec in self.map_fastq_paired(path1, path2):
+                out.write(rec.format_reference_style().encode() + b"\n")
+                n += 1
+                nf += rec.flag
+                if ticker is not None:
+                    ticker(n, nf)
+                if progress_cb is not None:
+                    progress_cb(n)
+            self._paired_emitted = n
+            return n
         bs, L = self.config.batch_size, self.config.max_read_len
         h = max(1, bs // 2)
         r1 = FastqReader(path1, h, L)
@@ -1229,11 +1265,16 @@ class Pseudoaligner:
                 _t = time.time()
                 codes = np.concatenate([b1.codes, b2.codes], axis=0)
                 lens = np.concatenate([b1.lens, b2.lens])
-                c1, o1 = _raw_ids(b1)
-                c2, o2 = _raw_ids(b2)
+                # record ids come from b1 (emit_finish_paired) and the
+                # remap path reads only codes/lens: the combined batch
+                # needs just its ROW COUNT, so skip the per-batch
+                # c1+c2 byte concatenation on the dispatch thread —
+                # the measured paired bottleneck (review r5)
+                _, o1 = _raw_ids(b1)
+                _, o2 = _raw_ids(b2)
                 combined = ReadBatch(
-                    codes=codes, lens=lens, ids_concat=c1 + c2,
-                    id_offs=np.concatenate([o1, o2[1:] + len(c1)]),
+                    codes=codes, lens=lens, ids_concat=b"",
+                    id_offs=np.concatenate([o1, o2[1:] + o1[-1]]),
                 )
                 self._tick("pcombine", _t)
                 fut = self.map_batch_device(codes, lens)

@@ -70,7 +70,10 @@ def batch_stats(meta: MapMeta, idx: DeviceIndex, packed, lens) -> BatchStats:
     fn = _jitted_stats.get(meta)
     if fn is None:
         fn = _jitted_stats[meta] = jax.jit(partial(_stats_impl, meta))
-    n_positions, n_hits, n_fp = (int(x) for x in fn(idx, packed, lens))
+    # ONE batched transfer: per-scalar int() casts paid a full tunnel
+    # roundtrip each on the FIFO link (review r5)
+    n_positions, n_hits, n_fp = (
+        int(x) for x in jax.device_get(fn(idx, packed, lens)))
     n_reads = int((np.asarray(lens) > 0).sum())
     return BatchStats(
         n_reads=n_reads,

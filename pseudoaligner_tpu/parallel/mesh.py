@@ -44,6 +44,12 @@ def make_mesh(n_devices: int | None = None, axis: str = READS_AXIS,
     data parallel, with only the count merge on the global mesh."""
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            # a silently smaller mesh would run (say) 4-way while the
+            # caller benchmarks "8-way" scaling (review r5)
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devs)} available"
+            )
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 
@@ -121,8 +127,21 @@ class ShardedAligner:
         dev, meta = device_index_from_image(image, config)
         # the psum TCC-count path consumes EC bitsets on device; the walk
         # cap must be off with it — its exact-fallback channel (-3 marker)
-        # only exists in the compact output
-        meta = dataclasses.replace(meta, distinct_cap=0, max_walk_iters=0, max_left_iters=0)
+        # only exists in the compact output.  The UNCAPPED walk needs the
+        # full node buffer (2*read_len bound, config.py) exactly like the
+        # host-remap fallback: a serving-sized max_nodes would silently
+        # truncate visits on fragmented reads (review r5).
+        meta = dataclasses.replace(
+            meta, distinct_cap=0, max_walk_iters=0, max_left_iters=0,
+            max_nodes=max(meta.max_nodes, 2 * meta.read_len),
+        )
+        if meta.tx_words == 0:
+            # ec_bits would be [B, 0] and every count silently empty
+            raise ValueError(
+                f"ShardedAligner's bitset TCC path needs n_tx "
+                f"({len(image.tx_names)}) <= "
+                f"config.bitset_tx_threshold ({config.bitset_tx_threshold})"
+            )
         self.meta = meta
         self.config = config
         self.n_tx = len(image.tx_names)

@@ -583,6 +583,39 @@ def test_paired_fast_path_matches_record_path(small_index, small_reads, tmp_path
     assert buf.getvalue() == want
 
 
+def test_paired_emit_distinct_cap0_falls_back(small_index, small_reads,
+                                              tmp_path):
+    """distinct_cap=0 (full debug output) has no compact signatures:
+    emit_fastq_paired must take the record-path fallback, not IndexError
+    on a zero-width ec_distinct (review r5)."""
+    import io as iomod
+
+    from pseudoaligner_tpu.config import AlignerConfig
+    from pseudoaligner_tpu.models.aligner import Pseudoaligner
+
+    dec = "ACGT"
+    r1 = tmp_path / "z1.fq"
+    r2 = tmp_path / "z2.fq"
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(40):
+            a = "".join(dec[b] for b in small_reads[i][1][:60])
+            b_ = "".join(dec[b] for b in small_reads[40 + i][1][:60])
+            f1.write(f"@p{i}\n{a}\n+\n{'I'*len(a)}\n")
+            f2.write(f"@p{i}\n{b_}\n+\n{'I'*len(b_)}\n")
+    al = Pseudoaligner(small_index, AlignerConfig(
+        k=20, batch_size=32, max_read_len=64, max_nodes=64,
+        distinct_cap=0))
+    want = "".join(
+        rec.format_reference_style() + "\n"
+        for rec in al.map_fastq_paired(str(r1), str(r2))
+    ).encode()
+    buf = iomod.BytesIO()
+    n_out = al.emit_fastq_paired(str(r1), str(r2), buf)
+    assert n_out == 40
+    assert buf.getvalue() == want
+    al.close()  # release pools (exercises the new teardown)
+
+
 def test_paired_batch_count_mismatch_raises(small_index, small_reads, tmp_path):
     """Whole-batch length mismatches must raise, not silently truncate
     (zip-based iteration dropped the longer file's tail)."""
