@@ -117,11 +117,6 @@ def pack_kmers(codes: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
-def pack_kmer(codes: np.ndarray, k: int, pos: int = 0) -> np.ndarray:
-    """Single k-mer at `pos` -> [W] uint32 words."""
-    return pack_kmers(np.asarray(codes)[pos : pos + k], k)[0]
-
-
 def kmer_to_pyint(words: np.ndarray) -> int:
     """[W] uint32 words -> arbitrary-precision python int (for dict keys)."""
     v = 0

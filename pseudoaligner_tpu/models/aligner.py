@@ -699,21 +699,13 @@ class Pseudoaligner:
                 cnt = int(sig_counts[si])
                 if none_mask[si]:
                     continue
-                lst = sig_flat[sig_start[si] : sig_start[si + 1]]
-                if len(lst) == 0:
-                    continue
-                key = tuple(int(x) for x in lst)
-                j = tcc.classes.get(key)
-                if j is None:
-                    j = len(tcc.counts)
-                    tcc.classes[key] = j
-                    tcc.counts.append(0)
-                tcc.counts[j] += cnt
-                tcc.n_mapped += cnt
+                # shared interning core (tcc.add_group): reaching into
+                # classes/counts here duplicated TccCounter's invariants
+                # (review r5); n_reads advances per batch, not per group
+                tcc.add_group(sig_flat[sig_start[si] : sig_start[si + 1]],
+                              int(cnt))
             for i in overflow_rows:
-                if len(overflow_eq[i]):
-                    tcc.add(overflow_eq[i].tolist())
-                    tcc.n_reads -= 1  # add() already counted the read
+                tcc.add_group(overflow_eq[i].tolist())
 
         self._tick("fin.patch", _t)
         _t = time.time()

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..dna import _mix32
+
 try:
     import jax.numpy as jnp
 except Exception:  # pragma: no cover - host-only usage
@@ -24,14 +26,10 @@ GOLDEN32 = 0x9E3779B9
 
 
 def mix32_np(h: np.ndarray) -> np.ndarray:
-    h = h.astype(np.uint32, copy=True)
-    with np.errstate(over="ignore"):
-        h ^= h >> np.uint32(16)
-        h *= np.uint32(0x85EBCA6B)
-        h ^= h >> np.uint32(13)
-        h *= np.uint32(0xC2B2AE35)
-        h ^= h >> np.uint32(16)
-    return h
+    # ONE NumPy fmix32 for the whole framework: dna._mix32 is the
+    # implementation (hashn N-substitution and the MPHF must stay
+    # bit-identical — review r5: two copies only ASKED to stay in sync)
+    return _mix32(np.asarray(h))
 
 
 def hash_kmer_np(words: np.ndarray, seed: int) -> np.ndarray:

@@ -22,7 +22,10 @@ def all_kmers(reads: jnp.ndarray, k: int) -> jnp.ndarray:
     """
     B, L = reads.shape
     P = L - k + 1
-    assert P >= 1, "read length below k"
+    if P < 1:
+        # explicit raise: under python -O the old assert vanished and a
+        # [B, 0, W] kmer matrix flowed on silently (review r5)
+        raise ValueError(f"batch width {L} below k={k}")
     W = kmer_words(k)
     r = reads.astype(jnp.uint32)
     words = [jnp.zeros((B, P), jnp.uint32) for _ in range(W)]

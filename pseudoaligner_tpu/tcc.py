@@ -29,7 +29,16 @@ class TccCounter:
         """Count one read.  Unmapped reads (or empty classes) count toward
         n_reads only."""
         self.n_reads += 1
-        if not mapped or not len(eq_class):
+        if mapped:
+            self.add_group(eq_class, 1)
+
+    def add_group(self, eq_class, count: int = 1):
+        """Intern `eq_class` and credit `count` mapped reads to it WITHOUT
+        advancing n_reads — the bulk API for the signature-indirect emit
+        path, which advances n_reads per batch (review r5: aligner.py
+        used to reach into classes/counts directly and compensate add()'s
+        read counting by hand)."""
+        if not len(eq_class):
             return
         key = tuple(int(x) for x in eq_class)
         idx = self.classes.get(key)
@@ -37,31 +46,26 @@ class TccCounter:
             idx = len(self.counts)
             self.classes[key] = idx
             self.counts.append(0)
-        self.counts[idx] += 1
-        self.n_mapped += 1
+        self.counts[idx] += count
+        self.n_mapped += count
 
     def merge(self, other: "TccCounter"):
-        """Merge counts from another counter (e.g. another host's shard)."""
+        """Merge counts from another counter (e.g. another host's shard).
+        classes-dict insertion order IS count-index order by construction,
+        so the pairs zip directly (review r5: no inverse dict needed)."""
         self.n_reads += other.n_reads
-        self.n_mapped += other.n_mapped
-        inv = {v: k for k, v in other.classes.items()}
-        for idx, c in enumerate(other.counts):
-            key = inv[idx]
-            j = self.classes.get(key)
-            if j is None:
-                j = len(self.counts)
-                self.classes[key] = j
-                self.counts.append(0)
-            self.counts[j] += c
+        n_mapped = self.n_mapped  # add_group advances it by each count
+        for key, c in zip(other.classes, other.counts):
+            self.add_group(key, c)
+        self.n_mapped = n_mapped + other.n_mapped
 
     def write(self, outdir: str, prefix: str = "output") -> tuple[str, str]:
         """Write `<prefix>.ec` and `<prefix>.tsv` (kallisto-style)."""
         ec_path = os.path.join(outdir, f"{prefix}.ec")
         tsv_path = os.path.join(outdir, f"{prefix}.tsv")
-        inv = {v: k for k, v in self.classes.items()}
         with open(ec_path, "w") as f:
-            for i in range(len(self.counts)):
-                f.write(f"{i}\t{','.join(map(str, inv[i]))}\n")
+            for i, key in enumerate(self.classes):  # insertion order ==
+                f.write(f"{i}\t{','.join(map(str, key))}\n")  # index order
         with open(tsv_path, "w") as f:
             for i, c in enumerate(self.counts):
                 f.write(f"{i}\t{c}\n")
